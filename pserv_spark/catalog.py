@@ -1,0 +1,218 @@
+"""Table registry + canonical views — the engine's "DDL layer".
+
+The reference declares fixed MySQL schemas in DDL files (public repo:
+sql/create_*.sql — SURVEY §1.1) and never infers types.  Here the same
+discipline: every table has a declared StructType; ``load_tables``
+validates the Parquet footer against it (Parquet schemas are stored, not
+inferred, so validation — not coercion — is the right move) and
+registers temp views, including the two canonical normalizing views
+(SURVEY §1.2):
+
+- ``v_events`` — events.parquet stores INT64 TIMESTAMP(NANOS); with
+  ``nanosAsLong`` the raw read yields ``ts: long`` (ns).  The view emits
+  ``ts`` as a µs-precision timestamp (``timestamp_micros(ts DIV 1000)``
+  — integer DIV; float division of 1.7e18-scale longs loses precision)
+  plus ``ts_us`` for numeric window frames.  This matches DuckDB's
+  µs-truncated read exactly (verified in SURVEY §1.2 [E]).
+- ``v_emb`` — float32 embeddings cast to array<double> before any
+  arithmetic (float32 accumulation noise would break oracle parity,
+  SURVEY §4.5 rule 5).
+
+At 100 TB these views are zero-cost: they are logical projections that
+Catalyst collapses into the scan (column pruning + pushdown still
+apply to the underlying parquet columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .session import REQUIRED_SQL_CONFS
+
+#: The ten driver tables (TESTDATA.md). Schemas as read by Spark with
+#: nanosAsLong=true (events.ts therefore LongType).
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # ns-as-long (see module doc)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES = tuple(SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_V_EVENTS_SQL = """
+CREATE OR REPLACE TEMP VIEW v_events AS
+SELECT event_id,
+       timestamp_micros(ts DIV 1000) AS ts,
+       ts DIV 1000                   AS ts_us,
+       user_id, event_type, value, props
+FROM events
+"""
+
+_V_EMB_SQL = """
+CREATE OR REPLACE TEMP VIEW v_emb AS
+SELECT vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       label
+FROM embeddings
+"""
+
+
+def _schemas_compatible(actual: T.StructType, expected: T.StructType) -> bool:
+    if [f.name for f in actual.fields] != [f.name for f in expected.fields]:
+        return False
+    return all(a.dataType == e.dataType for a, e in zip(actual.fields, expected.fields))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, validate: bool = False
+) -> dict[str, DataFrame]:
+    """Register all base tables + canonical views for ``sf_dir``.
+
+    Idempotent and cheap (view registration only; no data is read until
+    a query runs).  Returns the base DataFrames keyed by table name.
+    """
+    for key, value in REQUIRED_SQL_CONFS.items():
+        spark.conf.set(key, value)
+
+    frames: dict[str, DataFrame] = {}
+    for name, schema in SCHEMAS.items():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if validate and not _schemas_compatible(df.schema, schema):
+            raise ValueError(
+                f"schema drift in {name}: expected {schema.simpleString()}, "
+                f"got {df.schema.simpleString()}"
+            )
+        df.createOrReplaceTempView(name)
+        frames[name] = df
+
+    spark.sql(_V_EVENTS_SQL)
+    spark.sql(_V_EMB_SQL)
+    return frames
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one base table (no view registration)."""
+    for key, value in REQUIRED_SQL_CONFS.items():
+        spark.conf.set(key, value)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with canonical µs timestamp + ts_us long (SURVEY §1.2)."""
+    from pyspark.sql import functions as F
+
+    raw = table(spark, sf_dir, "events")
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def v_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with array<double> ``emb`` (SURVEY §4.5 rule 5)."""
+    from pyspark.sql import functions as F
+
+    raw = table(spark, sf_dir, "embeddings")
+    return raw.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        "label",
+    )

@@ -1,0 +1,26 @@
+"""Scale-path / extension operators (dedup, ANN, text analysis, zones).
+
+Each module contributes ``QUERIES`` (name -> (spark, sf_dir) -> DataFrame)
+and optionally ``ORACLES`` (name -> DuckDB SQL) for the driver's
+correctness gate.
+"""
+
+from __future__ import annotations
+
+EXTENSION_QUERIES: dict = {}
+EXTENSION_ORACLES: dict = {}
+
+
+def _load() -> None:
+    import importlib
+
+    for modname in ("dedup", "similarity", "textanalysis", "zonematch", "multimodal"):
+        try:
+            mod = importlib.import_module(f".{modname}", __package__)
+        except ImportError:
+            continue
+        EXTENSION_QUERIES.update(getattr(mod, "QUERIES", {}))
+        EXTENSION_ORACLES.update(getattr(mod, "ORACLES", {}))
+
+
+_load()
