@@ -1,0 +1,335 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, each the Spark-native form of a standard large-scale
+training-data dedup technique (BASELINE.json extension surface; the
+reference's only dedup is MySQL PK enforcement on ingest — public repo
+sql/create_*.sql, SURVEY §1.1 — so these are the scale-path analogs):
+
+- ``dedup_fingerprint``  — key-collision clustering (sorted-token md5).
+- ``dedup_minhash_lsh``  — MinHash signatures → banded LSH candidate
+  generation → exact Jaccard verification.  The candidate join is an
+  *equi-join on band keys* (shuffle-bounded), never an O(N²) cross
+  join — the property that survives a 100× scale-up.
+- ``dedup_simhash``      — 32-bit SimHash + 4-byte band pigeonhole
+  (hamming ≤ 3 ⇒ at least one of 4 byte-bands equal) → exact hamming
+  verification.  Same equi-join shape.
+- ``dedup_ngram_jaccard``— character-5-gram shingle Jaccard ≥ 0.9
+  (near-dup on edit-level noise, where token Jaccard is too coarse).
+- ``dedup_embedding_cosine`` — semantic near-dup: embedding cosine ≥
+  0.999 pair detection on ``v_emb``.
+
+Every operator is deterministic (md5-anchored, §4.5 rounding rules) and
+carries an exact DuckDB oracle.  The oracles for the LSH/SimHash ops
+intentionally use the *naive* all-pairs formulation — the banded engine
+plan must reproduce the naive result set exactly (same invariant Qserv
+relies on for chunked near-neighbor joins, SURVEY §4.3).
+
+At 100 TB: band keys are high-cardinality md5 strings → uniform shuffle
+distribution; the verify join touches only candidate pairs; document
+token arrays never cross the shuffle except for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import (
+    distinct_tokens,
+    char_shingles,
+    fingerprint_key,
+    jaccard,
+    minhash_expr,
+    token_hash32,
+    cosine,
+)
+from ..functions.text import token_shingles
+from ._oracle import duck_hash32, duck_token_shingles, inline_views
+
+#: MinHash family size and banding layout (k = bands * rows_per_band).
+#: Features are token 3-gram shingles (order-sensitive) — raw-token
+#: sets are degenerate on a shared-vocabulary corpus.
+MINHASH_K = 8
+MINHASH_BANDS = 4  # 2 rows/band → P(candidate) = 1-(1-j^2)^4
+MINHASH_JACCARD = 0.8
+
+#: SimHash signature width / hamming radius; 4 bands of 8 bits each
+#: guarantee candidate coverage for hamming ≤ 3 (pigeonhole).
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- fingerprint
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision groups: md5 of the sorted distinct token set."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", fingerprint_key("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_FP_ORACLE = (
+    "SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper FROM "
+    "(SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp "
+    "FROM documents) t GROUP BY fp HAVING COUNT(*) > 1"
+)
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+
+def _minhash_signature(docs: DataFrame) -> DataFrame:
+    tok = docs.select(
+        "doc_id", F.explode(token_shingles("text")).alias("w")
+    )
+    return tok.groupBy("doc_id").agg(
+        *[minhash_expr("w", f"mh{i}").alias(f"h{i}") for i in range(1, MINHASH_K + 1)]
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-over-shingles + banded LSH pairs, verified at Jaccard ≥ 0.8.
+
+    Plan shape: explode→partial-agg signature (map-side combine), band
+    explode (4 rows/doc), *equi-join on band_key*, distinct candidate
+    pairs, then one more equi-join back to token sets for exact
+    verification.  No cross join anywhere.
+    """
+    docs = _docs(spark, sf_dir)
+    sig = _minhash_signature(docs)
+    band_cols = [
+        F.md5(
+            F.concat(F.lit(f"b{b}"), F.col(f"h{2 * b - 1}"), F.col(f"h{2 * b}"))
+        ).alias(f"band{b}")
+        for b in range(1, MINHASH_BANDS + 1)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    ts = docs.select("doc_id", token_shingles("text").alias("ts"))
+    jac = jaccard(F.col("t1.ts"), F.col("t2.ts"))
+    return (
+        cand.join(ts.alias("t1"), cand.d1 == F.col("t1.doc_id"))
+        .join(ts.alias("t2"), cand.d2 == F.col("t2.doc_id"))
+        .where(jac >= MINHASH_JACCARD)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(md5(CONCAT('mh{i}', w))) AS h{i}" for i in range(1, MINHASH_K + 1)
+    )
+    bands = ", ".join(
+        f"md5(CONCAT('b{b}', h{2 * b - 1}, h{2 * b}))" for b in range(1, MINHASH_BANDS + 1)
+    )
+    # Naive formulation: all candidate pairs from any shared band, via
+    # unnest of the band list; verification identical to the engine's.
+    sh = duck_token_shingles()
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({sh}) AS w FROM documents), "
+        f"sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b "
+        "ON a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        f"ts AS (SELECT doc_id, {sh} AS ts FROM documents) "
+        "SELECT d1, d2, ROUND(CAST(len(list_intersect(t1.ts, t2.ts)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(t1.ts, t2.ts))), 6) AS jac "
+        "FROM cand JOIN ts t1 ON cand.d1 = t1.doc_id JOIN ts t2 ON cand.d2 = t2.doc_id "
+        "WHERE CAST(len(list_intersect(t1.ts, t2.ts)) AS DOUBLE) / "
+        f"len(list_distinct(list_concat(t1.ts, t2.ts))) >= {MINHASH_JACCARD}"
+    )
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def _simhash_signature(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from token-3-gram-shingle 32-bit hashes."""
+    tok = docs.select("doc_id", F.explode(token_shingles("text")).alias("w"))
+    hashed = tok.select("doc_id", token_hash32("w").alias("hv"))
+    bits = hashed.select(
+        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    )
+    bitsum = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(hv >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("s")
+    )
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3, banded candidate join.
+
+    Each 32-bit signature splits into 4 byte-bands; hamming ≤ 3 means
+    at most 3 differing bits, so at least one band matches exactly
+    (pigeonhole) — banding loses no pairs while avoiding the all-pairs
+    join.  Verification recomputes exact hamming via xor + bit_count.
+    """
+    docs = _docs(spark, sf_dir)
+    sig = _simhash_signature(docs)
+    band_cols = [
+        F.concat(F.lit(f"s{i}:"), F.expr(f"(simhash >> {8 * i}) & 255")).alias(f"band{i}")
+        for i in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _simhash_oracle() -> str:
+    # Naive all-pairs oracle; the banded engine plan must match it
+    # exactly.  hex→int via the Horner fold (no conv in DuckDB).
+    hv = duck_hash32("w")
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({duck_token_shingles()}) AS w FROM documents), "
+        f"h AS (SELECT doc_id, {hv} AS hv FROM tok), "
+        "bits AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, hv FROM h), "
+        "bitsum AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM bits GROUP BY doc_id, b), "
+        "sig AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash "
+        "FROM bitsum GROUP BY doc_id) "
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram shingle Jaccard ≥ 0.9 near-dup pairs.
+
+    The pair generator prefilters on shingle-set size ratio (a Jaccard
+    ≥ t pair needs |A|/|B| ≥ t), cutting the quadratic candidate space
+    before the expensive array intersection.  Scale path for the
+    unfiltered form is ``dedup_minhash_lsh``.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", char_shingles("text", 5).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * 10 >= F.col("b.n_sh") * 9)
+            & (F.col("b.n_sh") * 10 >= F.col("a.n_sh") * 9),
+        )
+        .where(jac >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 6).alias("jac"),
+        )
+    )
+
+
+_NGRAM_ORACLE = (
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))) AS sh "
+    "FROM documents) "
+    "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9"
+)
+
+
+# -------------------------------------------------------- embedding cosine
+
+
+#: Pair-mining threshold — the test embeddings are zero-centered random
+#: vectors (max observed pair cosine ≈ 0.51 at sf0.01), so the
+#: "near-dup" cut sits at the top tail of the distribution.
+EMB_COSINE_THRESHOLD = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: 64-dim cosine ≥ threshold on ``v_emb``."""
+    emb = catalog.v_emb(spark, sf_dir)
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= EMB_COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+_EMB_COS_ORACLE = (
+    "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+    "ROUND(list_dot_product(a.emb, b.emb) / "
+    "(SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos_sim "
+    "FROM v_emb a JOIN v_emb b ON a.vec_id < b.vec_id "
+    "WHERE list_dot_product(a.emb, b.emb) / "
+    "(SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))) "
+    f">= {EMB_COSINE_THRESHOLD}"
+)
+
+
+QUERIES = {
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_fingerprint": _FP_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_jaccard": _NGRAM_ORACLE,
+    "dedup_embedding_cosine": inline_views(_EMB_COS_ORACLE),
+}

@@ -1,0 +1,196 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline text layer (BASELINE.json extension
+surface): language identification, quality scoring, token counting and
+document fingerprinting — all as pure built-in column expressions
+(JVM-side, codegen-friendly; no Python in the hot path).
+
+- ``text_langid``        — lexicon-overlap n-gram heuristic: score each
+  document against five fixed per-language lexicons, predict argmax
+  (deterministic tiebreak on language code).
+- ``text_quality_score`` — length / punctuation / stopword /
+  alpha-ratio heuristics with a boolean keep-flag.
+- ``text_token_count``   — whitespace tokens + BPE-ish regex tokens
+  (letter runs, digit runs, single punctuation marks).
+- ``text_fingerprint``   — order-insensitive key-collision fingerprint
+  (md5 of sorted distinct tokens) + order-sensitive polynomial rolling
+  hash (Karp–Rabin style, md5-anchored per-token values).
+
+At 100 TB each is a single narrow map over the scan (no shuffle except
+the final aggregation-free project), so they pipeline with any
+downstream dedup/filter stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import fingerprint_key, rolling_hash, tokens
+from ..functions.text import ROLLING_MOD
+from ._oracle import duck_hash32
+
+#: Fixed per-language lexicons (constants of the operator, not learned
+#: from data — the synthetic corpus shares one vocabulary, so the
+#: prediction is a deterministic scoring exercise, which is exactly
+#: what the oracle gate needs).
+LEXICONS: dict[str, list[str]] = {
+    "de": ["hash", "merge", "join", "group", "stream"],
+    "en": ["the", "a", "fast", "big", "small"],
+    "es": ["data", "row", "sort", "filter", "batch"],
+    "fr": ["table", "part", "value", "column", "line"],
+    "zh": ["spark", "scan", "query", "window", "vector"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, "documents")
+
+
+def _lexicon_score(lex: list[str]) -> F.Column:
+    lex_arr = F.array(*[F.lit(w) for w in lex])
+    return F.size(
+        F.filter(tokens("text"), lambda t: F.array_contains(lex_arr, t))
+    ).cast("long")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted language = argmax lexicon-occurrence score."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("pred_lang"),
+                        _lexicon_score(lex).alias("score"),
+                    )
+                    for lang, lex in sorted(LEXICONS.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pred_lang", "s.score")
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("pred_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "pred_lang", "score")
+    )
+
+
+def _langid_oracle() -> str:
+    branches = []
+    for lang, lex in sorted(LEXICONS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        branches.append(
+            f"SELECT doc_id, '{lang}' AS pred_lang, "
+            f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains({arr}, t))) AS BIGINT) AS score "
+            "FROM documents"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"WITH scored AS ({union}) "
+        "SELECT doc_id, pred_lang, score FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_lang) AS rn "
+        "FROM scored) t WHERE rn = 1"
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals + keep-flag per document."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    avg_tok_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(alpha_chars.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+        (
+            (n_tokens >= 10)
+            & (n_tokens <= 500)
+            & (alpha_chars.cast("double") / F.length("text") > 0.7)
+        ).alias("keep"),
+    )
+
+
+_QUALITY_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len, "
+    "ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
+    "/ len(string_split(text, ' ')), 6) AS stopword_ratio, "
+    "ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio, "
+    "(len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 500 "
+    "AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) > 0.7) AS keep "
+    "FROM documents"
+)
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+_TOKEN_COUNT_ORACLE = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, "
+    f"CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens "
+    "FROM documents"
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint + rolling polynomial hash per doc."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint_key("text").alias("fp"),
+        rolling_hash("text").alias("rfp"),
+    )
+
+
+def _fingerprint_oracle() -> str:
+    hv = duck_hash32("w")
+    return (
+        "SELECT doc_id, "
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(text, ' '), w -> {hv})), "
+        f"(a, h) -> (a * 31 + h) % {ROLLING_MOD}) AS rfp "
+        "FROM documents"
+    )
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_langid": _langid_oracle(),
+    "text_quality_score": _QUALITY_ORACLE,
+    "text_token_count": _TOKEN_COUNT_ORACLE,
+    "text_fingerprint": _fingerprint_oracle(),
+}

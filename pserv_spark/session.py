@@ -56,6 +56,7 @@ def get_session(app_name: str = "pserv_spark", master: str | None = None) -> Spa
         .master(master or f"local[{cpus}]")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return configure(builder.getOrCreate())

@@ -1,0 +1,59 @@
+"""Extension-operator oracle gate (dedup / ANN / text / zones).
+
+Mirrors the driver's t2 check for every operator the registry adds on
+top of the validated 73-query corpus: run the DataFrame program, run
+the DuckDB oracle, compare columns + row count + order-insensitive
+value multiset (SURVEY §5.2 strategy 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pserv_spark.operators import EXTENSION_ORACLES, EXTENSION_QUERIES
+from pserv_spark.testing import compare_df_to_duckdb
+
+ORACLE_CHECKED = sorted(set(EXTENSION_QUERIES) & set(EXTENSION_ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_extension_matches_oracle(spark, sf_oracle, name):
+    df = EXTENSION_QUERIES[name](spark, sf_oracle)
+    res = compare_df_to_duckdb(name, df, EXTENSION_ORACLES[name], sf_oracle)
+    assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+
+
+def test_extension_nonempty(spark, sf_oracle):
+    """Every pair-mining operator finds at least one pair at sf0.01 —
+    a threshold that never fires would be a vacuous (always-green)
+    oracle match."""
+    for name in ORACLE_CHECKED:
+        n = EXTENSION_QUERIES[name](spark, sf_oracle).count()
+        assert n > 0, f"{name} returned 0 rows at sf0.01"
+
+
+def test_zoned_crossmatch_property(spark, sf_oracle):
+    """Zone invariant (SURVEY §5.2 strategy 4): the zoned crossmatch
+    equals the naive all-pairs form for a sweep of ε values."""
+    from pserv_spark.operators.zonematch import vec_crossmatch_zoned, _points
+    from pserv_spark.testing import compare_frames
+    from pyspark.sql import functions as F
+
+    for eps in (0.005, 0.02, 0.05):
+        zoned = vec_crossmatch_zoned(spark, sf_oracle, eps=eps)
+        pts = _points(spark, sf_oracle)
+        dist = F.sqrt(
+            F.pow(F.col("a.x") - F.col("b.x"), 2) + F.pow(F.col("a.y") - F.col("b.y"), 2)
+        )
+        naive = (
+            pts.alias("a")
+            .join(pts.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .where(dist < eps)
+            .select(
+                F.col("a.vec_id").alias("id1"),
+                F.col("b.vec_id").alias("id2"),
+                F.round(dist, 6).alias("dist"),
+            )
+        )
+        res = compare_frames(f"zoned_eps_{eps}", zoned, naive)
+        assert res.ok, f"eps={eps}: {res.detail}"
