@@ -14,7 +14,16 @@ EXTENSION_ORACLES: dict = {}
 def _load() -> None:
     import importlib
 
-    for modname in ("dedup", "similarity", "textanalysis", "zonematch", "multimodal"):
+    for modname in (
+        "dedup",
+        "similarity",
+        "textanalysis",
+        "zonematch",
+        "multimodal",
+        "udfs",
+        "streamops",
+        "ingest_ops",
+    ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)
         except ImportError:

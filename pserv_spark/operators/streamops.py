@@ -1,0 +1,28 @@
+"""Registry adapter for the streaming jobs (see streaming/jobs.py).
+
+``stream_session_window`` deliberately has no oracle entry — append
+mode withholds windows newer than the final watermark, which ANSI SQL
+cannot express portably; the driver records its weaker rows-only check
+(SURVEY §2.2 declares it rows-only).
+"""
+
+from __future__ import annotations
+
+from ..corpus import ORACLE_SQL
+from ..streaming import (
+    stream_dedup_keys,
+    stream_session_window,
+    stream_tumbling_complete,
+)
+
+QUERIES = {
+    "stream_tumbling_complete": stream_tumbling_complete,
+    "stream_dedup_keys": stream_dedup_keys,
+    "stream_session_window": stream_session_window,
+}
+
+ORACLES = {
+    # Complete mode emits all windows ⇒ equals the batch tumbling query.
+    "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
+    "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+}

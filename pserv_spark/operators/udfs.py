@@ -1,0 +1,95 @@
+"""Pandas-UDF surface: grouped-map and grouped-agg custom operators.
+
+The reference's per-catalog Python transforms (flux calibration, CSV
+munging — public repo python/desc/pserv/Pserv.py, SURVEY §2.1) become
+Arrow-batched pandas UDFs here.  Two representative operators, each
+with an exact SQL-window/aggregate oracle so the Python path is held to
+the same differential gate as everything else:
+
+- ``udf_zscore_pandas``       — per-user z-score normalization via
+  ``applyInPandas`` (grouped map).  Oracle: the window formula
+  ``(v - AVG) / NULLIF(STDDEV_SAMP, 0)``.
+- ``udf_weighted_mean_pandas``— per-user weighted mean via a
+  GROUPED_AGG ``pandas_udf`` (weight = event_id % 5 + 1).  Oracle: the
+  SUM/SUM formula.
+
+At 100 TB: ``applyInPandas`` shuffles once on the grouping key and
+streams one Arrow batch per group through a Python worker — the only
+acceptable Python shape in a hot path (SURVEY SNIPPETS patterns); the
+rest of the engine stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ._oracle import inline_views
+
+
+def udf_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values (grouped-map pandas UDF)."""
+    ev = (
+        catalog.v_events(spark, sf_dir)
+        .where(F.col("user_id") < 30)
+        .select("event_id", "user_id", "value")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        sd = v.std(ddof=1)  # NaN for singleton groups, matching SQL NULL
+        z = (v - v.mean()) / sd if sd and not np.isnan(sd) else pd.Series(
+            [np.nan] * len(v), index=v.index
+        )
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double"
+    )
+
+
+_ZSCORE_ORACLE = (
+    "SELECT event_id, user_id, "
+    "ROUND((value - AVG(value) OVER (PARTITION BY user_id)) / "
+    "NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 6) AS z "
+    "FROM v_events WHERE user_id < 30"
+)
+
+
+def udf_weighted_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weighted mean value (grouped-agg pandas UDF)."""
+    ev = catalog.v_events(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.col("event_id") % 5 + 1).cast("double").alias("w"),
+    )
+
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float(np.round(np.dot(v, w) / w.sum(), 6))
+
+    return ev.groupBy("user_id").agg(wmean("value", "w").alias("wmean"))
+
+
+_WMEAN_ORACLE = (
+    "SELECT user_id, "
+    "ROUND(SUM(value * (event_id % 5 + 1)) / SUM(event_id % 5 + 1), 6) AS wmean "
+    "FROM v_events GROUP BY user_id"
+)
+
+
+QUERIES = {
+    "udf_zscore_pandas": udf_zscore_pandas,
+    "udf_weighted_mean_pandas": udf_weighted_mean_pandas,
+}
+
+ORACLES = {
+    "udf_zscore_pandas": inline_views(_ZSCORE_ORACLE),
+    "udf_weighted_mean_pandas": inline_views(_WMEAN_ORACLE),
+}

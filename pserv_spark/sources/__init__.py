@@ -1,0 +1,17 @@
+"""Ingestion sources/sinks (the reference's ETL surface, Spark-first)."""
+
+from .ingest import (
+    export_csv,
+    load_csv,
+    apply_column_mapping,
+    calibrate_flux,
+    write_partitioned,
+)
+
+__all__ = [
+    "export_csv",
+    "load_csv",
+    "apply_column_mapping",
+    "calibrate_flux",
+    "write_partitioned",
+]

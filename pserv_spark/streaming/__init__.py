@@ -1,0 +1,17 @@
+"""Structured Streaming surface (SURVEY §2.2 events/streaming block)."""
+
+from .jobs import (
+    events_stream,
+    run_to_memory,
+    stream_tumbling_complete,
+    stream_dedup_keys,
+    stream_session_window,
+)
+
+__all__ = [
+    "events_stream",
+    "run_to_memory",
+    "stream_tumbling_complete",
+    "stream_dedup_keys",
+    "stream_session_window",
+]

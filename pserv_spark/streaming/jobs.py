@@ -1,0 +1,131 @@
+"""Streaming jobs over the ``events`` table as a file source.
+
+The reference has no streaming surface (Pserv is batch ETL into MySQL);
+this is the Qserv-era "live catalog updates" analog the BASELINE
+extension surface asks for, built the idiomatic way: ``readStream`` →
+declarative transforms → stateful operators → ``writeStream`` with
+``trigger(availableNow=True)`` for finite, driver-checkable runs.
+
+Checkable semantics (SURVEY §2.4 [E] smoke facts):
+
+- ``stream_tumbling_complete`` — tumbling daily aggregation in
+  *complete* mode: emits every window, so the result equals the batch
+  ``window_tumbling`` query exactly → exact DuckDB oracle.
+- ``stream_dedup_keys`` — stateful streaming dedup on
+  (user_id, event_type).  Projected to the key set, the output is
+  order-independent → exact oracle (``SELECT DISTINCT``).
+- ``stream_session_window`` — gap-based session windows (30 min) with
+  a 1-hour watermark in append mode.  Append mode withholds windows
+  newer than the final watermark, so this is a rows-only check by
+  design.
+
+At scale the same plans run untriggered on a real source (Kafka/files)
+with checkpointed state; ``availableNow`` here exercises the identical
+stateful operators (state store, watermark bookkeeping) in a bounded
+run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS
+from ..session import REQUIRED_SQL_CONFS
+
+_run_ids = itertools.count()
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; stage one
+    containing a symlink to the events parquet (idempotent per sf)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pserv_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``v_events``-shaped streaming DataFrame over the events parquet.
+
+    Same canonical ns→µs conversion as the batch catalog view — the
+    one place a silent 1000× timestamp bug could re-enter (SURVEY §7
+    watch list), so batch and stream share the exact expression.
+    """
+    for key, value in REQUIRED_SQL_CONFS.items():
+        spark.conf.set(key, value)
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(_stream_source_dir(sf_dir))
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str, name: str) -> DataFrame:
+    """Execute a finite ``availableNow`` run into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    sink = f"{name}_{next(_run_ids)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.table(sink)
+
+
+def stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling aggregation, complete mode ⇒ batch-equal."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete", "stream_tumbling")
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup projected to its key set."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "append", "stream_dedup")
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute gap session windows per user, 1h watermark, append."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    out = sessions.select(
+        "user_id", F.col("w.start").alias("sess_start"), "n_events"
+    )
+    return run_to_memory(out, "append", "stream_session")

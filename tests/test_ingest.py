@@ -1,0 +1,119 @@
+r"""Golden ingestion tests (mirrors the reference's round-trip strategy,
+SURVEY §5.1: FITS→CSV field-by-field golden compare + load-and-select-
+back — here CSV→DataFrame→CSV with \N sentinels, NaN, column maps)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pserv_spark.sources import (
+    apply_column_mapping,
+    calibrate_flux,
+    export_csv,
+    load_csv,
+    write_partitioned,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("obj_id", T.LongType()),
+        T.StructField("flux_counts", T.DoubleType()),
+        T.StructField("zp", T.DoubleType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("obs", T.TimestampNTZType()),
+    ]
+)
+
+
+@pytest.fixture()
+def golden_csv(tmp_path):
+    r"""Handwritten CSV: \N nulls, NaN floats, exercised exactly like
+    the reference's golden files."""
+    p = tmp_path / "golden"
+    p.mkdir()
+    (p / "part-000.csv").write_text(
+        "obj_id,flux_counts,zp,band,obs\n"
+        "1,100.5,31.2,r,2024-01-01 12:00:00\n"
+        "2,\\N,31.2,g,2024-01-02 00:00:00\n"
+        "3,NaN,30.0,\\N,2024-01-03 06:30:00\n"
+    )
+    return str(p)
+
+
+def test_load_csv_golden(spark, golden_csv):
+    rows = load_csv(spark, golden_csv, SCHEMA).orderBy("obj_id").collect()
+    assert [r.obj_id for r in rows] == [1, 2, 3]
+    assert rows[0].flux_counts == 100.5
+    assert rows[1].flux_counts is None  # \N sentinel → NULL
+    assert math.isnan(rows[2].flux_counts)  # NaN survives distinctly
+    assert rows[2].band is None
+    assert rows[0].obs == datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_load_csv_column_mapping(spark, golden_csv):
+    df = load_csv(
+        spark, golden_csv, SCHEMA, mapping={"objectId": "obj_id", "psFlux": "flux_counts"}
+    )
+    assert df.columns == ["objectId", "psFlux"]
+    assert df.count() == 3
+
+
+def test_export_load_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            (1, 0.125, 31.5, "r", datetime.datetime(2024, 3, 1, 1, 2, 3)),
+            (2, None, 30.25, None, datetime.datetime(2024, 3, 2, 0, 0, 0)),
+            (3, float("nan"), 29.0, "i", None),
+        ],
+        SCHEMA,
+    )
+    path = str(tmp_path / "roundtrip")
+    export_csv(src, path)
+    back = load_csv(spark, path, SCHEMA)
+    a = sorted([tuple(r) for r in src.collect()], key=lambda t: t[0])
+    b = sorted([tuple(r) for r in back.collect()], key=lambda t: t[0])
+    # NaN != NaN, so compare via repr-canonicalization
+    assert repr(a) == repr(b)
+
+
+def test_calibrate_flux(spark):
+    df = spark.createDataFrame([(1000.0, 30.0)], "counts double, zero_point double")
+    out = calibrate_flux(df).collect()[0]
+    assert out.flux == pytest.approx(1000.0 * 10 ** (-0.4 * 30.0))
+
+
+def test_write_partitioned_zone_layout(spark, tmp_path):
+    """Zone-partitioned parquet sink: layout exists, data survives,
+    and a zone predicate prunes partitions (SURVEY §4.3 at rest)."""
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("zone"),
+        F.rand(seed=7).alias("v"),
+    )
+    path = str(tmp_path / "zoned")
+    write_partitioned(df, path, ["zone"])
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("zone="))[:2] == [
+        "zone=0",
+        "zone=1",
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    pruned = back.where(F.col("zone") == 3)
+    assert pruned.count() == 20
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "zone=3" in plan
+
+
+def test_mapping_preserves_order(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    out = apply_column_mapping(df, {"z": "c", "y": "a"})
+    assert out.columns == ["z", "y"]
+    assert out.collect() == [(3, 1)]

@@ -1,0 +1,42 @@
+"""Streaming checks (SURVEY §5.2 strategy 5: availableNow runs must
+equal — or deterministically relate to — their batch formulations)."""
+
+from __future__ import annotations
+
+from pserv_spark.registry import build_queries
+from pserv_spark.streaming import (
+    stream_dedup_keys,
+    stream_session_window,
+    stream_tumbling_complete,
+)
+from pserv_spark.testing import compare_frames
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke):
+    """Complete-mode tumbling agg == the batch window_tumbling query."""
+    stream = stream_tumbling_complete(spark, sf_smoke)
+    batch = build_queries()["window_tumbling"](spark, sf_smoke)
+    res = compare_frames("tumbling", stream, batch)
+    assert res.ok, res.detail
+
+
+def test_stream_dedup_equals_distinct(spark, sf_smoke):
+    stream = stream_dedup_keys(spark, sf_smoke)
+    batch = (
+        build_queries()["window_tumbling"](spark, sf_smoke).sparkSession.read.parquet(
+            f"{sf_smoke}/events.parquet"
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    res = compare_frames("dedup", stream, batch)
+    assert res.ok, res.detail
+
+
+def test_session_window_shape(spark, sf_smoke):
+    out = stream_session_window(spark, sf_smoke)
+    assert out.columns == ["user_id", "sess_start", "n_events"]
+    n = out.count()
+    # Append mode withholds windows newer than the final watermark, so
+    # the count is ≤ the total session count but must be substantial.
+    assert n > 100
