@@ -157,14 +157,27 @@ def _schemas_compatible(actual: T.StructType, expected: T.StructType) -> bool:
     return all(a.dataType == e.dataType for a, e in zip(actual.fields, expected.fields))
 
 
+#: Per-session memo of the last-registered sf_dir: re-running every
+#: query through ``load_tables`` is the driver contract, but paying 10
+#: parquet-footer reads + view registrations per query call makes
+#: sub-second queries look 2× slower.  Keyed by the session's id so a
+#: new session (or a different sf_dir) re-registers.
+_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, validate: bool = False
 ) -> dict[str, DataFrame]:
     """Register all base tables + canonical views for ``sf_dir``.
 
     Idempotent and cheap (view registration only; no data is read until
-    a query runs).  Returns the base DataFrames keyed by table name.
+    a query runs); repeat calls for the same session + sf_dir are
+    no-ops.  Returns the base DataFrames keyed by table name.
     """
+    cached = _REGISTERED.get(id(spark))
+    if cached is not None and cached[0] == sf_dir and not validate:
+        return cached[1]
+
     for key, value in REQUIRED_SQL_CONFS.items():
         spark.conf.set(key, value)
 
@@ -181,6 +194,7 @@ def load_tables(
 
     spark.sql(_V_EVENTS_SQL)
     spark.sql(_V_EMB_SQL)
+    _REGISTERED[id(spark)] = (sf_dir, frames)
     return frames
 
 

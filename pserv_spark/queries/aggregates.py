@@ -1,5 +1,197 @@
-"""DataFrame-API re-expressions — aggregates (filled in incrementally)."""
+"""Aggregation queries (corpus section C) — DataFrame API.
+
+Determinism discipline (SURVEY §4.5) is structural here: DECIMAL casts
+*inside* SUM (exact, order-independent under partial aggregation),
+unrounded decimal/count quotients for averages, BIGINT casts on counts,
+ROUND only on genuinely noisy float statistics (stddev/corr).
+Partial→final aggregation (map-side combine) is Catalyst-automatic.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+
+def _dec(col: str | F.Column, scale: int) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(_dec("l_extendedprice", 2)).cast("decimal(18,2)").alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        (F.sum(_dec("l_quantity", 2)).cast("double") / F.count("*")).alias("avg_qty"),
+    )
+
+
+def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.where(F.expr("l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 2)).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice", 2))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            (F.sum(_dec("l_quantity", 2)).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            ),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.sum_distinct(_dec("l_quantity", 2)).cast("decimal(18,2)").alias("sum_dist_qty"),
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= 15)
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.grouping("l_returnflag").alias("g_rf"),
+        F.grouping("l_linestatus").alias("g_ls"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("var"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov"),
+    )
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    ev = spark.table("v_events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+    )
+
+
+def agg_filter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    ev = spark.table("v_events")
+
+    def n_of(kind: str) -> F.Column:
+        return (
+            F.count(F.when(F.col("event_type") == kind, True))
+            .cast("long")
+            .alias(f"{kind}s")
+        )
+
+    purchase_value = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0).cast("decimal(14,2)")
+    return ev.groupBy("user_id").agg(
+        n_of("click").alias("clicks"),
+        n_of("purchase").alias("purchases"),
+        n_of("error").alias("errors"),
+        F.round(F.sum(purchase_value).cast("double"), 2).alias("purchase_value"),
+    )
+
+
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.bool_and(F.col("o_totalprice") > 2000).alias("all_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+    )
+
+
+def agg_string_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n, r = t["nation"].alias("n"), t["region"].alias("r")
+    return (
+        n.join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .groupBy("r.r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n.n_name")), ",").alias("nations")
+        )
+    )
+
+
+QUERIES = {
+    "agg_global": agg_global,
+    "agg_groupby_q1": agg_groupby_q1,
+    "agg_distinct": agg_distinct,
+    "agg_having": agg_having,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_stats": agg_stats,
+    "agg_corr": agg_corr,
+    "agg_percentile": agg_percentile,
+    "agg_minmax_by": agg_minmax_by,
+    "agg_filter_pivot": agg_filter_pivot,
+    "agg_bool": agg_bool,
+    "agg_string_sorted": agg_string_sorted,
+}

@@ -1,5 +1,180 @@
-"""DataFrame-API re-expressions — textvec (filled in incrementally)."""
+"""Text / vector / astronomy-analog queries (corpus section G) —
+DataFrame API, built on the shared primitives in ``pserv_spark.functions``.
+
+The naive quadratic forms here (``vec_crossmatch``, ``vec_cosine_pairs``)
+are dimension-scale by declaration; their 100 TB scale paths are the
+zoned crossmatch and the LSH/IVF searchers in ``operators/``.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import cosine, distinct_tokens, jaccard, tokens
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.table("v_emb")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy(F.col("h").alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
+    jac = jaccard(F.col("a.ts"), F.col("b.ts"))
+    return (
+        tok.alias("a")
+        .join(tok.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jac >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(jac, 6).alias("jac"),
+        )
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("w"))
+    return tok.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("1"), F.col("w")))).alias("h1"),
+        F.min(F.md5(F.concat(F.lit("2"), F.col("w")))).alias("h2"),
+    )
+
+
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("d"))
+    nd = docs.agg(F.count("*").alias("total"))
+    score = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.ln(F.col("total").cast("double") / F.col("d")),
+        6,
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(df_, "w")
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", F.col("w").alias("term"), score.alias("tfidf"))
+    )
+
+
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.size(tokens("text"))).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def vec_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone search (scisql_s2PtInCircle analog) on the first two dims."""
+    emb = _emb(spark, sf_dir)
+    dist = F.sqrt(
+        F.pow(F.element_at("emb", 1) - 0.05, 2)
+        + F.pow(F.element_at("emb", 2) - 0.05, 2)
+    )
+    return emb.where(dist < 0.08).select("vec_id", F.round(dist, 6).alias("dist"))
+
+
+def vec_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dist = F.sqrt(
+        F.pow(F.element_at("a.emb", 1) - F.element_at("b.emb", 1), 2)
+        + F.pow(F.element_at("a.emb", 2) - F.element_at("b.emb", 2), 2)
+    )
+    return (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(dist < 0.01)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+
+
+def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        emb.alias("a")
+        .where(F.col("vec_id") < 25)
+        .crossJoin(emb.alias("b").where(F.col("vec_id") >= 475))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine search — the exact baseline the ANN
+    operators (IVF/LSH, operators/similarity.py) approximate."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10).alias("q")
+    c = emb.where(F.col("vec_id") >= 10).alias("c")
+    cos = F.round(cosine(F.col("q.emb"), F.col("c.emb")), 6)
+    sims = q.crossJoin(c).select(
+        F.col("q.vec_id").alias("qid"),
+        F.col("c.vec_id").alias("cid"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_sim")
+    )
+
+
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.round(F.avg(F.element_at("emb", 1)), 6).alias("c1"),
+        F.round(F.avg(F.element_at("emb", 2)), 6).alias("c2"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "minhash_signature": minhash_signature,
+    "tfidf": tfidf,
+    "text_stats_by_lang": text_stats_by_lang,
+    "vec_cone_search": vec_cone_search,
+    "vec_crossmatch": vec_crossmatch,
+    "vec_cosine_pairs": vec_cosine_pairs,
+    "vec_knn": vec_knn,
+    "vec_centroid_per_label": vec_centroid_per_label,
+}
