@@ -12,6 +12,7 @@ from ..corpus import ORACLE_SQL
 from ..streaming import (
     stream_dedup_keys,
     stream_session_window,
+    stream_stateful_counts,
     stream_tumbling_complete,
 )
 
@@ -19,10 +20,16 @@ QUERIES = {
     "stream_tumbling_complete": stream_tumbling_complete,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_session_window": stream_session_window,
+    "stream_stateful_counts": stream_stateful_counts,
 }
 
 ORACLES = {
     # Complete mode emits all windows ⇒ equals the batch tumbling query.
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Single-batch availableNow ⇒ final state == batch GROUP BY counts.
+    "stream_stateful_counts": (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id"
+    ),
 }

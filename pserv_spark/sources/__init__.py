@@ -6,6 +6,7 @@ from .ingest import (
     apply_column_mapping,
     calibrate_flux,
     write_partitioned,
+    upsert_dimension,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "apply_column_mapping",
     "calibrate_flux",
     "write_partitioned",
+    "upsert_dimension",
 ]

@@ -101,3 +101,38 @@ def write_partitioned(
 ) -> None:
     """Partitioned-Parquet sink (zone/chunk layout at rest)."""
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def upsert_dimension(
+    dim: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Merge update rows into a dimension (``ingest_registry`` /
+    ``ingest_calexp_info`` analog: fill per-visit zero points / seeing
+    into the visit dimension, SURVEY §2.1).
+
+    Matching keys take the update's values column-wise
+    (``coalesce(update, dim)``); unmatched update keys append.  This is
+    the declarative MERGE shape — at scale the dim is broadcastable or
+    the join shuffles on the key, and the result is written back as a
+    new dimension snapshot (immutable storage, no in-place mutation).
+    """
+    if dim.columns != updates.columns:
+        raise ValueError(
+            f"schema mismatch: dim={dim.columns} updates={updates.columns}"
+        )
+    value_cols = [c for c in dim.columns if c not in key_cols]
+    d, u = dim.alias("d"), updates.alias("u")
+    cond = [F.col(f"d.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+    joined = d.join(u, cond, "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"d.{k}"), F.col(f"u.{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.when(F.col(f"u.{key_cols[0]}").isNotNull(), F.col(f"u.{c}"))
+            .otherwise(F.col(f"d.{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -6,6 +6,7 @@ from .jobs import (
     stream_tumbling_complete,
     stream_dedup_keys,
     stream_session_window,
+    stream_stateful_counts,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "stream_tumbling_complete",
     "stream_dedup_keys",
     "stream_session_window",
+    "stream_stateful_counts",
 ]

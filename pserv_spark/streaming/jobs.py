@@ -119,6 +119,39 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "append", "stream_dedup")
 
 
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running event counts via
+    ``applyInPandasWithState`` — the escape hatch for operators the
+    built-in stateful set can't express (SURVEY §2.2 UDF surface).
+
+    State is one long per user key, held in the state store across
+    micro-batches; each invocation folds the Arrow batches for its key
+    and emits the updated total.  In a bounded ``availableNow`` run the
+    file source delivers one batch, so the emitted totals equal the
+    batch ``GROUP BY`` counts — which is this operator's exact oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_id")
+
+    def count_events(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, "update", "stream_stateful")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute gap session windows per user, 1h watermark, append."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")

@@ -1,0 +1,93 @@
+"""Connection-API parity tests (the reference's user surface,
+SURVEY §2.1: apply/run_script/create_table/load_csv/export_csv)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from pserv_spark.api import Connection, connect
+from pserv_spark.sources import upsert_dimension
+
+
+@pytest.fixture(scope="module")
+def conn(spark, sf_smoke):
+    return Connection(spark, sf_smoke)
+
+
+def test_apply_returns_lazy_dataframe(conn):
+    df = conn.apply("SELECT COUNT(*) AS n FROM region")
+    assert isinstance(df, DataFrame)
+    assert df.collect()[0].n == 5
+
+
+def test_apply_cursor_func(conn):
+    """The reference maps a DB cursor through cursorFunc; here the
+    collected row iterator plays the cursor's role."""
+    out = conn.apply(
+        "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+        cursor_func=lambda rows: [k for (k,) in rows],
+    )
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_run_script(conn, tmp_path):
+    script = tmp_path / "analysis.sql"
+    script.write_text(
+        "-- per-nation supplier counts (comment line must be skipped)\n"
+        "CREATE OR REPLACE TEMP VIEW _script_out AS\n"
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey;\n"
+        "SELECT * FROM _script_out;\n"
+    )
+    results = conn.run_script(str(script))
+    assert len(results) == 2
+    assert results[-1].count() == 5
+
+
+def test_create_table_declared_schema(conn):
+    schema = T.StructType(
+        [
+            T.StructField("ccdVisitId", T.LongType()),
+            T.StructField("zeroPoint", T.DoubleType()),
+        ]
+    )
+    conn.create_table("ccd_visit_scratch", schema)
+    df = conn.table("ccd_visit_scratch")
+    assert df.schema == schema and df.count() == 0
+
+
+def test_export_then_load_roundtrip(conn, tmp_path):
+    path = str(tmp_path / "region_csv")
+    conn.export_csv(
+        "SELECT r_regionkey, r_name FROM region",
+        path,
+        column_mapping={"key": "r_regionkey", "name": "r_name"},
+    )
+    schema = T.StructType(
+        [T.StructField("key", T.IntegerType()), T.StructField("name", T.StringType())]
+    )
+    loaded = conn.load_csv("region_loaded", path, schema)
+    assert sorted(r.key for r in loaded.collect()) == [0, 1, 2, 3, 4]
+    assert conn.table("region_loaded").count() == 5
+
+
+def test_connect_pools_by_session_and_dir(spark, sf_smoke):
+    a = connect(spark, sf_smoke)
+    b = connect(spark, sf_smoke)
+    assert a is b
+
+
+def test_upsert_dimension(spark):
+    dim = spark.createDataFrame(
+        [(1, 30.0, "old"), (2, 31.0, "keep")], "visit long, zp double, note string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 30.5, "new"), (3, 29.0, "add")], "visit long, zp double, note string"
+    )
+    out = {
+        r.visit: (r.zp, r.note)
+        for r in upsert_dimension(dim, updates, ["visit"]).collect()
+    }
+    assert out == {1: (30.5, "new"), 2: (31.0, "keep"), 3: (29.0, "add")}
