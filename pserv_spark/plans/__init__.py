@@ -1,0 +1,21 @@
+"""Plan introspection utilities (the engine's EXPLAIN surface)."""
+
+from .inspect import (
+    physical_plan,
+    final_plan,
+    pushed_filters,
+    read_schema,
+    partition_filters,
+    exchange_count,
+    has_nested_loop,
+)
+
+__all__ = [
+    "physical_plan",
+    "final_plan",
+    "pushed_filters",
+    "read_schema",
+    "partition_filters",
+    "exchange_count",
+    "has_nested_loop",
+]

@@ -1,0 +1,64 @@
+"""Physical-plan introspection helpers.
+
+The reference delegates all planning to MySQL and exposes nothing;
+this engine's planner is Catalyst, and these helpers make its physical
+choices (join strategy, pushdown, pruning, shuffle count) first-class
+inspectable properties — used by the plan-audit tests and available to
+users tuning a query the same way they'd read EXPLAIN on the reference
+stack.  All pure string inspection over the executed-plan rendering;
+no private JVM state beyond ``queryExecution``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Current physical plan (pre-execution: AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan(df: DataFrame) -> str:
+    """AQE-final plan — requires the query to have been executed."""
+    df.collect()
+    return physical_plan(df)
+
+
+def _scan_fields(plan: str, label: str) -> list[str]:
+    # Scan metadata is rendered width-limited: a long filter list is cut
+    # with "..." before its closing bracket, so accept either terminator.
+    out = []
+    for m in re.finditer(rf"{label}: \[(.*?)(?:\]|\.\.\.)", plan):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Predicates pushed into the parquet reader (row-group skipping)."""
+    return _scan_fields(physical_plan(df), "PushedFilters")
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Predicates pruning partition directories (zone/chunk pruning)."""
+    return _scan_fields(physical_plan(df), "PartitionFilters")
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names that actually reach the scan (pruning check)."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", physical_plan(df)):
+        cols.extend(f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip())
+    return cols
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges — the scale-limiting resource."""
+    return len(re.findall(r"Exchange (?:hash|range|Single)", physical_plan(df)))
+
+
+def has_nested_loop(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan

@@ -14,11 +14,9 @@ import pytest
 
 from pserv_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
 from pserv_spark.operators.zonematch import vec_crossmatch_zoned
+from pserv_spark.plans import physical_plan as _plan
+from pserv_spark.plans import has_nested_loop, pushed_filters, read_schema
 from pserv_spark.queries import DATAFRAME_QUERIES
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_broadcast_dim_join_broadcasts(spark, sf_oracle):
@@ -35,19 +33,18 @@ def test_multiway_q5_broadcasts_dims(spark, sf_oracle):
 
 
 def test_scan_projection_prunes_columns(spark, sf_oracle):
-    plan = _plan(DATAFRAME_QUERIES["scan_project"](spark, sf_oracle))
-    assert "l_orderkey" in plan
-    # Non-projected wide columns must not reach the scan schema.
-    assert "l_comment" not in plan and "l_extendedprice" in plan
-    read = plan[plan.index("ReadSchema") :].splitlines()[0]
-    assert "l_returnflag" not in read and "l_shipdate" not in read
+    cols = read_schema(DATAFRAME_QUERIES["scan_project"](spark, sf_oracle))
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    }
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_oracle):
-    plan = _plan(DATAFRAME_QUERIES["filter_compound"](spark, sf_oracle))
-    assert "PushedFilters: [" in plan
-    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
-    assert "o_totalprice" in pushed  # range predicate pushed to parquet
+    pushed = pushed_filters(DATAFRAME_QUERIES["filter_compound"](spark, sf_oracle))
+    assert any("o_totalprice" in p for p in pushed)  # range pushed to parquet
 
 
 def test_semi_anti_plan_as_semi_anti(spark, sf_oracle):
@@ -78,14 +75,11 @@ def test_q1_partial_final_aggregation(spark, sf_oracle):
 def test_banded_operators_have_no_nested_loop(spark, sf_oracle, fn):
     """The scale-path operators exist to replace O(N²) joins; a
     nested-loop or cartesian anywhere in their plans is a regression."""
-    plan = _plan(fn(spark, sf_oracle))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert not has_nested_loop(fn(spark, sf_oracle))
 
 
 def test_naive_crossmatch_is_nested_loop(spark, sf_oracle):
     """Sanity for the test above: the naive theta crossmatch *does*
     plan as a nested-loop join — that contrast is the zoned operator's
     reason to exist."""
-    plan = _plan(DATAFRAME_QUERIES["vec_crossmatch"](spark, sf_oracle))
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert has_nested_loop(DATAFRAME_QUERIES["vec_crossmatch"](spark, sf_oracle))

@@ -1,0 +1,66 @@
+"""ZoneStore: zoned layout at rest — pruning + correctness invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pserv_spark import catalog
+from pserv_spark.plans import partition_filters, physical_plan
+from pserv_spark.sources.zonestore import ZoneStore
+from pserv_spark.testing import compare_frames
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_oracle, tmp_path_factory):
+    emb = catalog.v_emb(spark, sf_oracle)
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at("emb", 1).alias("x"),
+        F.element_at("emb", 2).alias("y"),
+    )
+    st = ZoneStore(str(tmp_path_factory.mktemp("zones") / "pts"), zone_height=0.05)
+    st.write(pts)
+    return st, pts
+
+
+def test_cone_search_prunes_partitions(spark, store):
+    st, _ = store
+    cone = st.cone_search(spark, 0.05, 0.05, 0.04)
+    assert partition_filters(cone), "cone search must prune zone partitions"
+    plan = physical_plan(cone)
+    assert "zx" in " ".join(partition_filters(cone))
+    assert "PushedFilters" in plan
+
+
+def test_cone_search_matches_naive(spark, store):
+    st, pts = store
+    cone = st.cone_search(spark, 0.05, 0.05, 0.04)
+    dist = F.sqrt(F.pow(F.col("x") - 0.05, 2) + F.pow(F.col("y") - 0.05, 2))
+    naive = pts.where(dist < 0.04).select("id", F.round(dist, 6).alias("dist"))
+    res = compare_frames("cone", cone, naive)
+    assert res.ok, res.detail
+
+
+@pytest.mark.parametrize("eps", [0.01, 0.07])
+def test_stored_crossmatch_matches_naive(spark, store, eps):
+    """eps below and above the zone height — both must equal the naive
+    all-pairs join (reach = ceil(eps/h) neighbor zones)."""
+    st, pts = store
+    zoned = st.crossmatch(spark, eps)
+    dist = F.sqrt(
+        F.pow(F.col("a.x") - F.col("b.x"), 2) + F.pow(F.col("a.y") - F.col("b.y"), 2)
+    )
+    naive = (
+        pts.alias("a")
+        .join(pts.alias("b"), F.col("a.id") < F.col("b.id"))
+        .where(dist < eps)
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("id2"),
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+    res = compare_frames(f"xmatch_{eps}", zoned, naive)
+    assert res.ok, res.detail
