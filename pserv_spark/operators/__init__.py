@@ -23,6 +23,7 @@ def _load() -> None:
         "udfs",
         "streamops",
         "ingest_ops",
+        "extras",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

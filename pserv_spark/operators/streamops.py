@@ -14,6 +14,7 @@ from ..streaming import (
     stream_session_window,
     stream_stateful_counts,
     stream_tumbling_complete,
+    stream_tumbling_watermark,
 )
 
 QUERIES = {
@@ -21,6 +22,8 @@ QUERIES = {
     "stream_dedup_keys": stream_dedup_keys,
     "stream_session_window": stream_session_window,
     "stream_stateful_counts": stream_stateful_counts,
+    # Late-data/watermark semantics — rows-only by declaration.
+    "stream_tumbling_watermark": stream_tumbling_watermark,
 }
 
 ORACLES = {

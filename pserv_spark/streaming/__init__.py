@@ -7,6 +7,7 @@ from .jobs import (
     stream_dedup_keys,
     stream_session_window,
     stream_stateful_counts,
+    stream_tumbling_watermark,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_dedup_keys",
     "stream_session_window",
     "stream_stateful_counts",
+    "stream_tumbling_watermark",
 ]

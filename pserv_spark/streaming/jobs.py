@@ -152,6 +152,23 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counted, "update", "stream_stateful")
 
 
+def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: daily tumbling windows with a 1-hour
+    watermark in *append* mode — the production shape for unbounded
+    sources (state for a window is dropped once the watermark passes
+    its end; late rows beyond that are discarded).  Rows-only by
+    declaration: append mode withholds every window newer than the
+    final watermark (SURVEY §2.2 [E]), which ANSI SQL can't express."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = agg.select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "n"
+    )
+    return run_to_memory(out, "append", "stream_tumbling_wm")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute gap session windows per user, 1h watermark, append."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")

@@ -32,6 +32,38 @@ def test_extension_nonempty(spark, sf_oracle):
         assert n > 0, f"{name} returned 0 rows at sf0.01"
 
 
+def test_rows_only_ops_declared_and_sane(spark, sf_oracle):
+    """Ops without oracles must be exactly the declared rows-only set
+    (sketches + post-watermark streaming), and still behave sanely."""
+    rows_only = sorted(set(EXTENSION_QUERIES) - set(EXTENSION_ORACLES))
+    assert rows_only == [
+        "agg_approx_distinct",
+        "stream_session_window",
+        "stream_tumbling_watermark",
+    ]
+    # HLL estimate within 10% of the exact distinct count per group.
+    approx = {
+        r.l_returnflag: r.approx_supp
+        for r in EXTENSION_QUERIES["agg_approx_distinct"](spark, sf_oracle).collect()
+    }
+    from pserv_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.l_returnflag: r.n
+        for r in load_tables(spark, sf_oracle)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.1, (k, est, exact[k])
+    # Append-mode tumbling withholds the tail windows, never all.
+    n = EXTENSION_QUERIES["stream_tumbling_watermark"](spark, sf_oracle).count()
+    total = EXTENSION_QUERIES["stream_tumbling_complete"](spark, sf_oracle).count()
+    assert 0 < n < total
+
+
 def test_zoned_crossmatch_property(spark, sf_oracle):
     """Zone invariant (SURVEY §5.2 strategy 4): the zoned crossmatch
     equals the naive all-pairs form for a sweep of ε values."""
