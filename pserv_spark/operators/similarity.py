@@ -8,10 +8,14 @@ join + cosine + windowed top-k).  These operators are the scale paths:
   centroids), candidates assigned to their nearest centroid cell,
   queries probe their ``IVF_NPROBE`` nearest cells only.  The expensive
   distance computation runs on |cell| × nprobe candidates instead of N.
-- ``ann_lsh_topk`` — sign-random-projection LSH: 8 fixed ±1 hyperplanes
-  (deterministically generated from md5, embedded as literals) bucket
-  each vector by the sign pattern of its projections; search is an
-  equi-join on bucket id.
+- ``ann_lsh_topk`` — sign-random-projection LSH, multi-table: 8 hash
+  tables × 4 fixed ±1 hyperplanes each (deterministically generated
+  from md5, embedded as literals).  A vector lands in one bucket per
+  table; candidates are the union across tables (single-table sign-LSH
+  has near-zero recall on zero-centered data — for a pair at cosine
+  0.37 the 8-bit-bucket collision probability is ≈0.62⁸ ≈ 2%, measured
+  as recall 0.0 on this corpus; 8×4-bit tables lift candidate recall
+  to 1-(1-0.62⁴)⁸).  Search is an equi-join on (table, bucket) keys.
 
 Both are fully deterministic, so the DuckDB oracle re-implements the
 *same algorithm* and the match is exact — the approximation is part of
@@ -38,14 +42,17 @@ IVF_K = 8
 IVF_NPROBE = 2
 TOP_K = 5
 
-LSH_PLANES = 8
+LSH_TABLES = 8
+LSH_BITS = 4
 EMB_DIM = 64
 
 
 def _hyperplanes() -> list[list[float]]:
-    """±1 hyperplanes from md5 — deterministic, engine-independent."""
+    """±1 hyperplanes from md5 — deterministic, engine-independent.
+    ``LSH_TABLES * LSH_BITS`` planes; table t owns planes
+    [t*LSH_BITS, (t+1)*LSH_BITS)."""
     planes = []
-    for p in range(LSH_PLANES):
+    for p in range(LSH_TABLES * LSH_BITS):
         row = []
         for d in range(EMB_DIM):
             h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
@@ -150,37 +157,44 @@ def _ivf_oracle() -> str:
     )
 
 
-def _bucket_col() -> F.Column:
-    """LSH bucket id: bit b = sign(dot(emb, hyperplane_b))."""
-    bit_terms = []
-    for b, plane in enumerate(HYPERPLANES):
-        plane_arr = F.array(*[F.lit(v) for v in plane])
-        bit = (dot(F.col("emb"), plane_arr) > 0).cast("long")
-        bit_terms.append(bit * (1 << b))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+def _table_keys() -> F.Column:
+    """Array of per-table bucket keys ``"t:bits"`` for one vector."""
+    keys = []
+    for t in range(LSH_TABLES):
+        bits = F.lit(0)
+        for b in range(LSH_BITS):
+            plane = HYPERPLANES[t * LSH_BITS + b]
+            plane_arr = F.array(*[F.lit(v) for v in plane])
+            bits = bits + (dot(F.col("emb"), plane_arr) > 0).cast("long") * (1 << b)
+        keys.append(F.concat(F.lit(f"{t}:"), bits.cast("string")))
+    return F.array(*keys)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed top-5 cosine search (same query/candidate split).
+    """Multi-table LSH top-5 cosine search (same query/candidate split).
 
-    Candidate generation is an equi-join on the 8-bit bucket id; a
-    query only scores candidates whose sign pattern matches its own.
+    Each vector explodes into one (table, bucket) key per hash table;
+    candidate generation is an equi-join on the key, deduplicated to
+    distinct (query, candidate) pairs before scoring.
     """
     emb = _emb(spark, sf_dir)
-    bucketed = emb.withColumn("bucket", _bucket_col())
+    bucketed = emb.select(
+        "vec_id", "emb", F.explode(_table_keys()).alias("bucket")
+    )
     qs = bucketed.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "bucket"
     )
     cand = bucketed.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cand_emb"), "bucket"
     )
+    pairs = (
+        qs.join(cand, "bucket")
+        .select("qid", "q_emb", "cid", "cand_emb")
+        .distinct()  # a pair may collide in several tables
+    )
     sim = _COS6(F.col("q_emb"), F.col("cand_emb"))
     return (
-        qs.join(cand, "bucket")
-        .withColumn("cos_sim", sim)
+        pairs.withColumn("cos_sim", sim)
         .withColumn(
             "rn",
             F.row_number().over(
@@ -193,25 +207,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    terms = []
-    for b, plane in enumerate(HYPERPLANES):
-        arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(emb, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
+    table_keys = []
+    for t in range(LSH_TABLES):
+        bit_terms = []
+        for b in range(LSH_BITS):
+            plane = HYPERPLANES[t * LSH_BITS + b]
+            arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+            bit_terms.append(
+                f"(CASE WHEN list_dot_product(emb, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        table_keys.append(f"concat('{t}:', CAST({' + '.join(bit_terms)} AS VARCHAR))")
+    keys = ", ".join(table_keys)
     cos = (
         "ROUND(list_dot_product(q_emb, cand_emb) / "
         "(SQRT(list_dot_product(q_emb, q_emb)) * SQRT(list_dot_product(cand_emb, cand_emb))), 6)"
     )
     return (
-        f"WITH bucketed AS (SELECT vec_id, emb, {bucket} AS bucket FROM v_emb), "
+        f"WITH bucketed AS (SELECT vec_id, emb, unnest([{keys}]) AS bucket FROM v_emb), "
         "qs AS (SELECT vec_id AS qid, emb AS q_emb, bucket FROM bucketed WHERE vec_id < 10), "
-        "cand AS (SELECT vec_id AS cid, emb AS cand_emb, bucket FROM bucketed WHERE vec_id >= 10) "
+        "cand AS (SELECT vec_id AS cid, emb AS cand_emb, bucket FROM bucketed WHERE vec_id >= 10), "
+        "pairs AS (SELECT DISTINCT qid, q_emb, cid, cand_emb FROM qs JOIN cand USING (bucket)) "
         "SELECT qid, cid, cos_sim FROM ("
         f"SELECT qid, cid, {cos} AS cos_sim, "
         f"ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {cos} DESC, cid) AS rn "
-        "FROM qs JOIN cand ON qs.bucket = cand.bucket) t "
+        "FROM pairs) t "
         f"WHERE rn <= {TOP_K}"
     )
 

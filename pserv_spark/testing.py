@@ -61,18 +61,33 @@ class CompareResult:
         return self.ok
 
 
-def compare_df_to_duckdb(name: str, df: DataFrame, duck_sql: str, sf_dir: str) -> CompareResult:
-    """Run the oracle in a fresh DuckDB over ``sf_dir`` parquet and
-    compare against the collected DataFrame, driver-style."""
+def compare_df_to_duckdb(
+    name: str,
+    df: DataFrame,
+    duck_sql: str,
+    sf_dir: str,
+    tables: dict[str, str] | None = None,
+) -> CompareResult:
+    """Run the oracle in a fresh DuckDB and compare against the
+    collected DataFrame, driver-style.  By default the driver's ten
+    tables are registered from ``sf_dir``; pass ``tables``
+    (view name → parquet path) to oracle-check over other data —
+    e.g. the astronomy-shaped fixtures (FIXTURES.md Part 2)."""
     import duckdb
 
+    if tables is None:
+        tables = {
+            t: f"{sf_dir}/{t}.parquet"
+            for t in (
+                "region nation customer supplier part orders lineitem events "
+                "documents embeddings"
+            ).split()
+        }
     con = duckdb.connect()
     try:
-        for t in (
-            "region nation customer supplier part orders lineitem events documents embeddings"
-        ).split():
+        for t, path in tables.items():
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         cur = con.execute(duck_sql)
         duck_cols = [d[0] for d in cur.description]

@@ -32,6 +32,25 @@ def test_extension_nonempty(spark, sf_oracle):
         assert n > 0, f"{name} returned 0 rows at sf0.01"
 
 
+def test_ann_recall_vs_brute_force(spark, sf_oracle):
+    """Approximate search must stay *measurably* close to the exact
+    baseline, not just oracle-consistent: top-5 recall vs the
+    brute-force vec_knn.  Bounds are measured values with margin
+    (IVF nprobe=2: 0.80; 8×4-bit multi-table LSH: 0.68 — uniform
+    random vectors are LSH's adversarial case, no cluster structure)."""
+    from pserv_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+    from pserv_spark.queries import DATAFRAME_QUERIES
+
+    exact = {(r.qid, r.cid) for r in DATAFRAME_QUERIES["vec_knn"](spark, sf_oracle).collect()}
+    for name, fn, bound in (
+        ("ivf", ann_ivf_topk, 0.7),
+        ("lsh", ann_lsh_topk, 0.5),
+    ):
+        approx = {(r.qid, r.cid) for r in fn(spark, sf_oracle).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= bound, f"{name} recall {recall} < {bound}"
+
+
 def test_rows_only_ops_declared_and_sane(spark, sf_oracle):
     """Ops without oracles must be exactly the declared rows-only set
     (sketches + post-watermark streaming), and still behave sanely."""
