@@ -165,24 +165,29 @@ def _minhash_oracle() -> str:
 
 
 def _simhash_signature(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash per doc from token-3-gram-shingle 32-bit hashes."""
+    """32-bit SimHash per doc from token-3-gram-shingle 32-bit hashes.
+
+    The 32 per-bit ±1 sums are fused into one aggregation (32 SUM
+    expressions over the shingle rows) rather than exploding each
+    shingle into 32 bit-rows — same signature, 32× fewer rows through
+    the shuffle.
+    """
     tok = docs.select("doc_id", F.explode(token_shingles("text")).alias("w"))
     hashed = tok.select("doc_id", token_hash32("w").alias("hv"))
-    bits = hashed.select(
-        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
-    )
-    bitsum = bits.groupBy("doc_id", "b").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.expr("(hv >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias("s")
-    )
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(hv >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,33 +244,67 @@ def _simhash_oracle() -> str:
 # ------------------------------------------------------------- ngram jaccard
 
 
+NGRAM_JACCARD = 0.9
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram shingle Jaccard ≥ 0.9 near-dup pairs.
 
-    The pair generator prefilters on shingle-set size ratio (a Jaccard
-    ≥ t pair needs |A|/|B| ≥ t), cutting the quadratic candidate space
-    before the expensive array intersection.  Scale path for the
-    unfiltered form is ``dedup_minhash_lsh``.
+    Candidate generation uses **prefix filtering** (the ppjoin family):
+    under any fixed total order of shingles, two sets with Jaccard ≥ t
+    must share an element within each other's first
+    ``|S| - ceil(t·|S|) + 1`` shingles — so candidates come from an
+    *equi-join on prefix shingles* (lossless by the prefix-filter
+    theorem), then exact verification: size-ratio bound
+    (|A|/|B| ≥ t) and full Jaccard.  An all-pairs theta join appears
+    nowhere; at 5 000 docs this is ~80 k exploded prefix rows instead
+    of 12.5 M array intersections, and the same plan shape holds at
+    100 TB (shuffle on shingle, AQE splits hot shingles).
     """
     docs = _docs(spark, sf_dir)
     sh = docs.select(
-        "doc_id", char_shingles("text", 5).alias("sh")
+        "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
+    # ppjoin ordering: prefixes are taken under ascending *document
+    # frequency* (ties by shingle) — a lexicographic order would put
+    # the same ubiquitous shingles in every prefix and recreate the
+    # quadratic hot-key join this operator exists to avoid.  Any total
+    # order shared by both sides keeps the filter lossless.
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
+    dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
+    ordered = (
+        exploded.join(dfreq, "w")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(NGRAM_JACCARD) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"]
+            )
+        ).alias("p"),
+    )
+    cand = (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb"), "p")
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
+        .distinct()
+    )
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
     return (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") * 10 >= F.col("b.n_sh") * 9)
-            & (F.col("b.n_sh") * 10 >= F.col("a.n_sh") * 9),
+        cand.join(sh.alias("a"), cand.d1 == F.col("a.doc_id"))
+        .join(sh.alias("b"), cand.d2 == F.col("b.doc_id"))
+        .where(
+            (F.col("a.n_sh") * 10 >= F.col("b.n_sh") * 9)
+            & (F.col("b.n_sh") * 10 >= F.col("a.n_sh") * 9)
         )
-        .where(jac >= 0.9)
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.round(jac, 6).alias("jac"),
-        )
+        .where(jac >= NGRAM_JACCARD)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
     )
 
 
@@ -292,9 +331,19 @@ EMB_COSINE_THRESHOLD = 0.4
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs: 64-dim cosine ≥ threshold on ``v_emb``."""
-    emb = catalog.v_emb(spark, sf_dir)
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    """Semantic near-dup pairs: 64-dim cosine ≥ threshold on ``v_emb``.
+
+    Norms are computed once per *vector*, not per pair (O(N) instead of
+    O(N²) norm folds — 3× fewer higher-order-function evaluations in
+    the pair loop).  The remaining all-pairs dot product is the exact
+    semantics; the sub-quadratic approximation is ``ann_lsh_topk``.
+    """
+    from ..functions import l2_norm, dot
+
+    emb = catalog.v_emb(spark, sf_dir).select(
+        "vec_id", "emb", l2_norm(F.col("emb")).alias("nrm")
+    )
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         emb.alias("a")
         .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
