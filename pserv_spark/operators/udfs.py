@@ -84,12 +84,63 @@ _WMEAN_ORACLE = (
 )
 
 
+def udf_scalar_magcal_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (vectorized) pandas UDF: counts→magnitude calibration
+    per element, Arrow batch in / Arrow batch out — the elementwise
+    flavor of the reference's flux calibration."""
+    ev = catalog.v_events(spark, sf_dir).select("event_id", "value")
+
+    @F.pandas_udf("double")
+    def to_mag(v: pd.Series) -> pd.Series:
+        return (-2.5 * np.log10(v.clip(lower=1e-9)) + 25.0).round(6)
+
+    return ev.select("event_id", to_mag("value").alias("mag"))
+
+
+_MAGCAL_ORACLE = (
+    "SELECT event_id, ROUND(-2.5 * LOG10(GREATEST(value, 1e-9)) + 25.0, 6) AS mag "
+    "FROM v_events"
+)
+
+
+def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input doc row → N output rows
+    (word, length) — the user-defined explode shape (Spark 3.5+ UDTF
+    API), held to an unnest-equivalent oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string, wlen int")
+    class WordExpand:
+        def eval(self, doc_id: int, text: str):
+            for w in text.split(" "):
+                yield doc_id, w, len(w)
+
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    spark.udtf.register("word_expand", WordExpand)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.word, t.wlen FROM _udtf_docs, "
+        "LATERAL word_expand(doc_id, text) t"
+    )
+
+
+_UDTF_ORACLE = (
+    "SELECT doc_id, w AS word, CAST(length(w) AS INT) AS wlen FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents WHERE doc_id < 30)"
+)
+
+
 QUERIES = {
     "udf_zscore_pandas": udf_zscore_pandas,
     "udf_weighted_mean_pandas": udf_weighted_mean_pandas,
+    "udf_scalar_magcal_pandas": udf_scalar_magcal_pandas,
+    "udtf_word_expand": udtf_word_expand,
 }
 
 ORACLES = {
     "udf_zscore_pandas": inline_views(_ZSCORE_ORACLE),
     "udf_weighted_mean_pandas": inline_views(_WMEAN_ORACLE),
+    "udf_scalar_magcal_pandas": inline_views(_MAGCAL_ORACLE),
+    "udtf_word_expand": _UDTF_ORACLE,
 }
