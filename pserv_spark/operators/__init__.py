@@ -24,6 +24,7 @@ def _load() -> None:
         "streamops",
         "ingest_ops",
         "extras",
+        "sampling",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -1,0 +1,184 @@
+"""Training-pipeline sampling / layout operators.
+
+The reference delegates dataset slicing to MySQL-side predicates
+(SURVEY §2.1, `DbConnection.apply`); a 100 TB training pipeline needs
+the same capabilities as deterministic, shuffle-free operators:
+
+- ``sample_hash_split`` — reproducible train/val/test assignment via a
+  content-independent key hash.  No randomness, no state: the split is
+  a pure function of ``doc_id``, so it is identical on every run, every
+  engine, and any partitioning — the property that makes it safe to
+  recompute the split lazily on 1000 executors instead of materializing
+  a membership table and joining it.
+- ``sample_stratified_hash`` — per-stratum (language) sampled/total
+  counts under a fixed hash threshold: the deterministic analog of
+  ``df.sampleBy``, exact-oracle-checkable because there is no RNG.
+- ``gapfill_date_spine`` — date-spine gap filling (``sequence`` +
+  explode + left join).  The spine side is tiny (one row per day) and
+  broadcast; the fact side never reshuffles.
+- ``agg_salted_twophase`` — skew-defeating two-phase aggregation:
+  pre-aggregate by (key, salt) to spread a hot key over N reducers,
+  then combine partials.  Output is provably identical to the plain
+  group-by (the oracle IS the plain group-by) because the measures are
+  summed as DECIMAL (associative, exact).
+- ``agg_histogram_bins`` — fixed-width histogram by floor binning;
+  single map-side-combinable aggregation, no sort.
+
+All five keep the md5-anchored determinism contract of SURVEY §4.5:
+Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB Horner fold
+(``_oracle.duck_hash32``), verified in tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import token_hash32
+from ._oracle import duck_hash32
+
+
+def _split_hash(col):
+    """32-bit key hash for split assignment (salted so it is
+    independent of any other md5-derived bucketing in the repo)."""
+    return token_hash32(F.concat(F.lit("split:"), col.cast("string")))
+
+
+_DUCK_SPLIT_HASH = duck_hash32("concat('split:', CAST(doc_id AS VARCHAR))")
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, pure function of doc_id."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (_split_hash(F.col("doc_id")) % 10).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_SPLIT_ORACLE = (
+    f"SELECT doc_id, CAST({_DUCK_SPLIT_HASH} % 10 AS INT) AS bucket, "
+    f"CASE WHEN {_DUCK_SPLIT_HASH} % 10 < 8 THEN 'train' "
+    f"WHEN {_DUCK_SPLIT_HASH} % 10 < 9 THEN 'val' ELSE 'test' END AS split "
+    "FROM documents"
+)
+
+
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample per language stratum: sampled vs total
+    counts in one map-side-combinable pass (no sampleBy RNG)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    keep = _split_hash(F.col("doc_id")) % 100 < 20
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_sampled"),
+    )
+
+
+_STRAT_ORACLE = (
+    "SELECT lang, COUNT(*) AS n_total, "
+    f"CAST(SUM(CASE WHEN {_DUCK_SPLIT_HASH} % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_sampled FROM documents GROUP BY lang"
+)
+
+
+def gapfill_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts for a sparse customer slice with missing days
+    zero-filled from a generated date spine.
+
+    Scale shape: the spine is one row per day (a few thousand rows even
+    for decades) — Spark broadcasts it; the daily aggregate is the only
+    shuffle.  Equivalent of DuckDB/Postgres ``generate_series`` spines.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = (
+        orders.where(F.col("o_custkey") < 50)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+_GAPFILL_ORACLE = (
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n "
+    "FROM orders WHERE o_custkey < 50 GROUP BY 1), "
+    "spine AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS d "
+    "FROM (SELECT MIN(d) AS min_d, MAX(d) AS max_d FROM daily)) "
+    "SELECT spine.d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders "
+    "FROM spine LEFT JOIN daily USING (d)"
+)
+
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewable key.
+
+    Phase 1 groups by (key, salt) — a hot key spreads across 8 reducer
+    partitions instead of one; phase 2 combines the ≤8 partials per key.
+    DECIMAL sums make the result bit-identical to the direct group-by,
+    which is exactly what the oracle runs.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(8))
+    partial = (
+        li.select("l_returnflag", qty.alias("qty"), salt.alias("salt"))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("qty").alias("pq"), F.count("*").alias("pn"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pq").cast("decimal(18,2)").alias("sum_qty"),
+        F.sum("pn").cast("long").alias("n_rows"),
+    )
+
+
+_SALTED_ORACLE = (
+    "SELECT l_returnflag, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+    "COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (bin width 5000):
+    floor binning + count, one shuffle, map-side combined."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bin_ = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.groupBy(bin_.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_HIST_ORACLE = (
+    "SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+QUERIES = {
+    "sample_hash_split": sample_hash_split,
+    "sample_stratified_hash": sample_stratified_hash,
+    "gapfill_date_spine": gapfill_date_spine,
+    "agg_salted_twophase": agg_salted_twophase,
+    "agg_histogram_bins": agg_histogram_bins,
+}
+
+ORACLES = {
+    "sample_hash_split": _SPLIT_ORACLE,
+    "sample_stratified_hash": _STRAT_ORACLE,
+    "gapfill_date_spine": _GAPFILL_ORACLE,
+    "agg_salted_twophase": _SALTED_ORACLE,
+    "agg_histogram_bins": _HIST_ORACLE,
+}
