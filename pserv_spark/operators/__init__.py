@@ -25,6 +25,7 @@ def _load() -> None:
         "ingest_ops",
         "extras",
         "sampling",
+        "bucketing",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -235,12 +235,50 @@ def _lsh_oracle() -> str:
     )
 
 
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization of embeddings to uint8 codes —
+    the storage-compression half of an IVF/PQ-style index (4 B float →
+    1 B code = 4× smaller candidate payloads before the distance pass).
+
+    Deterministic affine quantizer: ``code = floor((x - min) / scale)``
+    with ``scale = (max - min)/255`` — pure IEEE-double arithmetic, so
+    the DuckDB oracle reproduces it bit-exactly.  Narrow row output
+    (bounds + code checksum + first code) keeps the driver compare on
+    scalars per SURVEY §4.5 (doubles rounded to 6)."""
+    emb = _emb(spark, sf_dir)
+    mn = F.array_min("emb")
+    mx = F.array_max("emb")
+    scale = F.greatest((mx - mn) / F.lit(255.0), F.lit(1e-12))
+    codes = F.transform(
+        "emb", lambda x: F.least(F.lit(255), F.floor((x - mn) / scale)).cast("int")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
+        F.element_at(codes, 1).alias("code0"),
+    )
+
+
+_QUANT_ORACLE = (
+    "SELECT vec_id, ROUND(list_min(emb), 6) AS q_min, ROUND(list_max(emb), 6) AS q_max, "
+    "CAST(list_sum(list_transform(emb, x -> CAST(LEAST(255, FLOOR((x - list_min(emb)) / "
+    "GREATEST((list_max(emb) - list_min(emb)) / 255.0, 1e-12))) AS INT))) AS BIGINT) AS code_sum, "
+    "CAST(LEAST(255, FLOOR((emb[1] - list_min(emb)) / "
+    "GREATEST((list_max(emb) - list_min(emb)) / 255.0, 1e-12))) AS INT) AS code0 "
+    "FROM v_emb"
+)
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "vec_quantize_int8": vec_quantize_int8,
 }
 
 ORACLES = {
     "ann_ivf_topk": inline_views(_ivf_oracle()),
     "ann_lsh_topk": inline_views(_lsh_oracle()),
+    "vec_quantize_int8": inline_views(_QUANT_ORACLE),
 }

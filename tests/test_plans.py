@@ -83,3 +83,17 @@ def test_naive_crossmatch_is_nested_loop(spark, sf_oracle):
     plan as a nested-loop join — that contrast is the zoned operator's
     reason to exist."""
     assert has_nested_loop(DATAFRAME_QUERIES["vec_crossmatch"](spark, sf_oracle))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_oracle):
+    """Bucket-co-located sort-merge join: both scans read the bucketed
+    layout and the join needs no Exchange on either input — the only
+    shuffle left is the tiny post-aggregation one on the group key."""
+    from pserv_spark.operators.bucketing import join_bucketed_colocated
+    from pserv_spark.plans import exchange_count
+
+    df = join_bucketed_colocated(spark, sf_oracle)
+    plan = _plan(df)
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan
+    assert exchange_count(df) == 1  # agg shuffle only; join inputs: none
