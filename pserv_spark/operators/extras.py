@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ._oracle import inline_views
 
 
 def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,11 +92,82 @@ _SERIES_ORACLE = (
 )
 
 
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (ordinality-preserving flatten) — token
+    position is load-bearing for windowed text ops downstream."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.where(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+    )
+
+
+_POSEXPLODE_ORACLE = (
+    "SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS word FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20), "
+    "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t"
+)
+
+
+def dim_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 effective ranges: each (user, event_type) observation
+    becomes a [eff_from_us, eff_to_us) validity interval closed by the
+    next observation (NULL = current).  The dimension-history build
+    step of any warehouse load; one window shuffle on the entity key."""
+    from pyspark.sql import Window
+
+    from .. import catalog
+
+    ev = catalog.v_events(spark, sf_dir).where(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("eff_from_us"),
+        F.lead("ts_us").over(w).alias("eff_to_us"),
+    )
+
+
+_SCD2_ORACLE = (
+    "SELECT user_id, event_type, ts_us AS eff_from_us, "
+    "LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS eff_to_us "
+    "FROM v_events WHERE user_id < 40"
+)
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (count DESC, value
+    ASC) — engine-native ``mode()`` breaks ties arbitrarily, which can
+    never pass a cross-engine oracle; this form always can."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"), "n")
+    )
+
+
+_MODE_ORACLE = (
+    "SELECT lang, source AS mode_source, n FROM ("
+    "SELECT lang, source, COUNT(*) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source) AS rn "
+    "FROM documents GROUP BY lang, source) t WHERE rn = 1"
+)
+
+
 QUERIES = {
     "fn_map_props": fn_map_props,
     "agg_approx_distinct": agg_approx_distinct,
     "fn_bitwise": fn_bitwise,
     "source_generate_series": source_generate_series,
+    "fn_posexplode": fn_posexplode,
+    "dim_scd2_ranges": dim_scd2_ranges,
+    "agg_mode_deterministic": agg_mode_deterministic,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -103,4 +175,7 @@ ORACLES = {
     "fn_map_props": _MAP_ORACLE,
     "fn_bitwise": _BITWISE_ORACLE,
     "source_generate_series": _SERIES_ORACLE,
+    "fn_posexplode": _POSEXPLODE_ORACLE,
+    "dim_scd2_ranges": inline_views(_SCD2_ORACLE),
+    "agg_mode_deterministic": _MODE_ORACLE,
 }

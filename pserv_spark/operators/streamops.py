@@ -13,6 +13,7 @@ from ..streaming import (
     stream_dedup_keys,
     stream_session_window,
     stream_stateful_counts,
+    stream_static_join,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -22,6 +23,7 @@ QUERIES = {
     "stream_dedup_keys": stream_dedup_keys,
     "stream_session_window": stream_session_window,
     "stream_stateful_counts": stream_stateful_counts,
+    "stream_static_join": stream_static_join,
     # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
@@ -34,5 +36,10 @@ ORACLES = {
     "stream_stateful_counts": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY user_id"
+    ),
+    # Stateless stream-static join ⇒ append mode emits the plain join.
+    "stream_static_join": (
+        "SELECT event_id, user_id, c_mktsegment "
+        "FROM events JOIN customer ON user_id = c_custkey"
     ),
 }

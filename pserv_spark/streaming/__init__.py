@@ -7,6 +7,7 @@ from .jobs import (
     stream_dedup_keys,
     stream_session_window,
     stream_stateful_counts,
+    stream_static_join,
     stream_tumbling_watermark,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "stream_dedup_keys",
     "stream_session_window",
     "stream_stateful_counts",
+    "stream_static_join",
     "stream_tumbling_watermark",
 ]

@@ -169,6 +169,25 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, "append", "stream_tumbling_wm")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming events feed joined
+    to the static customer dimension (the "live catalog update joined
+    to reference catalog" shape).  The static side is planned per
+    micro-batch and broadcast (dim-sized); the stream side never
+    shuffles.  Stateless ⇒ append mode emits exactly the joined rows,
+    so the batch inner join is an exact oracle."""
+    from ..catalog import load_tables
+
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id")
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    return run_to_memory(joined, "append", "stream_static_join")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute gap session windows per user, 1h watermark, append."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
