@@ -26,6 +26,7 @@ def _load() -> None:
         "extras",
         "sampling",
         "bucketing",
+        "relational_ext",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

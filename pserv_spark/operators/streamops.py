@@ -14,6 +14,7 @@ from ..streaming import (
     stream_session_window,
     stream_stateful_counts,
     stream_static_join,
+    stream_stream_join,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -24,6 +25,7 @@ QUERIES = {
     "stream_session_window": stream_session_window,
     "stream_stateful_counts": stream_stateful_counts,
     "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
     # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
@@ -41,5 +43,12 @@ ORACLES = {
     "stream_static_join": (
         "SELECT event_id, user_id, c_mktsegment "
         "FROM events JOIN customer ON user_id = c_custkey"
+    ),
+    # Inner stream-stream joins emit every match in a bounded run.
+    "stream_stream_join": (
+        "SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id "
+        "FROM events p JOIN events s ON p.user_id = s.user_id "
+        "AND p.event_type='purchase' AND s.event_type='signup' "
+        "AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY"
     ),
 }

@@ -8,6 +8,7 @@ from .jobs import (
     stream_session_window,
     stream_stateful_counts,
     stream_static_join,
+    stream_stream_join,
     stream_tumbling_watermark,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_session_window",
     "stream_stateful_counts",
     "stream_static_join",
+    "stream_stream_join",
     "stream_tumbling_watermark",
 ]

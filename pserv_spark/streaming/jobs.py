@@ -188,6 +188,41 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append", "stream_static_join")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the purchases stream joined to the
+    signups stream on user + a 7-day event-time range, watermarked on
+    both sides so each side's join state is bounded (rows older than
+    watermark − range are dropped from the state store).  Inner joins
+    emit matches as both sides arrive, so a bounded ``availableNow``
+    run emits exactly the batch join — an exact oracle."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+    )
+    signups = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("user_id").alias("s_uid"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    joined = purchases.join(
+        signups,
+        (purchases.user_id == signups.s_uid)
+        & (signups.s_ts <= purchases.p_ts)
+        & (signups.s_ts >= purchases.p_ts - F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select("p_id", "user_id", "s_id")
+    return run_to_memory(joined, "append", "stream_stream_join")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute gap session windows per user, 1h watermark, append."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
