@@ -367,12 +367,75 @@ _EMB_COS_ORACLE = (
 )
 
 
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph → cluster ids.
+
+    Pair-mining emits *edges* (A~B, B~C); keeping one doc per
+    transitive cluster needs the component, not the pair list.  Label
+    propagation to the fixpoint: every node's label becomes the min
+    doc_id reachable from it.  Each iteration is one shuffle-bounded
+    join+groupBy (min is the textbook associative CC message), and the
+    iteration count is the graph diameter — near-dup graphs are
+    shallow (dup chains, not paths), so a handful of rounds; the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) drops diameter to
+    O(log log n) if a corpus ever needs it.
+
+    Oracle: DuckDB recursive-CTE transitive closure with MIN over the
+    reachable set — an independent derivation of the same fixpoint.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("a", "b")
+        .localCheckpoint()  # freeze the mined pairs; reused every round
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(16):  # >= diameter bound for any sane dup graph
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("comp").alias("nc"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.id2, "left")
+            .select("id", F.least("comp", "nc").alias("comp"))
+            .localCheckpoint()  # cut the growing lineage each round
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").cast("long").alias("component")
+    )
+
+
+_CC_ORACLE = (
+    "WITH RECURSIVE pairs AS (SELECT d1, d2 FROM (" + _NGRAM_ORACLE + ")), "
+    "edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs), "
+    "reach(a, b) AS ("
+    "SELECT a, a FROM (SELECT DISTINCT a FROM edges) "
+    "UNION "
+    "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component FROM reach GROUP BY a"
+)
+
+
 QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_cc": dedup_cluster_cc,
 }
 
 ORACLES = {
@@ -381,4 +444,5 @@ ORACLES = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": _NGRAM_ORACLE,
     "dedup_embedding_cosine": inline_views(_EMB_COS_ORACLE),
+    "dedup_cluster_cc": _CC_ORACLE,
 }

@@ -182,6 +182,83 @@ def lightcurve_structfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (distribution-shape QA over a flux-like
+    column).  Spark and DuckDB agree on the skewness/kurtosis
+    definitions; 3-digit rounding absorbs the one-pass vs two-pass
+    accumulation noise (the 4th digit flips at sf0.001)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 3).alias("sk"),
+        F.round(F.kurtosis("l_extendedprice"), 3).alias("ku"),
+    )
+
+
+def fn_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar battery past the corpus fn_date: quarter, last_day,
+    ISO week, day-of-year, add_months (month-end clamped both
+    engines)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return o.where(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.quarter(d).alias("qtr"),
+        F.last_day(d).alias("eom"),
+        F.weekofyear(d).alias("wk"),
+        F.dayofyear(d).alias("doy"),
+        F.add_months(d, 3).alias("plus3m"),
+    )
+
+
+def agg_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: aggregation *of* an aggregation (per-customer
+    order counts → histogram of those counts).  Two shuffles by
+    construction; the second input is already dimension-sized."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_cust")
+    )
+
+
+def join_theta_band_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the pure theta band join: bin both sides at the
+    band width (±5 → width-10 bins), explode each probe row to its ≤2
+    candidate bins, equi-join on bin, exact residual.  Same result set
+    as the corpus ``join_theta_band`` (its oracle is reused verbatim) —
+    but the plan is a shuffle-bounded hash join instead of the O(N·M)
+    broadcast-nested-loop the naive form costs at 100 TB.  1-D twin of
+    the zone crossmatch (SURVEY §4.3)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") % 10 == 0)
+    s = t["supplier"].withColumn("bin", F.floor(F.col("s_acctbal") / 10))
+    cb = c.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("c_acctbal") - 5) / 10),
+                F.floor((F.col("c_acctbal") + 5) / 10),
+            )
+        ),
+    )
+    return (
+        cb.alias("c")
+        .join(s.alias("s"), "bin")
+        .where(
+            F.col("c.c_acctbal").between(
+                F.col("s.s_acctbal") - 5, F.col("s.s_acctbal") + 5
+            )
+        )
+        .select("c.c_custkey", "s.s_suppkey")
+    )
+
+
 QUERIES = {
     "cte_recursive": cte_recursive,
     "join_lateral_topk": join_lateral_topk,
@@ -191,6 +268,10 @@ QUERIES = {
     "join_q3_toprevenue": join_q3_toprevenue,
     "fn_higher_order": fn_higher_order,
     "lightcurve_structfn": lightcurve_structfn,
+    "agg_skew_kurt": agg_skew_kurt,
+    "fn_datetime_extras": fn_datetime_extras,
+    "agg_count_distribution": agg_count_distribution,
+    "join_theta_band_binned": join_theta_band_binned,
 }
 
 ORACLES = {
@@ -240,5 +321,31 @@ ORACLES = {
         "AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us < 86400000000 "
         "WHERE a.user_id < 200 "
         "GROUP BY a.user_id, CAST(FLOOR((b.ts_us - a.ts_us)/3600000000) AS BIGINT)"
+    ),
+    "agg_skew_kurt": (
+        "SELECT l_returnflag, ROUND(skewness(l_extendedprice),3) AS sk, "
+        "ROUND(kurtosis(l_extendedprice),3) AS ku "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "fn_datetime_extras": (
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, "
+        "CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr, "
+        "last_day(CAST(o_orderdate AS DATE)) AS eom, "
+        "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk, "
+        "CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy, "
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m "
+        "FROM orders WHERE o_orderkey < 200"
+    ),
+    "agg_count_distribution": (
+        "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_cust FROM ("
+        "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey) t GROUP BY n_orders"
+    ),
+    # Identical result contract as the naive corpus form — reuse its oracle.
+    "join_theta_band_binned": (
+        "SELECT c.c_custkey, s.s_suppkey FROM customer c JOIN supplier s "
+        "ON c.c_acctbal BETWEEN s.s_acctbal - 5 AND s.s_acctbal + 5 "
+        "WHERE c.c_custkey % 10 = 0"
     ),
 }
