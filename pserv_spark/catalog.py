@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .session import REQUIRED_SQL_CONFS
+from .session import REQUIRED_SQL_CONFS, TUNING_SQL_CONFS
 
 #: The ten driver tables (TESTDATA.md). Schemas as read by Spark with
 #: nanosAsLong=true (events.ts therefore LongType).
@@ -178,7 +178,12 @@ def load_tables(
     if cached is not None and cached[0] == sf_dir and not validate:
         return cached[1]
 
-    for key, value in REQUIRED_SQL_CONFS.items():
+    # The driver supplies a bare session (no confs): apply the
+    # correctness confs AND the tuning confs here — 200 static shuffle
+    # partitions on a local[8] harness roughly doubles sub-second query
+    # latency, and stateful-streaming state stores inherit the static
+    # value (AQE never coalesces those).
+    for key, value in {**REQUIRED_SQL_CONFS, **TUNING_SQL_CONFS}.items():
         spark.conf.set(key, value)
 
     frames: dict[str, DataFrame] = {}
@@ -200,7 +205,7 @@ def load_tables(
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one base table (no view registration)."""
-    for key, value in REQUIRED_SQL_CONFS.items():
+    for key, value in {**REQUIRED_SQL_CONFS, **TUNING_SQL_CONFS}.items():
         spark.conf.set(key, value)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
