@@ -27,6 +27,7 @@ def _load() -> None:
         "sampling",
         "bucketing",
         "relational_ext",
+        "tpch_shapes",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -86,5 +86,61 @@ _ROUNDTRIP_ORACLE = (
 )
 
 
-QUERIES = {"ingest_csv_roundtrip": ingest_csv_roundtrip}
-ORACLES = {"ingest_csv_roundtrip": _ROUNDTRIP_ORACLE}
+#: JSONL round-trip declared schema (as exported below).
+_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("placed", T.TimestampNTZType()),
+    ]
+)
+
+
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders sample → JSON-lines files → declared-schema load.
+
+    The second reference-shaped ingest format (registry/metadata files
+    are line-oriented records — public repo: python/desc/pserv/,
+    ingest_registry, SURVEY §2.1); JSONL is its modern stand-in and the
+    interchange format LLM-data pipelines actually ship.  NULLIF
+    exercises JSON null round-trip; the declared StructType (never
+    inferSchema) parses ISO timestamps back to NTZ losslessly."""
+    src = (
+        catalog.table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("priority"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderdate").alias("placed"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="pserv_jsonl_")
+    try:
+        json_dir = os.path.join(tmp, "orders_jsonl")
+        src.coalesce(1).write.mode("overwrite").json(json_dir)
+        loaded = spark.read.schema(_JSONL_SCHEMA).json(json_dir)
+        return spark.createDataFrame(loaded.collect(), loaded.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_JSONL_ORACLE = (
+    "SELECT o_orderkey AS id, o_orderstatus AS status, "
+    "NULLIF(o_orderpriority, '1-URGENT') AS priority, "
+    "o_totalprice AS total, o_orderdate AS placed "
+    "FROM orders WHERE o_orderkey < 300"
+)
+
+
+QUERIES = {
+    "ingest_csv_roundtrip": ingest_csv_roundtrip,
+    "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
+}
+ORACLES = {
+    "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "ingest_jsonl_roundtrip": _JSONL_ORACLE,
+}

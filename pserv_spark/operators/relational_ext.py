@@ -182,6 +182,62 @@ def lightcurve_structfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lightcurve_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-dispersion periodogram (Stellingwerf PDM, the classic
+    variable-star period search the reference's ForcedSource time
+    series feeds — public repo: python/desc/pserv/, forced-photometry
+    light curves, SURVEY §1.1): fold each series at every candidate
+    period, bin by phase, and score the period by the pooled within-bin
+    scatter Σ_b (Σv² − (Σv)²/n_b) — low scatter ⇒ good period.
+
+    Scale path: candidate periods are exploded *before* the shuffle, so
+    the whole periodogram is ONE partial-aggregated groupBy per pass
+    (rows × n_periods map-side, collapsed to users × periods × 8 bins);
+    no self-join, no window.  Determinism: phases are integer µs
+    arithmetic; per-bin sums are DECIMAL; the per-bin scatter (one
+    double division) is cast back to DECIMAL before the cross-bin SUM,
+    so bin order cannot move ulps (SURVEY §4.5 rule 1)."""
+    load_tables(spark, sf_dir)
+    hour_us = 3_600_000_000
+    ev = (
+        spark.table("v_events")
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            "ts_us",
+            "value",
+            F.explode(F.array(*[F.lit(h) for h in (1, 6, 24)])).alias("period_h"),
+        )
+    )
+    p_us = F.col("period_h").cast("long") * hour_us
+    bins = (
+        ev.withColumn(
+            "bin",
+            F.expr(
+                f"((ts_us % (CAST(period_h AS BIGINT) * {hour_us})) * 8) "
+                f"DIV (CAST(period_h AS BIGINT) * {hour_us})"
+            ),
+        )
+        .groupBy("user_id", "period_h", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(24,6)")).alias("s2"),
+        )
+    )
+    scatter = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    return (
+        bins.groupBy("user_id", "period_h")
+        .agg(
+            F.sum(scatter.cast("decimal(24,6)")).cast("double").alias("dispersion"),
+            F.sum("n").cast("long").alias("n_obs"),
+        )
+    )
+
+
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment aggregates (distribution-shape QA over a flux-like
     column).  Spark and DuckDB agree on the skewness/kurtosis
@@ -268,6 +324,7 @@ QUERIES = {
     "join_q3_toprevenue": join_q3_toprevenue,
     "fn_higher_order": fn_higher_order,
     "lightcurve_structfn": lightcurve_structfn,
+    "lightcurve_periodogram": lightcurve_periodogram,
     "agg_skew_kurt": agg_skew_kurt,
     "fn_datetime_extras": fn_datetime_extras,
     "agg_count_distribution": agg_count_distribution,
@@ -321,6 +378,23 @@ ORACLES = {
         "AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us < 86400000000 "
         "WHERE a.user_id < 200 "
         "GROUP BY a.user_id, CAST(FLOOR((b.ts_us - a.ts_us)/3600000000) AS BIGINT)"
+    ),
+    "lightcurve_periodogram": inline_views(
+        "WITH ev AS (SELECT user_id, ts_us, value, p.period_h "
+        "FROM v_events CROSS JOIN (SELECT UNNEST([1, 6, 24]) AS period_h) p "
+        "WHERE event_type = 'purchase' AND user_id < 100), "
+        "bins AS (SELECT user_id, period_h, "
+        "((ts_us % (CAST(period_h AS BIGINT) * 3600000000)) * 8) "
+        "// (CAST(period_h AS BIGINT) * 3600000000) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(CAST(value AS DECIMAL(24,6))) AS s, "
+        "SUM(CAST(value * value AS DECIMAL(24,6))) AS s2 "
+        "FROM ev GROUP BY user_id, period_h, bin) "
+        "SELECT user_id, CAST(period_h AS INT) AS period_h, "
+        "CAST(SUM(CAST(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
+        "AS DECIMAL(24,6))) AS DOUBLE) AS dispersion, "
+        "CAST(SUM(n) AS BIGINT) AS n_obs "
+        "FROM bins GROUP BY user_id, period_h"
     ),
     "agg_skew_kurt": (
         "SELECT l_returnflag, ROUND(skewness(l_extendedprice),3) AS sk, "

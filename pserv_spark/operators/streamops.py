@@ -11,6 +11,7 @@ from __future__ import annotations
 from ..corpus import ORACLE_SQL
 from ..streaming import (
     stream_dedup_keys,
+    stream_hopping_complete,
     stream_session_window,
     stream_stateful_counts,
     stream_static_join,
@@ -21,6 +22,7 @@ from ..streaming import (
 
 QUERIES = {
     "stream_tumbling_complete": stream_tumbling_complete,
+    "stream_hopping_complete": stream_hopping_complete,
     "stream_dedup_keys": stream_dedup_keys,
     "stream_session_window": stream_session_window,
     "stream_stateful_counts": stream_stateful_counts,
@@ -34,6 +36,19 @@ ORACLES = {
     # Complete mode emits all windows ⇒ equals the batch tumbling query.
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Hopping 2h/1h: every event belongs to exactly two windows; derive
+    # both candidate starts with integer µs arithmetic and unnest.
+    "stream_hopping_complete": (
+        "WITH ev AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value "
+        "FROM events), "
+        "cand AS (SELECT UNNEST([ (ts_us // 3600000000) * 3600000000, "
+        "(ts_us // 3600000000) * 3600000000 - 3600000000 ]) AS start_us, "
+        "event_type, value FROM ev) "
+        "SELECT make_timestamp(start_us) AS win_start, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_value "
+        "FROM cand GROUP BY start_us, event_type"
+    ),
     # Single-batch availableNow ⇒ final state == batch GROUP BY counts.
     "stream_stateful_counts": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "

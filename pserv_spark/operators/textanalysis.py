@@ -181,11 +181,52 @@ def _fingerprint_oracle() -> str:
     )
 
 
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — corpus-level n-gram statistics
+    (the vocabulary/frequency pass an LLM-data pipeline runs before
+    filtering).  Bigrams are built array-side (transform over the token
+    array — no self-join), then one explode → partial-aggregated
+    groupBy; top-k per language is a window with a full tiebreak
+    (count DESC, bigram ASC — SURVEY §4.5 rule 4)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda _, i: F.concat_ws("_", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", F.col("rank").cast("int").alias("rnk"))
+    )
+
+
+_NGRAM_FREQ_ORACLE = (
+    "WITH toks AS (SELECT lang, string_split(text, ' ') AS ws FROM documents), "
+    "bg AS (SELECT lang, UNNEST(list_transform(generate_series(1, len(ws) - 1), "
+    "i -> concat_ws('_', ws[i], ws[i + 1]))) AS bigram FROM toks), "
+    "counts AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM bg GROUP BY lang, bigram) "
+    "SELECT lang, bigram, n, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rnk "
+    "FROM counts QUALIFY rnk <= 5"
+)
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
 }
 
 ORACLES = {
@@ -193,4 +234,5 @@ ORACLES = {
     "text_quality_score": _QUALITY_ORACLE,
     "text_token_count": _TOKEN_COUNT_ORACLE,
     "text_fingerprint": _fingerprint_oracle(),
+    "text_ngram_freq": _NGRAM_FREQ_ORACLE,
 }

@@ -9,6 +9,7 @@ from .jobs import (
     stream_stateful_counts,
     stream_static_join,
     stream_stream_join,
+    stream_hopping_complete,
     stream_tumbling_watermark,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "stream_stateful_counts",
     "stream_static_join",
     "stream_stream_join",
+    "stream_hopping_complete",
     "stream_tumbling_watermark",
 ]

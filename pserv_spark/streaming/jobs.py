@@ -110,6 +110,32 @@ def stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete", "stream_tumbling")
 
 
+def stream_hopping_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 2-hour windows every
+    hour, so each event lands in exactly two overlapping windows.
+    Complete mode over a finite availableNow run ⇒ equals the batch
+    form; the oracle derives the same two candidate window starts per
+    event with integer µs arithmetic and unnests them."""
+    hour_us = 3_600_000_000
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "complete", "stream_hopping")
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup projected to its key set."""
     ev = events_stream(spark, sf_dir)
