@@ -28,6 +28,7 @@ def _load() -> None:
         "bucketing",
         "relational_ext",
         "tpch_shapes",
+        "tpch_full",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)
