@@ -29,6 +29,7 @@ def _load() -> None:
         "relational_ext",
         "tpch_shapes",
         "tpch_full",
+        "pipeline_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

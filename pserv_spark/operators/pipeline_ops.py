@@ -1,0 +1,238 @@
+"""Training-data pipeline layout operators + decayed/rolling window
+statistics.
+
+The dedup/similarity/text modules cover *selection*; these cover
+*arrangement* — the deterministic layout steps between a cleaned corpus
+and a training run:
+
+- ``pack_sequential_bins``: assign documents to fixed-token-budget
+  context bins (the packing step before example concatenation).
+- ``interleave_sources``: deterministic round-robin mixture position
+  across sources (corpus mixing without a global shuffle).
+- ``class_balance_downsample``: per-class hash-ordered downsample to
+  the minority-class count.
+- ``win_ewma_decay``: exponentially-decayed running value per user —
+  computed as a left fold over the window frame so BOTH engines execute
+  the identical +/× sequence (a POWER()-weighted sum would hit libm
+  ulp skew between JVM ``Math.pow`` and DuckDB's libm).
+- ``win_rolling_median``: interpolated median over a 5-row sliding
+  frame (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the same
+  equivalence the corpus validated globally in ``agg_percentile``).
+
+Scale: none of these uses a global (unpartitioned) window.  Packing and
+balancing shuffle once on their group key (lang); interleave's global
+position is pure arithmetic ``(rank-1)*n_sources + source_index`` over
+per-source ranks — the classic way to avoid a single-partition
+ROW_NUMBER at 100 TB.  Scalar thresholds (minority count, source count)
+are 1-row broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..catalog import load_tables
+from ._oracle import inline_views
+
+_TOKEN_BUDGET = 2048
+
+
+def pack_sequential_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential first-fit packing: within each language, documents in
+    doc_id order accumulate into ``_TOKEN_BUDGET``-token bins; a doc's
+    bin is decided by the tokens strictly before it (straddlers spill
+    into the next bin at read time).  One shuffle on lang; the running
+    sum is an exact integer."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return tok.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _TOKEN_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source interleave: hash-rank within each source,
+    then global position = (rank-1)*n_sources + source_index.  No
+    global window — the position is arithmetic over per-source ranks,
+    so it parallelizes at any scale."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    src = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("s2"),
+            (F.row_number().over(Window.orderBy("source")) - 1)
+            .cast("long")
+            .alias("sidx"),
+        )
+    )
+    n = src.agg(F.count("*").alias("ns"))
+    return (
+        ranked.join(F.broadcast(src), F.col("source") == F.col("s2"))
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            ((F.col("rk") - 1) * F.col("ns") + F.col("sidx"))
+            .cast("long")
+            .alias("position"),
+        )
+    )
+
+
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance classes to the minority-class count by keeping the
+    lowest-hash documents per language — deterministic, seedless, and
+    stable under re-partitioning (hash order ≠ storage order)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    k = docs.groupBy("lang").count().agg(F.min("count").alias("k"))
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(k))
+        .where(F.col("rk") <= F.col("k"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def win_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed running sum (EWMA numerator, α-complement 0.9) over each
+    user's last 20 events.  The frame is materialized as an array and
+    left-folded ``acc*0.9 + v`` — both engines run the identical IEEE
+    op sequence, so the result hashes exactly (rounded 6dp only as a
+    belt)."""
+    ev = catalog.v_events(spark, sf_dir).where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    lst = F.collect_list(F.col("value")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        lst.alias("lst"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(
+                "aggregate(slice(lst, 2, size(lst) - 1), "
+                "CAST(element_at(lst, 1) AS DOUBLE), "
+                "(acc, x) -> acc * 0.9 + x)"
+            ),
+            6,
+        ).alias("decayed"),
+    )
+
+
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated median over a 5-row sliding frame per user.
+    Midpoint arithmetic on identical sorted frames is deterministic
+    across engines (validated globally by ``agg_percentile``)."""
+    ev = catalog.v_events(spark, sf_dir).where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+        F.min("value").over(w).alias("min5"),
+        F.max("value").over(w).alias("max5"),
+    )
+
+
+QUERIES = {
+    "pack_sequential_bins": pack_sequential_bins,
+    "interleave_sources": interleave_sources,
+    "class_balance_downsample": class_balance_downsample,
+    "win_ewma_decay": win_ewma_decay,
+    "win_rolling_median": win_rolling_median,
+}
+
+ORACLES = {
+    "pack_sequential_bins": (
+        "WITH tok AS (SELECT doc_id, lang, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) "
+        "SELECT doc_id, lang, n_tok, "
+        "CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048) AS BIGINT) AS bin_id "
+        "FROM tok"
+    ),
+    "interleave_sources": (
+        "WITH ranked AS (SELECT doc_id, source, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM documents), "
+        "src AS (SELECT source AS s2, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx "
+        "FROM (SELECT DISTINCT source FROM documents) d), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM src) "
+        "SELECT doc_id, source, rk, "
+        "CAST((rk - 1) * ns + sidx AS BIGINT) AS position "
+        "FROM ranked JOIN src ON source = s2 CROSS JOIN n"
+    ),
+    "class_balance_downsample": (
+        "WITH k AS (SELECT MIN(n) AS k FROM "
+        "(SELECT COUNT(*) AS n FROM documents GROUP BY lang) c), "
+        "ranked AS (SELECT doc_id, lang, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM documents) "
+        "SELECT doc_id, lang, rk FROM ranked CROSS JOIN k WHERE rk <= k"
+    ),
+    "win_ewma_decay": inline_views(
+        "SELECT event_id, user_id, "
+        "ROUND(list_reduce(lst, (acc, x) -> acc * 0.9 + x), 6) AS decayed FROM "
+        "(SELECT event_id, user_id, "
+        "list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst "
+        "FROM v_events WHERE user_id < 30) t"
+    ),
+    "win_rolling_median": inline_views(
+        "SELECT event_id, user_id, "
+        "ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med5, "
+        "MIN(value) OVER w AS min5, MAX(value) OVER w AS max5 "
+        "FROM v_events WHERE user_id < 30 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    ),
+}
