@@ -230,7 +230,10 @@ def join_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: parts whose traded value exceeds a fraction of the grand
     total (lineitem stands in for partsupp).  Two aggregations over one
-    shuffle-on-partkey pass + a 1-row broadcast threshold."""
+    shuffle-on-partkey pass + a 1-row broadcast threshold.  The
+    threshold is relative (1.2x the mean per-part value) so the
+    selectivity is scale-invariant — TPC-H's own Q11 scales its
+    fraction by 1/SF for the same reason."""
     t = load_tables(spark, sf_dir)
     per_part = (
         t["lineitem"]
@@ -238,7 +241,7 @@ def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice").cast(_D182)).cast(_D182).alias("value"))
     )
     total = per_part.agg(
-        (F.sum("value").cast("double") * F.lit(0.0006)).alias("threshold")
+        (F.sum("value").cast("double") / F.count("*") * F.lit(1.2)).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -490,7 +493,7 @@ ORACLES = {
         "FROM lineitem GROUP BY l_partkey) "
         "SELECT l_partkey, value FROM per_part "
         "WHERE CAST(value AS DOUBLE) > "
-        "(SELECT CAST(SUM(value) AS DOUBLE) * 0.0006 FROM per_part)"
+        "(SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) * 1.2 FROM per_part)"
     ),
     "agg_q12_shipmode": (
         "SELECT ship_class, "

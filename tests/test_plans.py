@@ -97,3 +97,49 @@ def test_bucketed_join_skips_shuffle(spark, sf_oracle):
     assert "Bucketed: true" in plan
     assert "SortMergeJoin" in plan
     assert exchange_count(df) == 1  # agg shuffle only; join inputs: none
+
+
+def test_tpch_full_dims_broadcast(spark, sf_oracle):
+    """Q7/Q9/Q19: the part/nation dims must broadcast — re-shuffling
+    the lineitem fact for a 20k-row build side would be the scale
+    bug these shapes exist to avoid."""
+    from pserv_spark.operators.tpch_full import (
+        join_q7_volume,
+        join_q9_profit,
+        join_q19_disc_revenue,
+    )
+
+    for fn in (join_q7_volume, join_q9_profit, join_q19_disc_revenue):
+        df = fn(spark, sf_oracle)
+        assert "BroadcastHashJoin" in _plan(df), fn.__name__
+        assert not has_nested_loop(df), fn.__name__
+
+
+def test_q6_predicates_reach_scan(spark, sf_oracle):
+    """Q6 is the pure-scan query: all three predicates must push into
+    the parquet reader for row-group skipping."""
+    from pserv_spark.operators.tpch_full import agg_q6_forecast
+
+    pushed = pushed_filters(agg_q6_forecast(spark, sf_oracle))
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, f"{col} not pushed: {pushed}"
+
+
+def test_pipeline_windows_are_partitioned(spark, sf_oracle):
+    """Packing/interleave/balance must never sort the full table in one
+    partition: every full-table Window partitions by its group key
+    (interleave's only global window ranks the handful of distinct
+    sources)."""
+    from pserv_spark.operators.pipeline_ops import (
+        class_balance_downsample,
+        interleave_sources,
+        pack_sequential_bins,
+    )
+
+    plan = _plan(pack_sequential_bins(spark, sf_oracle))
+    assert "hashpartitioning(lang" in plan
+    plan = _plan(class_balance_downsample(spark, sf_oracle))
+    assert "hashpartitioning(lang" in plan
+    plan = _plan(interleave_sources(spark, sf_oracle))
+    assert "hashpartitioning(source" in plan
