@@ -30,6 +30,7 @@ def _load() -> None:
         "tpch_shapes",
         "tpch_full",
         "pipeline_ops",
+        "astro_sph",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

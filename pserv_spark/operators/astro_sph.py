@@ -1,0 +1,200 @@
+"""Spherical-geometry astronomy operators (scisql/Qserv analogs).
+
+The corpus' `vec_cone_search`/`vec_crossmatch` validate the *shape* of
+Qserv's spatial workload on a euclidean plane; these operators add the
+real spherical math — haversine angular separation, the direct analog
+of scisql's ``scisql_angSep``/``scisql_s2PtInCircle`` UDFs that Qserv
+queries call (public Qserv/scisql docs; reference mount empty, see
+SURVEY §0).
+
+Sky coordinates are derived deterministically from the embedding table
+(`ra = (emb[1]+0.5)*360`, `dec = emb[2]*180` — components lie in
+(-0.5, 0.5), so ra ∈ (0, 360) and dec ∈ (-90, 90)) since the driver schema
+has no ra/dec columns; the arithmetic is double-exact on the canonical
+``v_emb`` double arrays, and JVM/DuckDB libm agree on
+SIN/COS/ASIN to well under the 1e-6 rounding grain (verified: 2000/2000
+values hash-match at round-6; float32 inputs do NOT — the cast to
+double before any trig is load-bearing, SURVEY §4.5 rule 5).
+
+Scale design: the crossmatch is implemented zone-first (Qserv's own
+chunking strategy, SURVEY §4.3): ``zone = floor(dec/eps)``, candidates
+from the 3 neighbor zones via explode → equi-join on zone, exact
+haversine residual after.  Angular separation ≥ |Δdec|, so the zone
+prefilter is a strict superset of the ε-ball — the oracle runs the
+naive O(N²) pairwise form and the pair sets must match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ._oracle import inline_views
+
+_RA0, _DEC0 = 180.0, 0.0  # cone center (deg)
+_CONE_R = 10.0  # cone radius (deg)
+_XM_EPS = 2.0  # crossmatch radius (deg)
+
+
+def _sky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.v_emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        ((F.element_at("emb", 1) + 0.5) * 360.0).alias("ra"),
+        (F.element_at("emb", 2) * 180.0).alias("dec"),
+    )
+
+
+def _ang_sep(ra1: Column, dec1: Column, ra2: Column, dec2: Column) -> Column:
+    """Haversine angular separation in degrees (scisql_angSep)."""
+    h = (
+        F.pow(F.sin(F.radians(dec1 - dec2) / 2), 2)
+        + F.cos(F.radians(dec1))
+        * F.cos(F.radians(dec2))
+        * F.pow(F.sin(F.radians(ra1 - ra2) / 2), 2)
+    )
+    return F.degrees(2 * F.asin(F.sqrt(h)))
+
+
+def astro_conesearch_sph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical cone search (scisql_s2PtInCircle): sources within
+    `_CONE_R` degrees of the center.  At 100 TB the dec-zone partition
+    layout (sources/zonestore.py) turns this into partition pruning +
+    the same residual; here the residual alone is the whole query."""
+    sky = _sky(spark, sf_dir)
+    sep = _ang_sep(F.col("ra"), F.col("dec"), F.lit(_RA0), F.lit(_DEC0))
+    return (
+        sky.withColumn("sep_deg", F.round(sep, 6))
+        .where(sep < _CONE_R)
+        .select("vec_id", "ra", "dec", "sep_deg")
+    )
+
+
+def astro_crossmatch_sph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoned spherical self-crossmatch: pairs closer than `_XM_EPS`
+    degrees.  Zone equi-join (shuffle-bounded) + exact haversine
+    residual; the naive O(N²) oracle must return the identical pair
+    set — separation ≥ |Δdec| makes the 3-zone candidate set a strict
+    superset."""
+    sky = _sky(spark, sf_dir)
+    zoned = sky.withColumn("zone", F.floor(F.col("dec") / _XM_EPS))
+    a = zoned.select(
+        F.col("vec_id").alias("id1"),
+        F.col("ra").alias("ra1"),
+        F.col("dec").alias("dec1"),
+        F.explode(
+            F.array(F.col("zone") - 1, F.col("zone"), F.col("zone") + 1)
+        ).alias("zone"),
+    )
+    b = zoned.select(
+        F.col("vec_id").alias("id2"),
+        F.col("ra").alias("ra2"),
+        F.col("dec").alias("dec2"),
+        "zone",
+    )
+    sep = _ang_sep(F.col("ra1"), F.col("dec1"), F.col("ra2"), F.col("dec2"))
+    return (
+        a.join(b, "zone")
+        .where(F.col("id1") < F.col("id2"))
+        .where(sep < _XM_EPS)
+        .select("id1", "id2", F.round(sep, 6).alias("sep_deg"))
+    )
+
+
+def lightcurve_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust light-curve outlier detection: flag measurements more
+    than 3 MADs from the per-object median (the standard variability
+    screen before period fitting).  Median/MAD via exact interpolated
+    percentile — both engines sort the same doubles.  Two shuffles on
+    user_id, both map-side combinable."""
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, dev.user_id == mad.uid)
+        .where(F.col("abs_dev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("abs_dev", 6).alias("abs_dev"),
+        )
+    )
+
+
+def astro_mag_from_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pogson magnitude from flux (mag = -2.5·log10(flux)) + distance
+    modulus vs a reference — the calibration arithmetic the reference
+    applies at ingest (SURVEY §2.1 forced-source calibration), exposed
+    as a query op.  Pure log10/arithmetic; round 6."""
+    ev = catalog.v_events(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    mag = -2.5 * F.log10(F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(mag, 6).alias("mag"),
+        F.round(mag - (-2.5 * F.log10(F.lit(100.0))), 6).alias("dmag_ref"),
+    )
+
+
+QUERIES = {
+    "astro_conesearch_sph": astro_conesearch_sph,
+    "astro_crossmatch_sph": astro_crossmatch_sph,
+    "lightcurve_outlier_mad": lightcurve_outlier_mad,
+    "astro_mag_from_flux": astro_mag_from_flux,
+}
+
+_SKY_CTE = (
+    "sky AS (SELECT vec_id, (emb[1] + 0.5) * 360.0 AS ra, "
+    "emb[2] * 180.0 AS dec FROM v_emb)"
+)
+
+
+def _duck_sep(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
+    return (
+        f"DEGREES(2 * ASIN(SQRT(POWER(SIN(RADIANS({dec1} - ({dec2})) / 2), 2) + "
+        f"COS(RADIANS({dec1})) * COS(RADIANS({dec2})) * "
+        f"POWER(SIN(RADIANS({ra1} - ({ra2})) / 2), 2))))"
+    )
+
+
+ORACLES = {
+    "astro_conesearch_sph": inline_views(
+        f"WITH {_SKY_CTE} "
+        f"SELECT vec_id, ra, dec, ROUND({_duck_sep('ra', 'dec', '180.0', '0.0')}, 6) AS sep_deg "
+        f"FROM sky WHERE {_duck_sep('ra', 'dec', '180.0', '0.0')} < 10.0"
+    ),
+    "astro_crossmatch_sph": inline_views(
+        f"WITH {_SKY_CTE} "
+        f"SELECT a.vec_id AS id1, b.vec_id AS id2, "
+        f"ROUND({_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')}, 6) AS sep_deg "
+        f"FROM sky a JOIN sky b ON a.vec_id < b.vec_id "
+        f"WHERE {_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')} < 2.0"
+    ),
+    "lightcurve_outlier_mad": inline_views(
+        "WITH p AS (SELECT * FROM v_events WHERE event_type = 'purchase'), "
+        "med AS (SELECT user_id AS mu, quantile_cont(value, 0.5) AS med FROM p GROUP BY user_id), "
+        "dev AS (SELECT p.*, med.med, ABS(p.value - med.med) AS abs_dev "
+        "FROM p JOIN med ON p.user_id = mu), "
+        "mad AS (SELECT user_id AS uid, quantile_cont(abs_dev, 0.5) AS mad FROM dev GROUP BY user_id) "
+        "SELECT event_id, user_id, value, ROUND(med, 6) AS med, ROUND(abs_dev, 6) AS abs_dev "
+        "FROM dev JOIN mad ON user_id = uid WHERE abs_dev > 3 * mad"
+    ),
+    "astro_mag_from_flux": inline_views(
+        "SELECT event_id, user_id, "
+        "ROUND(-2.5 * LOG10(value), 6) AS mag, "
+        "ROUND(-2.5 * LOG10(value) - (-2.5 * LOG10(100.0)), 6) AS dmag_ref "
+        "FROM v_events WHERE event_type = 'purchase' AND value > 0"
+    ),
+}

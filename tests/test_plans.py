@@ -69,8 +69,15 @@ def test_q1_partial_final_aggregation(spark, sf_oracle):
     assert "*(" in final, "no whole-stage-codegen stages in final plan"
 
 
+def _astro_crossmatch_sph(spark, sf_dir):
+    from pserv_spark.operators.astro_sph import astro_crossmatch_sph
+
+    return astro_crossmatch_sph(spark, sf_dir)
+
+
 @pytest.mark.parametrize(
-    "fn", [vec_crossmatch_zoned, dedup_minhash_lsh, dedup_simhash]
+    "fn",
+    [vec_crossmatch_zoned, dedup_minhash_lsh, dedup_simhash, _astro_crossmatch_sph],
 )
 def test_banded_operators_have_no_nested_loop(spark, sf_oracle, fn):
     """The scale-path operators exist to replace O(N²) joins; a
