@@ -31,6 +31,7 @@ def _load() -> None:
         "tpch_full",
         "pipeline_ops",
         "astro_sph",
+        "quality_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

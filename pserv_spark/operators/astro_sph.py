@@ -148,11 +148,81 @@ def astro_mag_from_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOX_RA_MIN, _BOX_RA_WIDTH = 250.0, 160.0  # box spans the RA=0 wrap
+_BOX_DEC_MIN, _BOX_DEC_MAX = -20.0, 20.0
+_ELL_A, _ELL_B, _ELL_PA = 15.0, 5.0, 30.0  # semi-axes (deg), position angle
+_PM_SCALE = 100.0  # mas/yr per unit embedding component
+_PM_DT_YR = 10.0  # propagation epoch difference
+
+
+def astro_box_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical box search (scisql_s2PtInBox) with RA wraparound.
+
+    The box spans the RA=0 meridian (350°–10°), the case a naive
+    BETWEEN gets wrong; membership is ``(ra - ra_min) mod 360 <=
+    width``.  Pure scan-side predicate — at 100 TB the dec bound prunes
+    the zone-partitioned layout and the RA test is a residual."""
+    sky = _sky(spark, sf_dir)
+    ra_off = (F.col("ra") - F.lit(_BOX_RA_MIN) + 360.0) % 360.0
+    return sky.where(
+        (ra_off <= _BOX_RA_WIDTH)
+        & F.col("dec").between(_BOX_DEC_MIN, _BOX_DEC_MAX)
+    ).select("vec_id", "ra", "dec", F.round(ra_off, 6).alias("ra_offset"))
+
+
+def astro_ellipse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elliptical aperture search (scisql_s2PtInEllipse, small-angle
+    form): offsets from the center are rotated into the ellipse frame
+    by the position angle and tested against (u/a)² + (v/b)² ≤ 1.
+    Center dec = 0 so the tangent-plane RA scaling is exact."""
+    sky = _sky(spark, sf_dir)
+    th = F.radians(F.lit(_ELL_PA))
+    dx = (F.col("ra") - _RA0) * F.cos(F.radians(F.lit(_DEC0)))
+    dy = F.col("dec") - _DEC0
+    u = dx * F.cos(th) + dy * F.sin(th)
+    v = -dx * F.sin(th) + dy * F.cos(th)
+    m = F.pow(u / _ELL_A, 2) + F.pow(v / _ELL_B, 2)
+    return (
+        sky.withColumn("m", m)
+        .where(F.col("m") <= 1.0)
+        .select("vec_id", "ra", "dec", F.round("m", 6).alias("ell_dist2"))
+    )
+
+
+def astro_epoch_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-motion epoch propagation: position advanced `_PM_DT_YR`
+    years at (pm_ra·cosδ correction, pm_dec) — the astrometric
+    transform Qserv queries apply when matching catalogs at different
+    epochs.  Proper motions derive deterministically from embedding
+    dims 3/4 (mas/yr); narrow map, no shuffle."""
+    emb = catalog.v_emb(spark, sf_dir)
+    sky = emb.select(
+        "vec_id",
+        ((F.element_at("emb", 1) + 0.5) * 360.0).alias("ra"),
+        (F.element_at("emb", 2) * 180.0).alias("dec"),
+        (F.element_at("emb", 3) * _PM_SCALE).alias("pm_ra"),
+        (F.element_at("emb", 4) * _PM_SCALE).alias("pm_dec"),
+    )
+    deg_per_mas = F.lit(_PM_DT_YR / 3_600_000.0)
+    ra2 = F.col("ra") + F.col("pm_ra") * deg_per_mas / F.cos(F.radians("dec"))
+    dec2 = F.col("dec") + F.col("pm_dec") * deg_per_mas
+    return sky.select(
+        "vec_id",
+        F.round("pm_ra", 6).alias("pm_ra"),
+        F.round("pm_dec", 6).alias("pm_dec"),
+        F.round(ra2, 6).alias("ra_new"),
+        F.round(dec2, 6).alias("dec_new"),
+    )
+
+
 QUERIES = {
     "astro_conesearch_sph": astro_conesearch_sph,
     "astro_crossmatch_sph": astro_crossmatch_sph,
     "lightcurve_outlier_mad": lightcurve_outlier_mad,
     "astro_mag_from_flux": astro_mag_from_flux,
+    "astro_box_search": astro_box_search,
+    "astro_ellipse_search": astro_ellipse_search,
+    "astro_epoch_propagation": astro_epoch_propagation,
 }
 
 _SKY_CTE = (
@@ -196,5 +266,28 @@ ORACLES = {
         "ROUND(-2.5 * LOG10(value), 6) AS mag, "
         "ROUND(-2.5 * LOG10(value) - (-2.5 * LOG10(100.0)), 6) AS dmag_ref "
         "FROM v_events WHERE event_type = 'purchase' AND value > 0"
+    ),
+    "astro_box_search": inline_views(
+        f"WITH {_SKY_CTE} "
+        f"SELECT vec_id, ra, dec, ROUND((ra - {_BOX_RA_MIN} + 360.0) % 360.0, 6) AS ra_offset "
+        f"FROM sky WHERE (ra - {_BOX_RA_MIN} + 360.0) % 360.0 <= {_BOX_RA_WIDTH} "
+        f"AND dec BETWEEN {_BOX_DEC_MIN} AND {_BOX_DEC_MAX}"
+    ),
+    "astro_ellipse_search": inline_views(
+        f"WITH {_SKY_CTE}, m AS (SELECT vec_id, ra, dec, "
+        f"POWER(((ra - {_RA0}) * COS(RADIANS({_DEC0})) * COS(RADIANS({_ELL_PA})) "
+        f"+ (dec - {_DEC0}) * SIN(RADIANS({_ELL_PA}))) / {_ELL_A}, 2) "
+        f"+ POWER((-(ra - {_RA0}) * COS(RADIANS({_DEC0})) * SIN(RADIANS({_ELL_PA})) "
+        f"+ (dec - {_DEC0}) * COS(RADIANS({_ELL_PA}))) / {_ELL_B}, 2) AS m FROM sky) "
+        "SELECT vec_id, ra, dec, ROUND(m, 6) AS ell_dist2 FROM m WHERE m <= 1.0"
+    ),
+    "astro_epoch_propagation": inline_views(
+        "WITH sky AS (SELECT vec_id, (emb[1] + 0.5) * 360.0 AS ra, "
+        "emb[2] * 180.0 AS dec, "
+        f"emb[3] * {_PM_SCALE} AS pm_ra, emb[4] * {_PM_SCALE} AS pm_dec FROM v_emb) "
+        "SELECT vec_id, ROUND(pm_ra, 6) AS pm_ra, ROUND(pm_dec, 6) AS pm_dec, "
+        f"ROUND(ra + pm_ra * ({_PM_DT_YR} / 3600000.0) / COS(RADIANS(dec)), 6) AS ra_new, "
+        f"ROUND(dec + pm_dec * ({_PM_DT_YR} / 3600000.0), 6) AS dec_new "
+        "FROM sky"
     ),
 }

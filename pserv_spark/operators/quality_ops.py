@@ -1,0 +1,169 @@
+"""Corpus-quality operators: repetition screening + benchmark decontamination.
+
+Two filters every large-scale LLM training-data pipeline runs between
+raw crawl and training shards (BASELINE.json extension surface; the
+repetition signals follow the published Gopher/MassiveText heuristics —
+Rae et al. 2021, public paper — re-expressed as built-in column
+expressions):
+
+- ``text_repetition_ratio`` — per-document duplicate-token /
+  duplicate-bigram fractions and top-token concentration, with a
+  keep-flag.  Pure narrow map over the scan (array lambdas, JVM-side,
+  no shuffle): at 100 TB it pipelines with the scan and costs no
+  exchange.
+- ``decontaminate_ngram`` — flags training documents sharing any word
+  5-gram with a held-out benchmark set (the standard n-gram-overlap
+  decontamination pass).  Implemented as an equi-join on the md5 of the
+  shingle: benchmark shingles are tiny relative to the corpus, so
+  Catalyst broadcasts them and the 100 TB train side is never
+  shuffled — the plan audit in tests/test_plans.py pins this.
+
+Both have exact DuckDB oracles (SURVEY §5.2 strategy 1); the reference
+has no analog (it is an ETL tool — SURVEY §2.1), these extend the
+pipeline surface required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import tokens
+
+#: Word-n-gram order for the decontamination pass (13 in the published
+#: recipes; 5 here so the ~25-token synthetic docs can overlap at all).
+_NGRAM_N = 5
+
+#: Benchmark split: the synthetic corpus' ``source`` column stands in
+#: for the train/eval provenance tag.
+_BENCH_SOURCE = "src0"
+
+#: Gopher-style keep thresholds (fractions).
+_MAX_DUP_BIGRAM_FRAC = 0.2
+_MAX_TOP_WORD_FRAC = 0.3
+
+
+def _bigrams(toks) -> F.Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals + keep flag.
+
+    dup_word_frac   = 1 - |distinct tokens| / |tokens|
+    dup_bigram_frac = 1 - |distinct bigrams| / |bigrams|
+    top_word_frac   = max token multiplicity / |tokens|
+    """
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bgs = _bigrams(toks)
+    n_tok = F.size(toks).cast("double")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    dup_word = 1.0 - F.size(F.array_distinct(toks)) / n_tok
+    dup_bigram = 1.0 - F.size(F.array_distinct(bgs)) / F.size(bgs)
+    top_word = top_count / n_tok
+    return docs.select(
+        "doc_id",
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        F.round(top_word, 6).alias("top_word_frac"),
+        (
+            (dup_bigram <= _MAX_DUP_BIGRAM_FRAC) & (top_word <= _MAX_TOP_WORD_FRAC)
+        ).alias("keep"),
+    )
+
+
+def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
+    toks = tokens("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", F.md5("gram").alias("gh")
+    )
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 word 5-gram with the benchmark split.
+
+    Output per contaminated train doc: number of distinct shared
+    shingles and number of distinct benchmark docs hit.  The benchmark
+    side is orders of magnitude smaller than the corpus, so the join is
+    a broadcast — the train side streams through map-side with no
+    shuffle; the only exchange is the final per-doc aggregation.
+    """
+    docs = catalog.table(spark, sf_dir, "documents")
+    train = _ngrams_df(docs.where(F.col("source") != _BENCH_SOURCE), _NGRAM_N)
+    bench = _ngrams_df(docs.where(F.col("source") == _BENCH_SOURCE), _NGRAM_N)
+    hits = train.join(
+        F.broadcast(bench.select(F.col("gh"), F.col("doc_id").alias("bench_doc"))),
+        "gh",
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gh").cast("long").alias("n_shared_ngrams"),
+        F.countDistinct("bench_doc").cast("long").alias("n_bench_docs"),
+    )
+
+
+_DUCK_TOKS = "string_split(text, ' ')"
+_DUCK_BIGRAMS = (
+    f"list_transform(generate_series(1, greatest(len({_DUCK_TOKS}) - 1, 1)), "
+    f"i -> concat_ws('_', ({_DUCK_TOKS})[i], ({_DUCK_TOKS})[i + 1]))"
+)
+
+_REPETITION_ORACLE = (
+    "SELECT doc_id, "
+    f"ROUND(1.0 - len(list_distinct({_DUCK_TOKS})) / CAST(len({_DUCK_TOKS}) AS DOUBLE), 6) AS dup_word_frac, "
+    f"ROUND(1.0 - len(list_distinct({_DUCK_BIGRAMS})) / CAST(len({_DUCK_BIGRAMS}) AS DOUBLE), 6) AS dup_bigram_frac, "
+    f"ROUND(list_max(list_transform(list_distinct({_DUCK_TOKS}), "
+    f"t -> len(list_filter({_DUCK_TOKS}, x -> x = t)))) / CAST(len({_DUCK_TOKS}) AS DOUBLE), 6) AS top_word_frac, "
+    f"((1.0 - len(list_distinct({_DUCK_BIGRAMS})) / CAST(len({_DUCK_BIGRAMS}) AS DOUBLE)) <= {_MAX_DUP_BIGRAM_FRAC} "
+    f"AND (list_max(list_transform(list_distinct({_DUCK_TOKS}), "
+    f"t -> len(list_filter({_DUCK_TOKS}, x -> x = t)))) / CAST(len({_DUCK_TOKS}) AS DOUBLE)) <= {_MAX_TOP_WORD_FRAC}) AS keep "
+    "FROM documents"
+)
+
+
+def _duck_ngrams(n: int) -> str:
+    parts = ", ".join(f"ts[i + {k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, md5(UNNEST(list_distinct("
+        f"list_transform(generate_series(1, greatest(len(ts) - {n - 1}, 1)), "
+        f"i -> concat_ws('_', {parts}))))) AS gh "
+        f"FROM (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents WHERE source {{op}} '{_BENCH_SOURCE}')"
+    )
+
+
+_DECONTAM_ORACLE = (
+    f"WITH train AS ({_duck_ngrams(_NGRAM_N).format(op='<>')}), "
+    f"bench AS ({_duck_ngrams(_NGRAM_N).format(op='=')}) "
+    "SELECT t.doc_id, "
+    "CAST(COUNT(DISTINCT t.gh) AS BIGINT) AS n_shared_ngrams, "
+    "CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs "
+    "FROM train t JOIN bench b ON t.gh = b.gh GROUP BY t.doc_id"
+)
+
+
+QUERIES = {
+    "text_repetition_ratio": text_repetition_ratio,
+    "decontaminate_ngram": decontaminate_ngram,
+}
+
+ORACLES = {
+    "text_repetition_ratio": _REPETITION_ORACLE,
+    "decontaminate_ngram": _DECONTAM_ORACLE,
+}
