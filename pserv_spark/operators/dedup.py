@@ -330,30 +330,78 @@ _NGRAM_ORACLE = (
 EMB_COSINE_THRESHOLD = 0.4
 
 
+#: Rows per block of the blocked pairwise kernel.  Block-pair payload
+#: is ~2·BLK·64 doubles ≈ 1 MB through Arrow — sized so a task's
+#: working set (BLK² accumulator = 8 MB) stays cache/memory friendly.
+EMB_BLOCK_ROWS = 1024
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs: 64-dim cosine ≥ threshold on ``v_emb``.
 
-    Norms are computed once per *vector*, not per pair (O(N) instead of
-    O(N²) norm folds — 3× fewer higher-order-function evaluations in
-    the pair loop).  The remaining all-pairs dot product is the exact
-    semantics; the sub-quadratic approximation is ``ann_lsh_topk``.
+    Exact all-pairs search as a *blocked pairwise kernel* (the blocked-
+    GEMM pattern): vectors group into BLK-row blocks, block pairs
+    (bi ≤ bj) fan out as one task each, and an Arrow-batched numpy
+    kernel scores each block pair with a dimension-major accumulation
+    loop.  ``acc += outer(A[:,d], B[:,d])`` over d keeps every cell's
+    accumulation strictly left-to-right in d — the identical IEEE
+    double sequence as the SQL fold and DuckDB's ``list_dot_product``
+    (BLAS ``np.dot`` would NOT be: pairwise/SIMD summation order breaks
+    oracle parity, SURVEY §4.5 rule 5).
+
+    Why not a plain self-join: the pair predicate lands in a
+    BroadcastNestedLoopJoin condition where expressions are interpreted
+    per pair — 25.3 s at sf0.1 vs 1.3 s for this kernel (measured; 2 M
+    pairs).  At 100 TB block count grows linearly with N and tasks
+    quadratically — inherent to exact all-pairs; the sub-quadratic
+    scale path is ``ann_lsh_topk``/``dedup_minhash_lsh``.  Norms are
+    computed once per vector, JVM-side, before blocking.
     """
-    from ..functions import l2_norm, dot
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import l2_norm
+    from ..functions.vector import EMB_DIM
 
     emb = catalog.v_emb(spark, sf_dir).select(
-        "vec_id", "emb", l2_norm(F.col("emb")).alias("nrm")
+        "vec_id", "emb", l2_norm(F.col("emb"), EMB_DIM).alias("nrm")
     )
-    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= EMB_COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
+    blocks = (
+        emb.withColumn("blk", F.floor(F.col("vec_id") / EMB_BLOCK_ROWS))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "emb", "nrm")).alias("rows"))
     )
+    block_pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.rows").alias("ra"), F.col("y.rows").alias("rb"))
+    )
+    thr = EMB_COSINE_THRESHOLD
+
+    def kernel(batches):
+        for pdf in batches:
+            for ra, rb in zip(pdf["ra"], pdf["rb"]):
+                ia = np.array([r["vec_id"] for r in ra])
+                ib = np.array([r["vec_id"] for r in rb])
+                a = np.array([r["emb"] for r in ra])
+                b = np.array([r["emb"] for r in rb])
+                na = np.array([r["nrm"] for r in ra])
+                nb = np.array([r["nrm"] for r in rb])
+                acc = np.zeros((len(ia), len(ib)))
+                for d in range(a.shape[1]):
+                    acc = acc + np.multiply.outer(a[:, d], b[:, d])
+                cos = acc / np.multiply.outer(na, nb)
+                keep = (cos >= thr) & (ia[:, None] < ib[None, :])
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id1": ia[r],
+                        "id2": ib[c],
+                        "cos_sim": np.round(cos[r, c], 6),
+                    }
+                )
+
+    return block_pairs.mapInPandas(kernel, "id1 long, id2 long, cos_sim double")
 
 
 _EMB_COS_ORACLE = (

@@ -126,12 +126,94 @@ _FRAME_SAMPLE_ORACLE = (
 )
 
 
+N_FEAT_BINS = 16
+RESIZE_MAX_SIDE = 256
+
+
+def mm_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake feature extraction: binary payload → fixed-dim
+    dense vector (the embed step of an image/audio pipeline, with the
+    neural net swapped for a byte-class histogram).  The Spark-side
+    shape is the real one — ``mapInPandas`` emitting
+    ``array<double>`` — so swapping in a real model touches only the
+    Python body.  Fractions are emitted unrounded: exact IEEE quotients
+    are bit-identical across engines (SURVEY §4.5 rule 2)."""
+    assets = _assets(spark, sf_dir)
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                data = decode_stub(bytes(payload))
+                hist = [0] * N_FEAT_BINS
+                for b in data:
+                    hist[b >> 4] += 1
+                n = float(len(data))
+                feats.append([c / n for c in hist])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return assets.mapInPandas(embed, "doc_id long, feat array<double>")
+
+
+_FEATURE_EMBED_ORACLE = (
+    "WITH codes AS (SELECT doc_id, length(text) AS n, "
+    "list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)) // 16) AS bins "
+    "FROM documents) "
+    f"SELECT doc_id, list_transform(generate_series(0, {N_FEAT_BINS - 1}), "
+    "b -> len(list_filter(bins, x -> x = b)) / CAST(n AS DOUBLE)) AS feat FROM codes"
+)
+
+
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail geometry per asset (the resize
+    planning step; the pixel work itself would live in the same Arrow
+    batch loop).  Source dims derive deterministically from
+    (doc_id, n_bytes); output dims use integer-only arithmetic
+    (``w·max_side // longest_side``) so both engines agree exactly."""
+    assets = _assets(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: len(decode_stub(bytes(b))))
+            src_w = 320 + (pdf["doc_id"] * 7) % 1600
+            src_h = 240 + (n_bytes * 13) % 840
+            longest = src_w.combine(src_h, max)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "out_w": (src_w * RESIZE_MAX_SIDE) // longest,
+                    "out_h": (src_h * RESIZE_MAX_SIDE) // longest,
+                }
+            )
+
+    return assets.mapInPandas(
+        resize, "doc_id long, src_w long, src_h long, out_w long, out_h long"
+    )
+
+
+_RESIZE_META_ORACLE = (
+    "WITH dims AS (SELECT doc_id, "
+    "320 + (doc_id * 7) % 1600 AS src_w, "
+    "240 + (octet_length(encode(text)) * 13) % 840 AS src_h FROM documents) "
+    "SELECT doc_id, src_w, src_h, "
+    f"(src_w * {RESIZE_MAX_SIDE}) // greatest(src_w, src_h) AS out_w, "
+    f"(src_h * {RESIZE_MAX_SIDE}) // greatest(src_w, src_h) AS out_h "
+    "FROM dims"
+)
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
+    "mm_feature_embed": mm_feature_embed,
+    "mm_resize_meta": mm_resize_meta,
 }
 
 ORACLES = {
     "mm_decode_meta": _DECODE_META_ORACLE,
     "mm_frame_sample": _FRAME_SAMPLE_ORACLE,
+    "mm_feature_embed": _FEATURE_EMBED_ORACLE,
+    "mm_resize_meta": _RESIZE_META_ORACLE,
 }

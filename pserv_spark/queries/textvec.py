@@ -140,10 +140,18 @@ def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 cosine search — the exact baseline the ANN
     operators (IVF/LSH, operators/similarity.py) approximate."""
+    from ..functions.vector import dot, l2_norm
+
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < 10).alias("q")
-    c = emb.where(F.col("vec_id") >= 10).alias("c")
-    cos = F.round(cosine(F.col("q.emb"), F.col("c.emb")), 6)
+    # Hoist per-vector norms out of the pair loop: computed once per
+    # row instead of once per pair (identical doubles — sqrt before vs
+    # after the join is the same operation on the same value).
+    normed = emb.withColumn("nrm", l2_norm(F.col("emb")))
+    q = normed.where(F.col("vec_id") < 10).alias("q")
+    c = normed.where(F.col("vec_id") >= 10).alias("c")
+    cos = F.round(
+        dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
     sims = q.crossJoin(c).select(
         F.col("q.vec_id").alias("qid"),
         F.col("c.vec_id").alias("cid"),

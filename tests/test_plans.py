@@ -150,3 +150,31 @@ def test_pipeline_windows_are_partitioned(spark, sf_oracle):
     assert "hashpartitioning(lang" in plan
     plan = _plan(interleave_sources(spark, sf_oracle))
     assert "hashpartitioning(source" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_oracle):
+    """The n-gram decontamination join must broadcast the (small)
+    benchmark shingle set — at 100 TB the train side streams map-side;
+    a sort-merge join here would shuffle the whole corpus by shingle."""
+    from pserv_spark.operators.quality_ops import decontaminate_ngram
+
+    df = decontaminate_ngram(spark, sf_oracle)
+    assert "BroadcastHashJoin" in _plan(df)
+    assert not has_nested_loop(df)
+
+
+def test_repetition_ratio_is_shuffle_free(spark, sf_oracle):
+    """Repetition scoring is a narrow map: no exchange anywhere in the
+    plan (it must pipeline with the scan at 100 TB)."""
+    from pserv_spark.operators.quality_ops import text_repetition_ratio
+    from pserv_spark.plans import exchange_count
+
+    assert exchange_count(text_repetition_ratio(spark, sf_oracle)) == 0
+
+
+def test_astro_box_predicate_is_scan_side(spark, sf_oracle):
+    """Box search must stay a scan-side filter (no join, no exchange)."""
+    from pserv_spark.operators.astro_sph import astro_box_search
+    from pserv_spark.plans import exchange_count
+
+    assert exchange_count(astro_box_search(spark, sf_oracle)) == 0
