@@ -8,12 +8,12 @@ inferred, so validation — not coercion — is the right move) and
 registers temp views, including the two canonical normalizing views
 (SURVEY §1.2):
 
-- ``v_events`` — events.parquet stores INT64 TIMESTAMP(NANOS); with
-  ``nanosAsLong`` the raw read yields ``ts: long`` (ns).  The view emits
-  ``ts`` as a µs-precision timestamp (``timestamp_micros(ts DIV 1000)``
-  — integer DIV; float division of 1.7e18-scale longs loses precision)
-  plus ``ts_us`` for numeric window frames.  This matches DuckDB's
-  µs-truncated read exactly (verified in SURVEY §1.2 [E]).
+- ``v_events`` — events.parquet stores TIMESTAMP(MICROS) with no
+  timezone, which Spark reads as TIMESTAMP_NTZ.  The view casts to the
+  session-zone TIMESTAMP (session TZ is pinned to UTC, so wall-clock ==
+  instant) and adds ``ts_us`` (epoch µs, ``unix_micros``) for numeric
+  window frames.  DuckDB reads the same column as a naive TIMESTAMP and
+  ``epoch_us(ts)`` gives the identical longs — exact oracle parity.
 - ``v_emb`` — float32 embeddings cast to array<double> before any
   arithmetic (float32 accumulation noise would break oracle parity,
   SURVEY §4.5 rule 5).
@@ -32,8 +32,7 @@ from pyspark.sql import types as T
 
 from .session import REQUIRED_SQL_CONFS, TUNING_SQL_CONFS
 
-#: The ten driver tables (TESTDATA.md). Schemas as read by Spark with
-#: nanosAsLong=true (events.ts therefore LongType).
+#: The ten driver tables (TESTDATA.md), as read by Spark 4.x.
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -104,7 +103,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns-as-long (see module doc)
+            T.StructField("ts", T.TimestampNTZType()),  # timestamp[us], no tz
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -136,8 +135,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _V_EVENTS_SQL = """
 CREATE OR REPLACE TEMP VIEW v_events AS
 SELECT event_id,
-       timestamp_micros(ts DIV 1000) AS ts,
-       ts DIV 1000                   AS ts_us,
+       CAST(ts AS TIMESTAMP)              AS ts,
+       unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
        user_id, event_type, value, props
 FROM events
 """
@@ -217,8 +216,8 @@ def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = table(spark, sf_dir, "events")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "user_id",
         "event_type",
         "value",

@@ -20,9 +20,9 @@ double.
 from __future__ import annotations
 
 # DuckDB inline definitions of the canonical views, on the driver's
-# pre-registered raw-table views.  DuckDB's read_parquet truncates the
-# ns timestamps to µs on read, so epoch_us(ts) here equals Spark's
-# ``ts DIV 1000`` of the ns-long exactly (SURVEY §1.2 [E]).
+# pre-registered raw-table views.  Both engines read events.ts as a
+# naive µs timestamp, so epoch_us(ts) here equals Spark's
+# ``unix_micros(CAST(ts AS TIMESTAMP))`` under a UTC session zone.
 _DUCK_V_EVENTS = (
     "v_events AS (SELECT event_id, ts, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
     "user_id, event_type, value, props FROM events)"

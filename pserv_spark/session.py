@@ -3,14 +3,12 @@
 The reference keeps a pool of MySQLdb connections keyed by kwargs
 (public repo: python/desc/pserv/Pserv.py, DbConnection — SURVEY §2.1);
 the Spark analog is one shared SparkSession plus a set of mandatory SQL
-confs.  Three confs are load-bearing for correctness (SURVEY §1.2/§4.4):
+confs.  Two confs are load-bearing for correctness (SURVEY §1.2/§4.4):
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet carries
-  INT64 TIMESTAMP(NANOS) which Spark 4.x cannot read natively; with this
-  conf the column reads as a long (nanoseconds) which the catalog view
-  converts via ``timestamp_micros(ts DIV 1000)``.
 - ``spark.sql.session.timeZone=UTC`` — keeps collected datetimes
-  naive-UTC, identical to the DuckDB oracle's view.
+  naive-UTC, identical to the DuckDB oracle's view, and makes the
+  ``CAST(ts AS TIMESTAMP)`` in ``v_events`` (TIMESTAMP_NTZ → session
+  zone) an identity on the wall-clock values.
 - ``spark.sql.shuffle.partitions`` — sized to the local harness; at
   cluster scale this is AQE-managed (coalescePartitions) so the static
   value only seeds the initial shuffle fan-out.
@@ -24,7 +22,6 @@ from pyspark.sql import SparkSession
 
 #: SQL confs that are runtime-settable and required for correctness.
 REQUIRED_SQL_CONFS: dict[str, str] = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }
 

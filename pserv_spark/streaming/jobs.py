@@ -56,9 +56,8 @@ def _stream_source_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``v_events``-shaped streaming DataFrame over the events parquet.
 
-    Same canonical ns→µs conversion as the batch catalog view — the
-    one place a silent 1000× timestamp bug could re-enter (SURVEY §7
-    watch list), so batch and stream share the exact expression.
+    Same canonical NTZ→session-zone cast + epoch-µs derivation as the
+    batch catalog view, so batch and stream share the exact expression.
     """
     for key, value in REQUIRED_SQL_CONFS.items():
         spark.conf.set(key, value)
@@ -68,8 +67,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "user_id",
         "event_type",
         "value",

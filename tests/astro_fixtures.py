@@ -87,7 +87,14 @@ def write_astro_tables(dirpath: str) -> dict[str, str]:
         ("forced_source", make_forced_source(objects)),
     ):
         path = f"{dirpath}/{name}.parquet"
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        # µs timestamps: Spark 4 has no native TIMESTAMP(NANOS) reader,
+        # and the driver's own tables are timestamp[us].
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
         out[name] = path
     return out
 
