@@ -32,6 +32,7 @@ def _load() -> None:
         "pipeline_ops",
         "astro_sph",
         "quality_ops",
+        "profiling_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

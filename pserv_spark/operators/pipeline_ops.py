@@ -18,6 +18,10 @@ and a training run:
 - ``win_rolling_median``: interpolated median over a 5-row sliding
   frame (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the same
   equivalence the corpus validated globally in ``agg_percentile``).
+- ``text_chunk_sliding``: 64-token sliding windows on a 48-token
+  stride — shuffle-free generator over each document.
+- ``ts_resample_ohlc``: daily OHLC downsampling of the event stream
+  with a total-order-deterministic open/close.
 
 Scale: none of these uses a global (unpartitioned) window.  Packing and
 balancing shuffle once on their group key (lang); interleave's global
@@ -182,7 +186,76 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 64
+_STRIDE = 48
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking: split each document into
+    64-token chunks on a 48-token stride (16-token overlap) — the
+    standard pre-training windowing step between packing and example
+    emission.  Pure per-row generator arithmetic (sequence + explode +
+    slice): no shuffle at all, embarrassingly parallel at any scale."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select("doc_id", F.split("text", " ").alias("toks"))
+    ex = tok.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, CAST(floor((size(toks) - 1) / {_STRIDE}) AS INT))")
+        ).alias("k"),
+    )
+    chunk = F.expr(f"slice(toks, k * {_STRIDE} + 1, {_CHUNK})")
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to daily OHLC bars per event type
+    (open/high/low/close + count + decimal volume) — the canonical
+    time-series resampling operator (ForcedSource light curves rebinned
+    per night, in reference terms).  Open/close are made deterministic
+    with a total (ts_us, event_id) ordering via two row_number passes
+    over ONE shuffle of the same partition key; the agg then reuses
+    that partitioning (no second exchange)."""
+    ev = catalog.v_events(spark, sf_dir)
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+        "ts_us",
+        "event_id",
+    )
+    wa = Window.partitionBy("day", "event_type").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "day",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return ranked.groupBy("day", "event_type").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("volume"),
+    )
+
+
 QUERIES = {
+    "text_chunk_sliding": text_chunk_sliding,
+    "ts_resample_ohlc": ts_resample_ohlc,
     "pack_sequential_bins": pack_sequential_bins,
     "interleave_sources": interleave_sources,
     "class_balance_downsample": class_balance_downsample,
@@ -191,6 +264,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_chunk_sliding": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "ex AS (SELECT doc_id, toks, "
+        "UNNEST(generate_series(0, CAST(FLOOR((len(toks) - 1) / 48) AS BIGINT))) AS k "
+        "FROM tok) "
+        "SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, "
+        "CAST(len(list_slice(toks, k * 48 + 1, LEAST(k * 48 + 64, len(toks)))) AS BIGINT) AS n_tok, "
+        "array_to_string(list_slice(toks, k * 48 + 1, LEAST(k * 48 + 64, len(toks))), ' ') AS chunk_text "
+        "FROM ex"
+    ),
+    "ts_resample_ohlc": inline_views(
+        "WITH b AS (SELECT CAST(ts AS DATE) AS day, event_type, value, "
+        "ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type "
+        "ORDER BY ts_us, event_id) AS ra, "
+        "ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type "
+        "ORDER BY ts_us DESC, event_id DESC) AS rd FROM v_events) "
+        "SELECT day, event_type, "
+        "MAX(CASE WHEN ra = 1 THEN value END) AS open, "
+        "MAX(value) AS high, MIN(value) AS low, "
+        "MAX(CASE WHEN rd = 1 THEN value END) AS close, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS volume "
+        "FROM b GROUP BY day, event_type"
+    ),
     "pack_sequential_bins": (
         "WITH tok AS (SELECT doc_id, lang, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) "

@@ -167,15 +167,61 @@ _HIST_ORACLE = (
 )
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join for skewed keys: the fact side gets a
+    deterministic salt in [0, 16); the dim side is replicated once per
+    salt value; the join key becomes (key, salt) so a hot supplier's
+    rows spread over 16 shuffle partitions instead of one straggler.
+
+    This is the manual form of AQE's skew-join split, expressed so it
+    works on any Spark (and inside stateful streaming joins where AQE
+    doesn't apply).  The merge hint forces the shuffle path — with a
+    broadcast dim the salt would be pointless.  Salting never changes
+    the result (each fact row meets exactly the one dim replica with
+    its salt), so the plain join IS the oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    n_salt = 16
+    fact = t["lineitem"].select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salt)).alias("salt"),
+    )
+    dim = (
+        t["supplier"]
+        .select("s_suppkey", "s_name")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+    )
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("s_name").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+_SALTED_JOIN_ORACLE = (
+    "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name"
+)
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
     "gapfill_date_spine": gapfill_date_spine,
     "agg_salted_twophase": agg_salted_twophase,
     "agg_histogram_bins": agg_histogram_bins,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLES = {
+    "join_salted_skew": _SALTED_JOIN_ORACLE,
     "sample_hash_split": _SPLIT_ORACLE,
     "sample_stratified_hash": _STRAT_ORACLE,
     "gapfill_date_spine": _GAPFILL_ORACLE,

@@ -178,3 +178,35 @@ def test_astro_box_predicate_is_scan_side(spark, sf_oracle):
     from pserv_spark.plans import exchange_count
 
     assert exchange_count(astro_box_search(spark, sf_oracle)) == 0
+
+
+def test_salted_join_shuffles_not_broadcasts(spark, sf_oracle):
+    """join_salted_skew exists to balance a *shuffle* join; if Catalyst
+    broadcast the replicated dim the salt would be dead weight.  The
+    merge hint must hold, and both row_number-free sides must reach a
+    SortMergeJoin on (key, salt)."""
+    from pserv_spark.operators.sampling import join_salted_skew
+
+    plan = _plan(join_salted_skew(spark, sf_oracle))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_oracle):
+    """Sliding-window chunking is per-row generate+explode — any
+    Exchange in the plan means it stopped being embarrassingly
+    parallel."""
+    from pserv_spark.operators.pipeline_ops import text_chunk_sliding
+
+    plan = _plan(text_chunk_sliding(spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_profile_is_single_scan(spark, sf_oracle):
+    """profile_table_stats computes every column's metrics from ONE
+    pass over orders (agg expressions + stack), not a scan per column."""
+    from pserv_spark.operators.profiling_ops import profile_table_stats
+
+    plan = _plan(profile_table_stats(spark, sf_oracle))
+    assert plan.count("Scan parquet") == 1
