@@ -33,6 +33,7 @@ def _load() -> None:
         "astro_sph",
         "quality_ops",
         "profiling_ops",
+        "iterative",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

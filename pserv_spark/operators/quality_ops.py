@@ -158,12 +158,82 @@ _DECONTAM_ORACLE = (
 )
 
 
+# ------------------------------------------------------------- PII redaction
+
+#: Portable regexes (Java regex ∩ RE2 — no lookaround, no backrefs).
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_RE_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace emails / phone numbers / IPv4
+    addresses with typed placeholder tags and count what was removed.
+
+    The synthetic corpus contains no PII, so each document is first
+    augmented with a deterministic contact line derived from doc_id —
+    this keeps the redaction path *provably exercised* (the oracle
+    must reproduce both the augmentation and the scrub; a regex that
+    silently stopped matching would hash-mismatch immediately, not
+    pass vacuously).  Pure narrow map — three sequential
+    ``regexp_replace`` passes pipelined with the scan, no shuffle, so
+    at 100 TB it costs one read.  Patterns are restricted to the
+    Java-regex ∩ RE2 subset so engine and oracle match byte-for-byte.
+    """
+    docs = catalog.load_tables(spark, sf_dir)["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id") * 7, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.1"),
+    )
+    with_aug = docs.select("doc_id", aug.alias("raw"))
+    n_red = (
+        F.regexp_count("raw", F.lit(_RE_EMAIL))
+        + F.regexp_count("raw", F.lit(_RE_PHONE))
+        + F.regexp_count("raw", F.lit(_RE_IP))
+    ).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_IP,
+        "<IP>",
+    )
+    return with_aug.select(
+        "doc_id", n_red.alias("n_redactions"), clean.alias("clean_text")
+    )
+
+
+_PII_ORACLE = (
+    "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or +1-555-' "
+    "|| lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') "
+    "|| ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS raw FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(raw, '{_RE_EMAIL}')) "
+    f"+ len(regexp_extract_all(raw, '{_RE_PHONE}')) "
+    f"+ len(regexp_extract_all(raw, '{_RE_IP}')) AS BIGINT) AS n_redactions, "
+    f"regexp_replace(regexp_replace(regexp_replace(raw, '{_RE_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_RE_PHONE}', '<PHONE>', 'g'), '{_RE_IP}', '<IP>', 'g') AS clean_text "
+    "FROM aug"
+)
+
+
 QUERIES = {
     "text_repetition_ratio": text_repetition_ratio,
     "decontaminate_ngram": decontaminate_ngram,
+    "text_pii_redact": text_pii_redact,
 }
 
 ORACLES = {
     "text_repetition_ratio": _REPETITION_ORACLE,
     "decontaminate_ngram": _DECONTAM_ORACLE,
+    "text_pii_redact": _PII_ORACLE,
 }
