@@ -160,7 +160,43 @@ _MODE_ORACLE = (
 )
 
 
+def _setall_sides(spark: SparkSession, sf_dir: str):
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = li.where(F.col("l_orderkey") % 4 == 0).select("l_suppkey", "l_returnflag")
+    b = li.where(F.col("l_orderkey") % 4 == 2).select("l_suppkey", "l_returnflag")
+    return a, b
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the sides) —
+    the corpus validates only the DISTINCT set ops; training-data
+    bookkeeping (shard overlap audits) needs the multiset forms.
+    Catalyst plans both as a single aggregate-style join on the row
+    value, one shuffle per side."""
+    a, b = _setall_sides(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right,
+    floored at zero)."""
+    a, b = _setall_sides(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+_SETALL_A = (
+    "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 4 = 0"
+)
+_SETALL_B = (
+    "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 4 = 2"
+)
+_INTERSECT_ALL_ORACLE = f"({_SETALL_A}) INTERSECT ALL ({_SETALL_B})"
+_EXCEPT_ALL_ORACLE = f"({_SETALL_A}) EXCEPT ALL ({_SETALL_B})"
+
+
 QUERIES = {
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "fn_map_props": fn_map_props,
     "agg_approx_distinct": agg_approx_distinct,
     "fn_bitwise": fn_bitwise,
@@ -172,6 +208,8 @@ QUERIES = {
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
 ORACLES = {
+    "set_intersect_all": _INTERSECT_ALL_ORACLE,
+    "set_except_all": _EXCEPT_ALL_ORACLE,
     "fn_map_props": _MAP_ORACLE,
     "fn_bitwise": _BITWISE_ORACLE,
     "source_generate_series": _SERIES_ORACLE,

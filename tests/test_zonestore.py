@@ -64,3 +64,26 @@ def test_stored_crossmatch_matches_naive(spark, store, eps):
     )
     res = compare_frames(f"xmatch_{eps}", zoned, naive)
     assert res.ok, res.detail
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Join-driven pruning: with the fact laid out partitioned on the
+    join key, a selective dim filter must turn into a runtime
+    PartitionFilter on the fact scan (Catalyst DPP) — at 100 TB this is
+    the difference between scanning one partition directory and all of
+    them.  Complements the *static* pruning audits above."""
+    from pyspark.sql import functions as F
+
+    from pserv_spark.catalog import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "orders_bypri")
+    t["orders"].write.partitionBy("o_orderpriority").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        t["orders"].select("o_orderpriority").distinct()
+        .where(F.col("o_orderpriority").startswith("1-"))
+    )
+    j = fact.join(dim, "o_orderpriority").agg(F.count("*"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
