@@ -308,14 +308,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The size band (J >= 0.9 implies shingle counts within 10%; J <=
+# min/max) is lossless — it only spares the quadratic verify from
+# obviously-unequal pairs, so this stays an independent all-pairs
+# derivation of the same result set.
 _NGRAM_ORACLE = (
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+    "WITH sh0 AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))) AS sh "
-    "FROM documents) "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, sh, len(sh) AS n FROM sh0) "
     "SELECT a.doc_id AS d1, b.doc_id AS d2, "
     "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
     "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac "
     "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9 "
     "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
     "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9"
 )

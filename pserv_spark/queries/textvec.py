@@ -38,12 +38,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lossless size band: J >= 0.9 forces |A|/|B| within [0.9, 1/0.9]
+    # (J <= min/max), so the quadratic verify only touches same-size
+    # pairs.  Result set provably unchanged.
     docs = _docs(spark, sf_dir)
-    tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
+    tok = docs.select(
+        "doc_id", distinct_tokens("text").alias("ts")
+    ).withColumn("n", F.size("ts"))
     jac = jaccard(F.col("a.ts"), F.col("b.ts"))
     return (
         tok.alias("a")
-        .join(tok.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            tok.alias("b"),
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 10 >= F.col("b.n") * 9)
+            & (F.col("b.n") * 10 >= F.col("a.n") * 9),
+        )
         .where(jac >= 0.9)
         .select(
             F.col("a.doc_id").alias("d1"),
