@@ -91,3 +91,14 @@ def test_upsert_dimension(spark):
         for r in upsert_dimension(dim, updates, ["visit"]).collect()
     }
     assert out == {1: (30.5, "new"), 2: (31.0, "keep"), 3: (29.0, "add")}
+
+
+def test_catalog_schemas_match_all_sf_tiers(spark):
+    """Schema-drift canary: the declared StructTypes must match the
+    parquet footers at every sf tier.  The driver regenerated the
+    testdata mid-round once (events.ts INT64-nanos -> timestamp[us]);
+    this fails loudly at the catalog instead of deep inside a query."""
+    from pserv_spark.catalog import load_tables
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        load_tables(spark, f"/root/testdata/{sf}", validate=True)
