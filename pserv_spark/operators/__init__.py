@@ -34,6 +34,7 @@ def _load() -> None:
         "quality_ops",
         "profiling_ops",
         "iterative",
+        "rollup",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -1,0 +1,139 @@
+"""Hypertable-style rollup: materialized time-bucketed aggregates
+served from disk (the "continuous aggregate" pattern).
+
+The Qserv-era serving model precomputes per-night summary tables next
+to the raw ForcedSource stream; Timescale/Druid call the same thing a
+continuous aggregate / rollup.  Spark-native form:
+
+1. **Materialize** the daily rollup once per (sf_dir): one shuffle of
+   the raw events into (day, event_type) partial aggregates, written as
+   parquet partitioned by day-month so month-range queries prune
+   directories.  Decimal partials keep re-aggregation exact.
+2. **Serve** coarser queries from the rollup, never the raw table: the
+   monthly query below reads only the rollup (audited — one scan, of
+   the rollup path), re-aggregating SUM/COUNT partials.  AVG is derived
+   at serve time from SUM/COUNT — the textbook re-aggregable-measures
+   rule (never store averages in a rollup).
+
+At 100 TB the rollup is the only thing a dashboard query ever touches:
+it is ~5 orders of magnitude smaller than the raw stream, and appends
+are incremental (a day's partition is rewritten, not the table).  The
+oracle aggregates the RAW events straight to months — so the check
+proves materialize + re-aggregate loses nothing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ._oracle import inline_views
+
+
+def _rollup_path(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"pserv_rollup_{key}")
+
+
+def materialize_daily(spark: SparkSession, sf_dir: str) -> str:
+    """Write (idempotently) the daily rollup for ``sf_dir``; returns its
+    path.  Partition column ``month`` keeps directory counts sane while
+    still pruning month-range serves."""
+    path = _rollup_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    ev = catalog.v_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .withColumn("month", F.date_format("day", "yyyy-MM"))
+    )
+    daily.write.mode("overwrite").partitionBy("month").parquet(path)
+    return path
+
+
+def rollup_serve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals served FROM THE ROLLUP (raw events untouched)."""
+    path = materialize_daily(spark, sf_dir)
+    daily = spark.read.parquet(path)
+    return (
+        daily.groupBy("month", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+            (
+                F.sum("sum_value").cast("double") / F.sum("n")
+            ).alias("avg_value"),
+        )
+    )
+
+
+_SERVE_ORACLE = inline_views(
+    "SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value "
+    "FROM v_events GROUP BY 1, 2"
+)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week; for each
+    (cohort, weeks-since) cell, how many distinct cohort members were
+    active.  One pass to build the cohort dim (tiny — one row per user,
+    broadcast), one join + distinct-count over events; the classic
+    product-analytics rollup, exact under DISTINCT semantics."""
+    ev = catalog.v_events(spark, sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    return (
+        activity.join(F.broadcast(signup), "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+_COHORT_ORACLE = inline_views(
+    "WITH signup AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week "
+    "FROM v_events WHERE event_type = 'signup' GROUP BY user_id), "
+    "activity AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM v_events) "
+    "SELECT s.cohort_week, "
+    "CAST(datediff('day', s.cohort_week, a.week) / 7 AS INT) AS weeks_since, "
+    "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active "
+    "FROM activity a JOIN signup s USING (user_id) "
+    "WHERE a.week >= s.cohort_week GROUP BY 1, 2"
+)
+
+
+QUERIES = {
+    "rollup_serve_monthly": rollup_serve_monthly,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "rollup_serve_monthly": _SERVE_ORACLE,
+    "cohort_retention": _COHORT_ORACLE,
+}

@@ -210,3 +210,16 @@ def test_profile_is_single_scan(spark, sf_oracle):
 
     plan = _plan(profile_table_stats(spark, sf_oracle))
     assert plan.count("Scan parquet") == 1
+
+
+def test_rollup_serve_reads_only_rollup(spark, sf_oracle):
+    """The monthly serve must scan the materialized rollup exactly once
+    and never touch the raw events table — the whole point of a
+    continuous aggregate."""
+    from pserv_spark.operators.rollup import rollup_serve_monthly
+
+    df = rollup_serve_monthly(spark, sf_oracle)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "events.parquet" not in plan
+    assert "pserv_rollup" in plan
