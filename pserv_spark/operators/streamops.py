@@ -16,6 +16,7 @@ from ..streaming import (
     stream_stateful_counts,
     stream_static_join,
     stream_stream_join,
+    stream_rollup_upsert,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -28,6 +29,7 @@ QUERIES = {
     "stream_stateful_counts": stream_stateful_counts,
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
+    "stream_rollup_upsert": stream_rollup_upsert,
     # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
@@ -35,6 +37,13 @@ QUERIES = {
 ORACLES = {
     # Complete mode emits all windows ⇒ equals the batch tumbling query.
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
+    # foreachBatch upsert: final store state == batch daily aggregation.
+    "stream_rollup_upsert": (
+        "SELECT CAST(ts AS DATE) AS day, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
     # Hopping 2h/1h: every event belongs to exactly two windows; derive
     # both candidate starts with integer µs arithmetic and unnest.

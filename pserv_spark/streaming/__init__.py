@@ -11,6 +11,7 @@ from .jobs import (
     stream_stream_join,
     stream_hopping_complete,
     stream_tumbling_watermark,
+    stream_rollup_upsert,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stream_stream_join",
     "stream_hopping_complete",
     "stream_tumbling_watermark",
+    "stream_rollup_upsert",
 ]

@@ -258,3 +258,55 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("w.start").alias("sess_start"), "n_events"
     )
     return run_to_memory(out, "append", "stream_session")
+
+
+def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the daily rollup (the continuous-
+    aggregate ingest path): the events stream aggregates to daily
+    partials in complete mode, and each micro-batch ``foreachBatch``-
+    upserts the affected day partitions of a parquet rollup store
+    (dynamic partition overwrite — a day is rewritten, never the
+    table).  After a bounded ``availableNow`` run the store's final
+    state must equal the batch daily aggregation, which is the exact
+    oracle.  At scale this is how the serving rollup stays fresh
+    without re-reading the raw history: state lives in the streaming
+    aggregation, the store write is per-touched-partition.
+    """
+    import hashlib as _hl
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_stream_rollup_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ev = events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.withColumn("day_part", F.date_format("day", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day_part")
+            .parquet(out)
+        )
+
+    query = (
+        daily.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.read.parquet(out).select("day", "event_type", "n", "sum_value")

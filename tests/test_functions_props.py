@@ -117,3 +117,35 @@ def test_jaccard_bounds_and_symmetry(spark):
         assert r.jab == pytest.approx(expected)
         assert r.jab == pytest.approx(r.jba)
         assert 0.0 <= r.jab <= 1.0
+
+
+@pytest.mark.parametrize("t", [0.5, 0.7, 0.9])
+def test_jaccard_size_band_is_lossless(t):
+    """The size band added to the quadratic jaccard paths (J >= t
+    implies |A|/|B| within [t, 1/t], since J <= min/max) must never
+    drop a qualifying pair — banded and unbanded pair sets are equal
+    at every threshold, not just the shipped 0.9."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    base = (
+        "WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts "
+        "FROM documents), tn AS (SELECT doc_id, ts, len(ts) AS n FROM tok) "
+        "SELECT a.doc_id, b.doc_id FROM tn a JOIN tn b ON a.doc_id < b.doc_id {band} "
+        "WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / "
+        f"len(list_distinct(list_concat(a.ts, b.ts))) >= {t}"
+    )
+    unbanded = set(map(tuple, con.execute(base.format(band="")).fetchall()))
+    banded = set(
+        map(
+            tuple,
+            con.execute(
+                base.format(band=f"AND a.n >= b.n * {t} AND b.n >= a.n * {t}")
+            ).fetchall(),
+        )
+    )
+    assert banded == unbanded and unbanded
