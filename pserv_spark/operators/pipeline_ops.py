@@ -253,7 +253,48 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZBITS = 10
+
+
+def _zbucket(col):
+    """Bucket an embedding coordinate (empirically within ±0.5) to
+    [0, 1023] — explicit FLOOR so both engines truncate identically
+    (a bare double→INT cast rounds in DuckDB but truncates in Spark)."""
+    scaled = F.least(
+        F.greatest((col + 0.5) * (2**_ZBITS - 1), F.lit(0.0)),
+        F.lit(float(2**_ZBITS - 1)),
+    )
+    return F.floor(scaled).cast("int")
+
+
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key for the first two embedding dimensions:
+    interleave the 10-bit bucket indices so sorting by ``zval``
+    co-locates 2-D neighbors in the same files/row-groups — the
+    multi-column clustering layout (Delta's OPTIMIZE ZORDER BY) that
+    turns 2-D box predicates into file-level min/max pruning at rest.
+    The key itself is pure integer bit arithmetic (exact oracle);
+    tests/test_zonestore.py measures the locality win on disk."""
+    emb = catalog.v_emb(spark, sf_dir)
+    bucketed = emb.select(
+        "vec_id",
+        _zbucket(F.element_at("emb", 1)).alias("bx"),
+        _zbucket(F.element_at("emb", 2)).alias("by"),
+    )
+    zval = F.expr(
+        f"aggregate(sequence(0, {_ZBITS - 1}), 0L, (acc, i) -> acc"
+        " + shiftleft(CAST((bx >> i) & 1 AS BIGINT), 2 * i)"
+        " + shiftleft(CAST((by >> i) & 1 AS BIGINT), 2 * i + 1))"
+    )
+    return bucketed.select("vec_id", "bx", "by", zval.alias("zval"))
+
+
+_ZORDER_ORACLE_BUCKET = (
+    "CAST(FLOOR(LEAST(GREATEST((emb[{d}] + 0.5) * 1023, 0.0), 1023.0)) AS INT)"
+)
+
 QUERIES = {
+    "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
     "ts_resample_ohlc": ts_resample_ohlc,
     "pack_sequential_bins": pack_sequential_bins,
@@ -264,6 +305,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "layout_zorder_keys": inline_views(
+        "WITH b AS (SELECT vec_id, "
+        + _ZORDER_ORACLE_BUCKET.format(d=1)
+        + " AS bx, "
+        + _ZORDER_ORACLE_BUCKET.format(d=2)
+        + " AS by FROM v_emb) "
+        "SELECT vec_id, bx, by, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(0, 9), i -> "
+        "(CAST((bx >> i) & 1 AS BIGINT) << (2 * i)) "
+        "+ (CAST((by >> i) & 1 AS BIGINT) << (2 * i + 1)))), "
+        "(a, b) -> a + b) AS zval FROM b"
+    ),
     "text_chunk_sliding": (
         "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
         "ex AS (SELECT doc_id, toks, "

@@ -87,3 +87,46 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     j = fact.join(dim, "o_orderpriority").agg(F.count("*"))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_zorder_layout_improves_box_locality(spark, tmp_path):
+    """Sorting by the Morton key must co-locate 2-D neighbors: a small
+    box predicate over (d1, d2) touches strictly fewer files in the
+    z-ordered layout than in a vec_id-ordered one (file count pinned
+    with maxRecordsPerFile so both layouts have the same granularity)."""
+    from pyspark.sql import functions as F
+
+    from pserv_spark.catalog import v_emb
+    from pserv_spark.operators.pipeline_ops import layout_zorder_keys
+
+    sf = "/root/testdata/sf0.01"
+    pts = v_emb(spark, sf).select(
+        "vec_id",
+        F.element_at("emb", 1).alias("d1"),
+        F.element_at("emb", 2).alias("d2"),
+    )
+    keys = layout_zorder_keys(spark, sf).select("vec_id", "zval")
+    both = pts.join(keys, "vec_id")
+
+    def files_touched(order_col: str, path: str) -> int:
+        (
+            both.repartition(1)
+            .sortWithinPartitions(order_col)
+            .write.option("maxRecordsPerFile", 50)
+            .parquet(path)
+        )
+        hit = (
+            spark.read.parquet(path)
+            .where(
+                (F.col("d1") > 0.05) & (F.col("d1") < 0.15)
+                & (F.col("d2") > 0.05) & (F.col("d2") < 0.15)
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return hit
+
+    z_files = files_touched("zval", str(tmp_path / "bz"))
+    plain_files = files_touched("vec_id", str(tmp_path / "bp"))
+    assert z_files < plain_files, (z_files, plain_files)
