@@ -204,7 +204,61 @@ _RESIZE_META_ORACLE = (
 )
 
 
+#: Audio stand-in parameters: fake PCM16 mono at a source rate derived
+#: from the asset, resampled to 16 kHz (the ASR-standard target).
+AUDIO_TARGET_HZ = 16_000
+
+
+def mm_audio_resample_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling plan per asset (the sample-rate-conversion
+    bookkeeping an ingest pipeline runs before feature extraction; the
+    DSP itself would sit in the same Arrow loop, see module doc).
+
+    The payload is treated as PCM16 mono (n_samples = n_bytes // 2) at
+    a deterministic source rate; output length uses the resampler's
+    integer formula ``floor(n · target / source)`` so both engines
+    agree exactly, and ``drift_us`` is the truncation-induced duration
+    error in integer microseconds.
+    """
+    assets = _assets(spark, sf_dir)
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: len(decode_stub(bytes(b))))
+            n_samples = n_bytes // 2
+            src_hz = 8000 + (pdf["doc_id"] * 441) % 40000
+            out_samples = (n_samples * AUDIO_TARGET_HZ) // src_hz
+            dur_us = (n_samples * 1_000_000) // src_hz
+            out_us = (out_samples * 1_000_000) // AUDIO_TARGET_HZ
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_hz": src_hz,
+                    "n_samples": n_samples,
+                    "out_samples": out_samples,
+                    "drift_us": dur_us - out_us,
+                }
+            )
+
+    return assets.mapInPandas(
+        plan,
+        "doc_id long, src_hz long, n_samples long, out_samples long, drift_us long",
+    )
+
+
+_AUDIO_RESAMPLE_ORACLE = (
+    "WITH a AS (SELECT doc_id, octet_length(encode(text)) // 2 AS n_samples, "
+    "8000 + (doc_id * 441) % 40000 AS src_hz FROM documents) "
+    "SELECT doc_id, src_hz, n_samples, "
+    f"(n_samples * {AUDIO_TARGET_HZ}) // src_hz AS out_samples, "
+    "(n_samples * 1000000) // src_hz "
+    f"- (((n_samples * {AUDIO_TARGET_HZ}) // src_hz) * 1000000) // {AUDIO_TARGET_HZ} "
+    "AS drift_us FROM a"
+)
+
+
 QUERIES = {
+    "mm_audio_resample_meta": mm_audio_resample_meta,
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_embed": mm_feature_embed,
@@ -212,6 +266,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_audio_resample_meta": _AUDIO_RESAMPLE_ORACLE,
     "mm_decode_meta": _DECODE_META_ORACLE,
     "mm_frame_sample": _FRAME_SAMPLE_ORACLE,
     "mm_feature_embed": _FEATURE_EMBED_ORACLE,
