@@ -140,11 +140,15 @@ def astro_mag_from_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("value") > 0)
     )
     mag = -2.5 * F.log10(F.col("value"))
+    # `+ 0.0` normalizes IEEE negative zero: at value==100 the libm
+    # log10 ulp makes the difference round to -0.0 on one engine and
+    # +0.0 on the other, and value-hash canonicalization tells them
+    # apart ('-0.0' != '0.0').
     return ev.select(
         "event_id",
         "user_id",
-        F.round(mag, 6).alias("mag"),
-        F.round(mag - (-2.5 * F.log10(F.lit(100.0))), 6).alias("dmag_ref"),
+        (F.round(mag, 6) + 0.0).alias("mag"),
+        (F.round(mag - (-2.5 * F.log10(F.lit(100.0))), 6) + 0.0).alias("dmag_ref"),
     )
 
 
@@ -263,8 +267,8 @@ ORACLES = {
     ),
     "astro_mag_from_flux": inline_views(
         "SELECT event_id, user_id, "
-        "ROUND(-2.5 * LOG10(value), 6) AS mag, "
-        "ROUND(-2.5 * LOG10(value) - (-2.5 * LOG10(100.0)), 6) AS dmag_ref "
+        "ROUND(-2.5 * LOG10(value), 6) + 0.0 AS mag, "
+        "ROUND(-2.5 * LOG10(value) - (-2.5 * LOG10(100.0)), 6) + 0.0 AS dmag_ref "
         "FROM v_events WHERE event_type = 'purchase' AND value > 0"
     ),
     "astro_box_search": inline_views(

@@ -63,23 +63,38 @@ _ZSCORE_ORACLE = (
 
 
 def udf_weighted_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user weighted mean value (grouped-agg pandas UDF)."""
+    """Per-user weighted mean value (grouped-agg pandas UDF).
+
+    SURVEY §4.5 rule 2 applied to a UDF: never ROUND a quotient.  The
+    numerator is accumulated as an exact integer (values are 6-dp
+    decimals: per-row ``rint(v·1e6)·w`` in int64 — order-independent,
+    no float summation), and the emitted quotient is two IEEE
+    divisions with no rounding step.  The oracle mirrors it with a
+    DECIMAL(18,6) sum cast to DOUBLE: correctly-rounded division makes
+    ``float(n·1e6)/1e6`` equal the decimal→double cast bit-for-bit.
+    The earlier ``np.round(np.dot(...)/W, 6)`` form flipped on exact
+    .5e-6 boundary quotients at sf0.1 (half-even vs binary rounding).
+    """
     ev = catalog.v_events(spark, sf_dir).select(
         "user_id",
         "value",
-        (F.col("event_id") % 5 + 1).cast("double").alias("w"),
+        (F.col("event_id") % 5 + 1).alias("w"),
     )
 
     @F.pandas_udf("double")
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float(np.round(np.dot(v, w) / w.sum(), 6))
+        num = int(
+            (np.rint(v.to_numpy() * 1e6).astype(np.int64) * w.to_numpy()).sum()
+        )
+        return (float(num) / 1e6) / float(w.sum())
 
     return ev.groupBy("user_id").agg(wmean("value", "w").alias("wmean"))
 
 
 _WMEAN_ORACLE = (
     "SELECT user_id, "
-    "ROUND(SUM(value * (event_id % 5 + 1)) / SUM(event_id % 5 + 1), 6) AS wmean "
+    "CAST(SUM(CAST(value AS DECIMAL(18,6)) * (event_id % 5 + 1)) AS DOUBLE) "
+    "/ CAST(SUM(event_id % 5 + 1) AS DOUBLE) AS wmean "
     "FROM v_events GROUP BY user_id"
 )
 
