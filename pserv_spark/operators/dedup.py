@@ -485,6 +485,71 @@ _CC_ORACLE = (
 )
 
 
+_SPAN_W = 8  # tokens per span window
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage detection: exact 8-token spans shared by ≥2
+    distinct documents.
+
+    The shingle-window approximation of suffix-array substring dedup
+    (the technique behind "deduplicating training data makes language
+    models better"-style exact-substring removal): every length-8
+    token window is hashed, and a hash seen in two different documents
+    marks a copied passage.  Fixed-width windows make the problem a
+    plain hash aggregation — no suffix sorting — at the cost of only
+    detecting copies ≥ 8 tokens, which is exactly the interesting
+    threshold for boilerplate/quotation removal.
+
+    Scale shape: explode is linear in token count; the single groupBy
+    shuffles uniformly on md5 span hashes (high cardinality, no skew);
+    the HAVING filter reduces output to colliding spans only.  No
+    driver-side state, no quadratic pair join anywhere.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ts"))
+    spans = (
+        docs.where(F.size("ts") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (_SPAN_W - 1))).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("ts", F.col("i"), _SPAN_W))).alias("h"),
+        )
+    )
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("h").alias("span_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+_SPAN_ORACLE = (
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), "
+    f"idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - {_SPAN_W - 1})) AS i "
+    f"FROM tok WHERE len(ts) >= {_SPAN_W}), "
+    f"sp AS (SELECT doc_id, md5(array_to_string(ts[i:i + {_SPAN_W - 1}], ' ')) AS h FROM idx) "
+    "SELECT h AS span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2"
+)
+
+
 QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -492,6 +557,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_substring_spans": dedup_substring_spans,
 }
 
 ORACLES = {
@@ -501,4 +567,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_ORACLE,
     "dedup_embedding_cosine": inline_views(_EMB_COS_ORACLE),
     "dedup_cluster_cc": _CC_ORACLE,
+    "dedup_substring_spans": _SPAN_ORACLE,
 }

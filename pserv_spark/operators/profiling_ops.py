@@ -124,12 +124,100 @@ _VALUE_COUNTS_ORACLE = (
 )
 
 
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type.
+
+    Splits the event stream at the midpoint of its time range (a pure
+    function of global MIN/MAX ts_us — deterministic) and computes
+    KS = max |F̂₁(v) − F̂₂(v)| between the early and late empirical
+    CDFs of ``value``.  The distribution-drift gate a training
+    pipeline runs on every new data drop before mixing it in.
+
+    Scale shape: one scan → per-(type, value) counts (map-side
+    combinable), then a per-type ordered window over *distinct*
+    values, then a per-type max.  The window partition carries at most
+    |distinct values per type| rows, never the raw stream; nothing is
+    collected to the driver.
+
+    Determinism (SURVEY §4.5): cumulative counts are integers; each
+    |c₁/n₁ − c₂/n₂| is one double op on identical operands in both
+    engines; MAX is order-independent.  ROUND(…,6) guards the final
+    rendering.
+    """
+    from .. import catalog
+
+    ev = catalog.v_events(spark, sf_dir).select("event_type", "value", "ts_us")
+    bounds = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    sided = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_us") * 2 <= F.col("lo") + F.col("hi"), 1)
+        .otherwise(2)
+        .alias("side"),
+    )
+    per_value = sided.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("side") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = per_value.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")
+    )
+    return stepped.groupBy("event_type").agg(
+        F.round(F.max(gap), 6).alias("ks"),
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+    )
+
+
+from ._oracle import inline_views
+
+_KS_ORACLE = inline_views(
+    "WITH ev AS (SELECT event_type, value, ts_us FROM v_events), "
+    "b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev), "
+    "sided AS (SELECT event_type, value, "
+    "CASE WHEN ts_us * 2 <= lo + hi THEN 1 ELSE 2 END AS side FROM ev CROSS JOIN b), "
+    "per_value AS (SELECT event_type, value, "
+    "SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1, "
+    "SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2 "
+    "FROM sided GROUP BY event_type, value), "
+    "stepped AS (SELECT event_type, "
+    "SUM(c1) OVER (PARTITION BY event_type ORDER BY value NULLS FIRST "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1, "
+    "SUM(c2) OVER (PARTITION BY event_type ORDER BY value NULLS FIRST "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2, "
+    "SUM(c1) OVER (PARTITION BY event_type) AS n1, "
+    "SUM(c2) OVER (PARTITION BY event_type) AS n2 "
+    "FROM per_value) "
+    "SELECT event_type, "
+    "ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks, "
+    "CAST(MAX(n1) AS BIGINT) AS n_early, CAST(MAX(n2) AS BIGINT) AS n_late "
+    "FROM stepped GROUP BY event_type"
+)
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
+    "profile_ks_drift": profile_ks_drift,
 }
 
 ORACLES = {
     "profile_table_stats": _TABLE_STATS_ORACLE,
     "profile_value_counts": _VALUE_COUNTS_ORACLE,
+    "profile_ks_drift": _KS_ORACLE,
 }

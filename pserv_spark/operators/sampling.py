@@ -31,7 +31,7 @@ Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB Horner fold
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -118,6 +118,64 @@ _GAPFILL_ORACLE = (
     "FROM (SELECT MIN(d) AS min_d, MAX(d) AS max_d FROM daily)) "
     "SELECT spine.d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders "
     "FROM spine LEFT JOIN daily USING (d)"
+)
+
+
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill with last-observation-carried-forward.
+
+    The sibling of ``gapfill_date_spine``: instead of zero-filling, a
+    missing day inherits the most recent observed daily average (the
+    standard LOCF imputation for sparse sensor / light-curve series).
+    The ordered window runs over the *day-grain spine*, not the fact
+    table, so the single-partition sort is bounded by calendar size
+    (a few thousand rows per decade) regardless of data scale; the
+    fact table is reduced by the grouped aggregate first.
+
+    Determinism (SURVEY §4.5): the daily average is
+    CAST(SUM(DECIMAL) AS DOUBLE)/COUNT — exact and order-independent —
+    and LOCF merely copies that double forward, so no rounding is
+    needed.  Days before the first observation stay NULL on both
+    engines.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = (
+        orders.where(F.col("o_custkey") < 50)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_price")
+        )
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    joined = spine.join(daily, "d", "left")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "d",
+        F.last("avg_price", ignorenulls=True).over(w).alias("avg_price_filled"),
+        F.col("avg_price").isNotNull().alias("observed"),
+    )
+
+
+# DuckDB 1.0 formulation: the cumulative-count-of-non-nulls "group"
+# trick (COUNT(col) OVER ignores NULLs), portable LOCF without
+# IGNORE NULLS support.
+_LOCF_ORACLE = (
+    "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price "
+    "FROM orders WHERE o_custkey < 50 GROUP BY 1), "
+    "spine AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS d "
+    "FROM (SELECT MIN(d) AS min_d, MAX(d) AS max_d FROM daily)), "
+    "j AS (SELECT spine.d, daily.avg_price FROM spine LEFT JOIN daily USING (d)), "
+    "g AS (SELECT d, avg_price, COUNT(avg_price) OVER "
+    "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j) "
+    "SELECT d, MAX(avg_price) OVER (PARTITION BY grp) AS avg_price_filled, "
+    "avg_price IS NOT NULL AS observed FROM g"
 )
 
 
@@ -215,6 +273,7 @@ QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
     "gapfill_date_spine": gapfill_date_spine,
+    "ts_gap_fill_locf": ts_gap_fill_locf,
     "agg_salted_twophase": agg_salted_twophase,
     "agg_histogram_bins": agg_histogram_bins,
     "join_salted_skew": join_salted_skew,
@@ -225,6 +284,7 @@ ORACLES = {
     "sample_hash_split": _SPLIT_ORACLE,
     "sample_stratified_hash": _STRAT_ORACLE,
     "gapfill_date_spine": _GAPFILL_ORACLE,
+    "ts_gap_fill_locf": _LOCF_ORACLE,
     "agg_salted_twophase": _SALTED_ORACLE,
     "agg_histogram_bins": _HIST_ORACLE,
 }
