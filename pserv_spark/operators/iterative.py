@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..catalog import load_tables
 from ._oracle import inline_views
 from .dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
 
@@ -143,12 +144,84 @@ _TRIANGLE_ORACLE = (
 )
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (3 synchronous iterations, d=0.85) over the
+    undirected part↔supplier co-purchase graph from ``lineitem``.
+
+    Each node is 'p<partkey>' or 's<suppkey>'; every distinct
+    (part, supplier) line item contributes both edge directions, so no
+    node dangles.  One iteration = one equi-join of the rank vector
+    against the static edge list + one aggregation — the textbook
+    Pregel step as pure DataFrame ops, lazily composed (no driver-side
+    state at all; contrast ``cluster_kmeans_lloyd``, which must round-
+    trip k·d centroids).  The edge list and degree table are computed
+    once and reused across iterations.
+
+    Determinism (SURVEY §4.5 + the kmeans precedent): per-edge
+    contributions are ROUNDed at 15 dp then summed as DECIMAL(20,15)
+    (exact, order-independent); each new rank is re-quantized at
+    10 dp on both engines, so float noise can never accumulate across
+    iterations.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pk = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    sk = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    half = li.select(pk.alias("src"), sk.alias("dst")).distinct()
+    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint()  # reused every iteration; cut lineage
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    n_nodes = deg.count()  # driver scalar; every node appears as src
+    base = 0.15 / float(n_nodes)
+
+    rank = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("rank"))
+    contrib_sum = F.sum(
+        F.round(F.col("rank") / F.col("outdeg"), 15).cast("decimal(20,15)")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = edges.join(rank, "src").join(deg, "src")
+        rank = contribs.groupBy(F.col("dst").alias("src")).agg(
+            F.round(
+                F.lit(base) + F.lit(_PR_DAMP) * contrib_sum.cast("double"),
+                10,
+            ).alias("rank")
+        )
+    return rank.select(F.col("src").alias("node"), "rank")
+
+
+def _pagerank_oracle() -> str:
+    prelude = (
+        "WITH half AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem), "
+        "edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg), "
+        "r0 AS (SELECT src, 1.0 / (SELECT CAST(n AS DOUBLE) FROM n) AS rank FROM deg)"
+    )
+    step = (
+        ", r{next} AS (SELECT e.dst AS src, "
+        "ROUND(0.15 / (SELECT CAST(n AS DOUBLE) FROM n) + "
+        f"{_PR_DAMP} * CAST(SUM(CAST(ROUND(r.rank / d.outdeg, 15) AS DECIMAL(20,15))) AS DOUBLE), 10) AS rank "
+        "FROM edges e JOIN r{cur} r ON e.src = r.src JOIN deg d ON d.src = e.src "
+        "GROUP BY e.dst)"
+    )
+    sql = prelude
+    for it in range(_PR_ITERS):
+        sql += step.format(cur=it, next=it + 1)
+    return sql + f" SELECT src AS node, rank FROM r{_PR_ITERS}"
+
+
 QUERIES = {
     "cluster_kmeans_lloyd": cluster_kmeans_lloyd,
     "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLES = {
     "cluster_kmeans_lloyd": _kmeans_oracle(),
     "graph_triangle_count": _TRIANGLE_ORACLE,
+    "graph_pagerank": _pagerank_oracle(),
 }

@@ -221,12 +221,92 @@ _NGRAM_FREQ_ORACLE = (
 )
 
 
+#: PMI vocabulary bounds: a token must appear in [2%, 100%] of documents
+#: to enter the pair join (caps per-doc pair fan-out at |kept vocab|²),
+#: and a pair needs ≥5 co-occurrences to be reported.  On a natural
+#: corpus the upper bound would be ~0.5 (stopwords carry no PMI signal);
+#: the synthetic corpus shares one flat ~30-word vocabulary with df
+#: ≈ 0.78 across the board, so the cap is open here.
+_PMI_DF_LO = 0.02
+_PMI_DF_HI = 1.0
+_PMI_MIN_PAIRS = 5
+
+
+def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document — the phrase-mining / collocation statistic
+    (PMI = ln(P(a,b) / (P(a)·P(b))) over document-level occurrence).
+
+    Scale shape: document frequencies are one map-side-combinable
+    aggregation; the vocabulary is bounded to mid-frequency tokens
+    *before* the pair join, so the per-document pair fan-out is capped
+    by the kept-vocabulary size, not raw token count; the pair join is
+    an equi-join on doc_id (shuffle-bounded, never all-pairs across
+    docs); the df lookup join broadcasts (vocabulary ≪ corpus).
+
+    Determinism: counts are integers; PMI is one ln() on an exact
+    rational per row, ROUNDed at 6 dp (SURVEY §4.5 rule 2 — noisy
+    transcendental, measure-zero tie risk).
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    n_docs = docs.count()  # driver-side scalar; one tiny job
+    lo, hi = _PMI_DF_LO * n_docs, _PMI_DF_HI * n_docs
+    df = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where((F.col("df") >= lo) & (F.col("df") <= hi))
+    )
+    kept = tok.join(F.broadcast(df), "w")
+    a = kept.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"))
+    b = kept.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_both"),
+            F.max("df1").alias("df1"),
+            F.max("df2").alias("df2"),
+        )
+        .where(F.col("n_docs_both") >= _PMI_MIN_PAIRS)
+    )
+    pmi = F.log(
+        F.col("n_docs_both").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("df1") * F.col("df2"))
+    )
+    return pairs.select(
+        "w1", "w2", "n_docs_both", F.round(pmi, 6).alias("pmi")
+    )
+
+
+_PMI_ORACLE = (
+    "WITH tok AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w), "
+    f"kept AS (SELECT tok.doc_id, tok.w, df.df FROM tok JOIN df USING (w) CROSS JOIN nd "
+    f"WHERE df.df >= {_PMI_DF_LO} * nd.n AND df.df <= {_PMI_DF_HI} * nd.n), "
+    "pairs AS (SELECT a.w AS w1, b.w AS w2, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs_both, MAX(a.df) AS df1, MAX(b.df) AS df2 "
+    "FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w "
+    f"GROUP BY a.w, b.w HAVING COUNT(*) >= {_PMI_MIN_PAIRS}) "
+    "SELECT w1, w2, n_docs_both, "
+    "ROUND(LN(CAST(n_docs_both AS DOUBLE) * (SELECT n FROM nd) / (df1 * df2)), 6) AS pmi "
+    "FROM pairs"
+)
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_ngram_freq": text_ngram_freq,
+    "text_cooccur_pmi": text_cooccur_pmi,
 }
 
 ORACLES = {
@@ -235,4 +315,5 @@ ORACLES = {
     "text_token_count": _TOKEN_COUNT_ORACLE,
     "text_fingerprint": _fingerprint_oracle(),
     "text_ngram_freq": _NGRAM_FREQ_ORACLE,
+    "text_cooccur_pmi": _PMI_ORACLE,
 }
