@@ -209,6 +209,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: On-disk size under which a dimension table is broadcast-hinted.
+#: Compressed parquet expands ~3-5× in memory, so 32 MB on disk is a
+#: ~100-150 MB broadcast — comfortable for any realistically-sized
+#: executor, far beyond Catalyst's conservative 10 MB static default.
+BROADCAST_DISK_BYTES = 32 << 20
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A join dimension with a *size-aware* broadcast hint.
+
+    Static planning can't know a dimension is small (statistics-free
+    parquet scans estimate conservatively) and AQE only discovers it
+    after the first shuffle is already planned; the catalog, however,
+    knows the file size up front.  Tables under BROADCAST_DISK_BYTES
+    get an explicit broadcast hint; larger ones are returned unhinted
+    so Catalyst/AQE plan a shuffle join.  The same query code
+    therefore broadcasts `orders` at sf0.1 (2.7 MB) and correctly
+    refuses to at 100 TB, where `orders` scales with the fact table.
+    """
+    from pyspark.sql import functions as F
+
+    frame = load_tables(spark, sf_dir)[name]
+    size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    return F.broadcast(frame) if size <= BROADCAST_DISK_BYTES else frame
+
+
 def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with canonical µs timestamp + ts_us long (SURVEY §1.2)."""
     from pyspark.sql import functions as F
