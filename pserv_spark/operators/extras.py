@@ -136,6 +136,85 @@ _SCD2_ORACLE = (
 )
 
 
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO: apply a changelog to a snapshot with
+    last-writer-wins upserts and delete markers.
+
+    The events stream is split at its time midpoint: the early half
+    collapses to a per-user snapshot (latest value), the late half is
+    the change feed.  MERGE semantics: a user's latest post-split
+    event wins ('updated' / 'inserted'), an 'error'-typed latest event
+    is a delete marker (row dropped), untouched users survive as
+    'kept' — i.e. the batch equivalent of Delta/Iceberg MERGE INTO
+    with deduplicated CDC input.
+
+    Scale shape: both halves reduce via one row_number window on the
+    merge key before the single full-outer equi-join on that key —
+    the join carries one row per user per side, never raw events.
+    Determinism: latest-wins ordering carries the (ts_us DESC,
+    event_id DESC) total tiebreak (SURVEY §4.5 rule 4).
+    """
+    from pyspark.sql import Window
+
+    from .. import catalog
+
+    ev = catalog.v_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+    bounds = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    sided = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "late", F.col("ts_us") * 2 > F.col("lo") + F.col("hi")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+
+    def latest(side):
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "ts_us")
+        )
+
+    snap = latest(sided.where(~F.col("late"))).alias("s")
+    delta = latest(sided.where(F.col("late"))).alias("d")
+    merged = snap.join(delta, "user_id", "full")
+    return (
+        merged.where(
+            F.col("d.event_type").isNull() | (F.col("d.event_type") != "error")
+        )
+        .select(
+            "user_id",
+            F.coalesce("d.value", "s.value").alias("value"),
+            F.coalesce("d.ts_us", "s.ts_us").alias("as_of_us"),
+            F.when(F.col("s.value").isNull(), "inserted")
+            .when(F.col("d.value").isNull(), "kept")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+
+
+_MERGE_ORACLE = (
+    "WITH ev AS (SELECT user_id, event_id, ts_us, event_type, value FROM v_events), "
+    "b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev), "
+    "sided AS (SELECT ev.*, ts_us * 2 > lo + hi AS late FROM ev CROSS JOIN b), "
+    "snap AS (SELECT user_id, event_type, value, ts_us FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts_us DESC, event_id DESC) AS rn FROM sided WHERE NOT late) WHERE rn = 1), "
+    "delta AS (SELECT user_id, event_type, value, ts_us FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts_us DESC, event_id DESC) AS rn FROM sided WHERE late) WHERE rn = 1) "
+    "SELECT COALESCE(s.user_id, d.user_id) AS user_id, "
+    "COALESCE(d.value, s.value) AS value, "
+    "COALESCE(d.ts_us, s.ts_us) AS as_of_us, "
+    "CASE WHEN s.value IS NULL THEN 'inserted' "
+    "WHEN d.value IS NULL THEN 'kept' ELSE 'updated' END AS action "
+    "FROM snap s FULL OUTER JOIN delta d USING (user_id) "
+    "WHERE d.event_type IS NULL OR d.event_type != 'error'"
+)
+
+
 def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mode with a deterministic tie-break (count DESC, value
     ASC) — engine-native ``mode()`` breaks ties arbitrarily, which can
@@ -203,6 +282,7 @@ QUERIES = {
     "source_generate_series": source_generate_series,
     "fn_posexplode": fn_posexplode,
     "dim_scd2_ranges": dim_scd2_ranges,
+    "merge_cdc_upsert": merge_cdc_upsert,
     "agg_mode_deterministic": agg_mode_deterministic,
 }
 
@@ -215,5 +295,6 @@ ORACLES = {
     "source_generate_series": _SERIES_ORACLE,
     "fn_posexplode": _POSEXPLODE_ORACLE,
     "dim_scd2_ranges": inline_views(_SCD2_ORACLE),
+    "merge_cdc_upsert": inline_views(_MERGE_ORACLE),
     "agg_mode_deterministic": _MODE_ORACLE,
 }
