@@ -16,6 +16,7 @@ from ..streaming import (
     stream_stateful_counts,
     stream_static_join,
     stream_stream_join,
+    stream_cdc_apply,
     stream_rollup_upsert,
     stream_tumbling_complete,
     stream_tumbling_watermark,
@@ -30,6 +31,7 @@ QUERIES = {
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
     "stream_rollup_upsert": stream_rollup_upsert,
+    "stream_cdc_apply": stream_cdc_apply,
     # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
@@ -45,6 +47,15 @@ ORACLES = {
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Batch-order-independent final state == batch latest-per-key query.
+    "stream_cdc_apply": (
+        "WITH latest AS (SELECT user_id, value, "
+        "CAST(epoch_us(ts) AS BIGINT) AS as_of_us, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, value, as_of_us FROM latest "
+        "WHERE rn = 1 AND event_type != 'error'"
+    ),
     # Hopping 2h/1h: every event belongs to exactly two windows; derive
     # both candidate starts with integer µs arithmetic and unnest.
     "stream_hopping_complete": (

@@ -12,6 +12,7 @@ from .jobs import (
     stream_hopping_complete,
     stream_tumbling_watermark,
     stream_rollup_upsert,
+    stream_cdc_apply,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "stream_hopping_complete",
     "stream_tumbling_watermark",
     "stream_rollup_upsert",
+    "stream_cdc_apply",
 ]

@@ -15,7 +15,8 @@ import pytest
 from pserv_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
 from pserv_spark.operators.zonematch import vec_crossmatch_zoned
 from pserv_spark.plans import physical_plan as _plan
-from pserv_spark.plans import has_nested_loop, pushed_filters, read_schema
+from pserv_spark.plans import physical_plan
+from pserv_spark.plans import exchange_count, has_nested_loop, pushed_filters, read_schema
 from pserv_spark.queries import DATAFRAME_QUERIES
 
 
@@ -56,6 +57,29 @@ def test_semi_anti_plan_as_semi_anti(spark, sf_oracle):
 def test_topk_avoids_global_sort(spark, sf_oracle):
     plan = _plan(DATAFRAME_QUERIES["topk_global"](spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_single_shuffle_when_dims_fit(spark, sf_oracle):
+    """With every dimension under the size-aware broadcast threshold
+    (catalog.dim), the star join must reduce to scans + broadcasts +
+    ONE shuffle (the final aggregation) — the plan shape that keeps
+    the fact table from ever being exchanged for a dimension."""
+    df = DATAFRAME_QUERIES["join_multiway_q5"](spark, sf_oracle)
+    assert exchange_count(df) <= 1, physical_plan(df)
+
+
+def test_q1_salted_longsum_shape(spark, sf_oracle):
+    """The scaled-integer Q1: partial aggregation must carry the salt
+    (pmod) and sum LONGs, with the decimal descale only in the tiny
+    combine stage — never a >18-digit decimal sum buffer over the
+    fact scan."""
+    plan = _plan(DATAFRAME_QUERIES["agg_groupby_q1"](spark, sf_oracle))
+    assert "pmod" in plan
+    # explain prints top-down: the map-side partial agg + scan are the
+    # text BELOW the (only) shuffle exchange.
+    map_side = plan[plan.rindex("Exchange hash"):]
+    assert "decimal(27,0)" not in map_side, "descale leaked into the partial agg"
+    assert "partial_sum" in map_side
 
 
 def test_q1_partial_final_aggregation(spark, sf_oracle):
