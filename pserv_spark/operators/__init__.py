@@ -35,6 +35,7 @@ def _load() -> None:
         "profiling_ops",
         "iterative",
         "rollup",
+        "sketches",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -1,0 +1,223 @@
+"""Deterministic distributed sketches with exact cross-engine oracles.
+
+Engine-native sketches (``approx_count_distinct``) use private seeded
+hash families, so their estimates can never hash-match another engine —
+that is why the corpus declares the HLL probe rows-only (SURVEY §2.2).
+These operators rebuild the sketches from first principles on the
+md5 anchor (SURVEY §4.5): every register/counter is a pure function of
+the data, both engines replay the identical algorithm, and the oracle
+match is exact — the estimate itself, not just row counts.
+
+- ``sketch_hll_estimate`` — a 256-register HyperLogLog over
+  ``user_id`` per event type (Flajolet et al. 2007, with the standard
+  small-range correction).  Register index = first 8 md5 bits, rank =
+  leading-zero count of the next 60 bits + 1.  The 2^-M register sum
+  is accumulated as an *integer* (2^(61-M) summed in DECIMAL(38,0)) —
+  summing the doubles directly would round once the exponent spread
+  exceeds the 53-bit mantissa, making the total order-dependent and
+  the oracle flaky.
+- ``sketch_countmin_topk`` — a 4×1024 count-min sketch over document
+  tokens + point estimates (min over the 4 rows) for every token, with
+  the top-10 by estimate.  Depth-row bucket = md5(seed‖token) — the
+  same seeded-md5 family as the MinHash operator.
+
+Scale shape (the reason sketches exist at 100 TB): both are one scan +
+one groupBy whose output is the *sketch size* (256 registers / 4096
+counters), independent of input cardinality; registers merge by MAX
+and counters by SUM, so partial aggregation is map-side combinable and
+cross-partition / cross-day sketch union is exact.  The exact
+COUNT(DISTINCT) carried alongside for error context is the one
+non-mergeable expression (it is the thing the sketch replaces at
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..catalog import load_tables
+from ._oracle import inline_views
+
+_HLL_M = 256  # registers (first 2 hex digits of md5)
+_HLL_WBITS = 60  # rank field: next 15 hex digits
+#: alpha_256 per the HLL paper (m >= 128 branch).
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _duck_hex_fold(expr: str, start: int, n: int) -> str:
+    """DuckDB: integer from hex digits [start, start+n) of md5(expr)
+    (Horner fold — DuckDB 1.0 has no conv())."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series({start}, {start + n - 1}), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a deterministic
+    256-register HLL, with the exact count for error context."""
+    ev = catalog.v_events(spark, sf_dir).select("event_type", "user_id")
+    h = F.md5(F.col("user_id").cast("string"))
+    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    # rank = leading zeros of the 60-bit field + 1; bin() drops leading
+    # zeros so bit-length = length(bin(w)); w = 0 -> all 60 zero bits.
+    rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(
+        _HLL_WBITS + 1 - F.length(F.bin(w))
+    )
+    regs = (
+        ev.select("event_type", j.alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # integer-exact register sum: sum(2^(61-M)) then descale by 2^61.
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m_j)")
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(pow2.cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("long").alias("nonzero"),
+    )
+    denom = (
+        F.col("s").cast("double") / F.lit(float(2 ** (_HLL_WBITS + 1)))
+        + (_HLL_M - F.col("nonzero")).cast("double")  # empty registers: 2^0
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / denom
+    v = _HLL_M - F.col("nonzero")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(corrected, 4).alias("est_distinct"),
+            "exact_distinct",
+            F.col("nonzero").cast("long").alias("n_registers_set"),
+        )
+    )
+
+
+def _hll_oracle() -> str:
+    j = _duck_hex_fold("CAST(user_id AS VARCHAR)", 1, 2)
+    w = _duck_hex_fold("CAST(user_id AS VARCHAR)", 3, 15)
+    wb = _HLL_WBITS
+    m = _HLL_M
+    return (
+        "WITH ev AS (SELECT event_type, user_id FROM v_events), "
+        f"hashed AS (SELECT event_type, {j} AS j, {w} AS w FROM ev), "
+        f"ranked AS (SELECT event_type, j, CASE WHEN w = 0 THEN {wb + 1} "
+        f"ELSE {wb + 1} - length(printf('%b', w)) END AS rho FROM hashed), "
+        "regs AS (SELECT event_type, j, MAX(rho) AS m_j FROM ranked GROUP BY event_type, j), "
+        "per_type AS (SELECT event_type, "
+        f"SUM(CAST((CAST(1 AS BIGINT) << ({wb + 1} - m_j)) AS DECIMAL(38,0))) AS s, "
+        "COUNT(*) AS nonzero FROM regs GROUP BY event_type), "
+        "est AS (SELECT event_type, nonzero, "
+        f"{(_HLL_ALPHA * m * m)!r} / "
+        f"(CAST(s AS DOUBLE) / {float(2 ** (wb + 1))!r} + ({m} - nonzero)) AS raw "
+        "FROM per_type), "
+        "corrected AS (SELECT event_type, nonzero, "
+        f"CASE WHEN raw <= {2.5 * m} AND nonzero < {m} "
+        f"THEN {float(m)!r} * LN({float(m)!r} / ({m} - nonzero)) ELSE raw END AS e "
+        "FROM est), "
+        "exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct "
+        "FROM ev GROUP BY event_type) "
+        "SELECT c.event_type, ROUND(c.e, 4) AS est_distinct, x.exact_distinct, "
+        "CAST(c.nonzero AS BIGINT) AS n_registers_set "
+        "FROM corrected c JOIN exact x USING (event_type)"
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 10
+
+
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens: build the 4×1024 counter
+    table, point-estimate every distinct token (min over depth rows),
+    report the top-10 by (estimate DESC, token ASC).
+
+    The overestimate bias (estimate ≥ true count, within εN at the
+    sketch's guarantee) is visible against true_count in the output.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    buckets = [
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(str(d)), F.col("w"))), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(_CMS_WIDTH),
+        ).alias(f"b{d}")
+        for d in range(_CMS_DEPTH)
+    ]
+    hashed = tok.select("w", *buckets)
+    # counter table: one groupBy per depth row, unioned — output is
+    # depth*width counters regardless of input size.
+    counters = None
+    for d in range(_CMS_DEPTH):
+        part = (
+            hashed.groupBy(F.col(f"b{d}").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(d).alias("row"), "bucket", "c")
+        )
+        counters = part if counters is None else counters.unionAll(part)
+    # point estimates: join each distinct token's buckets to its counters.
+    distinct_toks = hashed.groupBy("w", *[f"b{d}" for d in range(_CMS_DEPTH)]).agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    est = distinct_toks
+    for d in range(_CMS_DEPTH):
+        cd = counters.where(F.col("row") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+        )
+        est = est.join(F.broadcast(cd), f"b{d}")
+    estimate = F.least(*[F.col(f"c{d}") for d in range(_CMS_DEPTH)]).cast("long")
+    ranked = est.select(
+        "w", estimate.alias("est_count"), "true_count"
+    ).orderBy(F.col("est_count").desc(), "w").limit(_CMS_TOPK)
+    return ranked
+
+
+def _cms_oracle() -> str:
+    width = _CMS_WIDTH
+    bucket_exprs = ", ".join(
+        f"{_duck_hex_fold(repr(str(d)) + ' || w', 1, 8)} % {width} AS b{d}"
+        for d in range(_CMS_DEPTH)
+    )
+    counter_ctes = ", ".join(
+        f"cnt{d} AS (SELECT b{d} AS bucket, COUNT(*) AS c{d} FROM hashed GROUP BY b{d})"
+        for d in range(_CMS_DEPTH)
+    )
+    joins = " ".join(f"JOIN cnt{d} ON t.b{d} = cnt{d}.bucket" for d in range(_CMS_DEPTH))
+    least = ", ".join(f"c{d}" for d in range(_CMS_DEPTH))
+    group_bs = ", ".join(f"b{d}" for d in range(_CMS_DEPTH))
+    return (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), "
+        f"hashed AS (SELECT w, {bucket_exprs} FROM tok), "
+        f"{counter_ctes}, "
+        f"toks AS (SELECT w, {group_bs}, CAST(COUNT(*) AS BIGINT) AS true_count "
+        f"FROM hashed GROUP BY w, {group_bs}) "
+        f"SELECT w, CAST(LEAST({least}) AS BIGINT) AS est_count, true_count "
+        f"FROM toks t {joins} "
+        f"ORDER BY est_count DESC, w LIMIT {_CMS_TOPK}"
+    )
+
+
+QUERIES = {
+    "sketch_hll_estimate": sketch_hll_estimate,
+    "sketch_countmin_topk": sketch_countmin_topk,
+}
+
+ORACLES = {
+    "sketch_hll_estimate": inline_views(_hll_oracle()),
+    "sketch_countmin_topk": _cms_oracle(),
+}
