@@ -26,7 +26,7 @@ naive O(N²) pairwise form and the pair sets must match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -219,10 +219,86 @@ def astro_epoch_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lightcurve_stetson_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stetson J variability index per object (Stetson 1996) — the
+    LSST-era statistic that separates correlated variability from
+    noise: consecutive-pair residual products
+    P_k = δ_k·δ_{k+1}, J = Σ sgn(P_k)·√|P_k| / N_pairs, with
+    δ_k = √(n/(n−1))·(v_k − mean)/σ.
+
+    Determinism (SURVEY §4.5 composition): mean is a DECIMAL-exact
+    quotient; σ (engine variance accumulation order differs in final
+    ulps) is quantized at 9 dp before use; per-row sqrt/division are
+    IEEE-correctly-rounded so identical on both engines; pair terms
+    are re-quantized at 12 dp and summed as DECIMAL(28,12) (exact,
+    order-independent); the final J rounds at 6.  One groupBy + one
+    lag window + one groupBy, all partitioned on the object key.
+    """
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(14,2)")).cast("double") / F.count("*")).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 9).alias("sd"),
+    ).where(F.col("n") >= 5)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    delta = (
+        ev.join(stats, "user_id")
+        .withColumn(
+            "d",
+            F.round(
+                F.sqrt(F.col("n") / (F.col("n") - 1.0))
+                * (F.col("value") - F.col("mean_v"))
+                / F.nullif(F.col("sd"), F.lit(0.0)),
+                9,
+            ),
+        )
+        .withColumn("d_next", F.lead("d").over(w))
+        .where(F.col("d").isNotNull() & F.col("d_next").isNotNull())
+    )
+    p = F.col("d") * F.col("d_next")
+    term = F.signum(p) * F.sqrt(F.abs(p))
+    return (
+        delta.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round(term, 12).cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("raw_j"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+        .select(
+            "user_id",
+            (F.round("raw_j", 6) + 0.0).alias("stetson_j"),
+            "n_pairs",
+        )
+    )
+
+
+_STETSON_ORACLE = (
+    "WITH ev AS (SELECT user_id, event_id, ts_us, value FROM v_events "
+    "WHERE event_type = 'purchase'), "
+    "stats AS (SELECT user_id, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS mean_v, "
+    "ROUND(STDDEV_SAMP(value), 9) AS sd FROM ev GROUP BY user_id HAVING COUNT(*) >= 5), "
+    "d AS (SELECT ev.user_id, "
+    "ROUND(SQRT(n / (n - 1.0)) * (value - mean_v) / NULLIF(sd, 0.0), 9) AS d, "
+    "ts_us, event_id FROM ev JOIN stats USING (user_id)), "
+    "pairs AS (SELECT user_id, d, "
+    "LEAD(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d_next FROM d), "
+    "terms AS (SELECT user_id, SIGN(d * d_next) * SQRT(ABS(d * d_next)) AS t "
+    "FROM pairs WHERE d IS NOT NULL AND d_next IS NOT NULL) "
+    "SELECT user_id, "
+    "ROUND(CAST(SUM(CAST(ROUND(t, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 "
+    "AS stetson_j, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    "FROM terms GROUP BY user_id"
+)
+
+
 QUERIES = {
     "astro_conesearch_sph": astro_conesearch_sph,
     "astro_crossmatch_sph": astro_crossmatch_sph,
     "lightcurve_outlier_mad": lightcurve_outlier_mad,
+    "lightcurve_stetson_j": lightcurve_stetson_j,
     "astro_mag_from_flux": astro_mag_from_flux,
     "astro_box_search": astro_box_search,
     "astro_ellipse_search": astro_ellipse_search,
@@ -265,6 +341,7 @@ ORACLES = {
         "SELECT event_id, user_id, value, ROUND(med, 6) AS med, ROUND(abs_dev, 6) AS abs_dev "
         "FROM dev JOIN mad ON user_id = uid WHERE abs_dev > 3 * mad"
     ),
+    "lightcurve_stetson_j": inline_views(_STETSON_ORACLE),
     "astro_mag_from_flux": inline_views(
         "SELECT event_id, user_id, "
         "ROUND(-2.5 * LOG10(value), 6) + 0.0 AS mag, "

@@ -293,6 +293,73 @@ _ZORDER_ORACLE_BUCKET = (
     "CAST(FLOOR(LEAST(GREATEST((emb[{d}] + 0.5) * 1023, 0.0), 1023.0)) AS INT)"
 )
 
+_COMPACT_TARGET = 256  # records per file after compaction
+
+
+def layout_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction of the day-partitioned event store — the
+    OPTIMIZE / rewrite-data-files maintenance job every long-running
+    100 TB table needs (streaming ingest leaves a file per micro-batch
+    per partition; scans then drown in open() overhead and tiny row
+    groups).
+
+    Mechanism: repartition on the partition column so each day lands
+    in exactly one write task, and let ``maxRecordsPerFile`` split that
+    task's output into ⌈rows/target⌉ equal-bounded files — the
+    idiomatic Spark compaction (no manual file surgery).  The operator
+    returns per-day (rows, files) with ``n_files`` counted from the
+    actual directory listing, so the oracle's ⌈rows/target⌉ is checked
+    against what really landed on disk, not against the plan's
+    intention.
+
+    At scale the repartition("day") shuffle is the rewrite cost — it
+    moves each partition once; a day whose rows exceed one task's
+    memory would use (day, file_group) salting at a ceil-preserving
+    granularity.
+    """
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ev = catalog.v_events(spark, sf_dir).withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ev.repartition(F.col("day"))
+        .write.option("maxRecordsPerFile", _COMPACT_TARGET)
+        .partitionBy("day")
+        .parquet(out)
+    )
+    files = [
+        (d.split("day=")[1], len(glob.glob(os.path.join(out, d, "part-*"))))
+        for d in os.listdir(out)
+        if d.startswith("day=")
+    ]
+    files_df = spark.createDataFrame(files, "day_str string, n_files long").select(
+        F.col("day_str").cast("date").alias("day"), "n_files"
+    )
+    rows = (
+        spark.read.parquet(out)
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    return rows.join(files_df, "day").select("day", "n_rows", "n_files")
+
+
+_COMPACT_ORACLE = (
+    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(CEIL(COUNT(*) / {_COMPACT_TARGET}.0) AS BIGINT) AS n_files "
+    "FROM events GROUP BY 1"
+)
+
+
 QUERIES = {
     "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
@@ -302,9 +369,11 @@ QUERIES = {
     "class_balance_downsample": class_balance_downsample,
     "win_ewma_decay": win_ewma_decay,
     "win_rolling_median": win_rolling_median,
+    "layout_compact_smallfiles": layout_compact_smallfiles,
 }
 
 ORACLES = {
+    "layout_compact_smallfiles": _COMPACT_ORACLE,
     "layout_zorder_keys": inline_views(
         "WITH b AS (SELECT vec_id, "
         + _ZORDER_ORACLE_BUCKET.format(d=1)
