@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from .. import catalog
 from ..sources import export_csv, load_csv, calibrate_flux
+from ._oracle import inline_views
 
 #: The CSV file's declared schema (as exported below).
 _CSV_SCHEMA = T.StructType(
@@ -136,11 +137,71 @@ _JSONL_ORACLE = (
 )
 
 
+def ingest_pk_dedup_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK enforcement on ingest + clustered storage layout —
+    the Spark analog of the reference's MySQL primary-key bulk load
+    (SURVEY §1.2: ForcedSource PK (objectId, ccdVisitId); a re-run
+    ingest batch must not duplicate rows, and the table should land
+    clustered by object for per-object light-curve scans).
+
+    A 10% slice of the feed is deliberately re-ingested as batch 2;
+    PK dedup keeps the highest batch per key (latest-load-wins, the
+    MySQL REPLACE INTO semantic), then the surviving rows are written
+    ``repartition(user_id).sortWithinPartitions(user_id, ts_us)`` so
+    each parquet file holds contiguous per-object runs (row-group
+    min/max stats then prune object-key point lookups).  The returned
+    DataFrame re-reads the landed store, so the oracle — every event
+    with batch = 2 exactly on the replayed keys — also proves the
+    layout write was lossless.  tests/test_ingest.py asserts the
+    physical sortedness per file.
+    """
+    import hashlib
+
+    ev = catalog.v_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    b1 = ev.withColumn("batch", F.lit(1))
+    b2 = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .withColumn("batch", F.lit(2))
+    )
+    raw = b1.unionByName(b2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.col("batch").desc())
+    deduped = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_pk_layout_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        deduped.repartition(16, "user_id")
+        .sortWithinPartitions("user_id", "ts_us")
+        .write.parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "ts_us", "value", "batch"
+    )
+
+
+_PK_LAYOUT_ORACLE = (
+    "SELECT event_id, user_id, ts_us, value, "
+    "CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS batch FROM v_events"
+)
+
+
 QUERIES = {
     "ingest_csv_roundtrip": ingest_csv_roundtrip,
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
+    "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
 }
 ORACLES = {
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,
+    "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),
 }

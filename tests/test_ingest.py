@@ -117,3 +117,30 @@ def test_mapping_preserves_order(spark):
     out = apply_column_mapping(df, {"z": "c", "y": "a"})
     assert out.columns == ["z", "y"]
     assert out.collect() == [(3, 1)]
+
+
+def test_pk_layout_files_are_object_clustered(spark, sf_oracle):
+    """The PK-dedup ingest must land physically clustered: inside every
+    parquet file, rows are non-decreasing on (user_id, ts_us) — the
+    property that gives row-group min/max stats their pruning power
+    for per-object light-curve lookups."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from pserv_spark.operators.ingest_ops import ingest_pk_dedup_layout
+
+    ingest_pk_dedup_layout(spark, sf_oracle)  # (re)writes the store
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_pk_layout_{hashlib.md5(sf_oracle.encode()).hexdigest()[:8]}",
+    )
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) > 1, "expected a multi-file clustered store"
+    for f in files:
+        pdf = pd.read_parquet(f, columns=["user_id", "ts_us"])
+        keys = list(zip(pdf.user_id, pdf.ts_us))
+        assert keys == sorted(keys), f"{os.path.basename(f)} not sorted"
