@@ -212,12 +212,106 @@ def _cms_oracle() -> str:
     )
 
 
+_BLOOM_K = 3
+#: build side: high-value orders (the selective semi-join the filter
+#: stands in for).
+_BLOOM_PRED = "o_totalprice > 450000"
+
+
+def _bloom_positions(col, m: int):
+    """The k md5-anchored bit positions of a key (engine side)."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{i}:"), col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        for i in range(_BLOOM_K)
+    ]
+
+
+def sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build a 3-hash bloom filter
+    over a selective dimension key set, probe the fact table with it,
+    and report every surviving row labelled true-match vs
+    false-positive.
+
+    This is the manual, deterministic form of Spark's runtime bloom
+    join filter (spark.sql.optimizer.runtime.bloomFilter): the bit
+    set broadcasts to every scan task and drops non-joining fact rows
+    *before* any fact shuffle, which is the entire win.  The filter
+    SIZES ITSELF from the build cardinality — m = 16·n positions, so
+    the load factor (and the ~0.5% false-positive rate,
+    (1−e^{−3/16})³) is scale-invariant where a fixed-m filter would
+    saturate at 10× the keys.  The probe is a chain of three
+    broadcast LEFT SEMI joins on the hash positions (hash lookups per
+    row, no fact exchange).  No false negative is possible — the
+    oracle replays the same positions and would catch a lost match
+    as a missing row.
+    """
+    t = load_tables(spark, sf_dir)
+    build_keys = t["orders"].where(F.expr(_BLOOM_PRED)).select("o_orderkey")
+    n_keys = build_keys.count()
+    m = 16 * n_keys  # both engines derive m from the same COUNT
+    pos_b = _bloom_positions(F.col("o_orderkey"), m)
+    bits = None
+    for c in pos_b:
+        part = build_keys.select(c.alias("p"))
+        bits = part if bits is None else bits.unionAll(part)
+    bits = bits.distinct()
+    li = t["lineitem"].select("l_orderkey", "l_linenumber")
+    probed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[c.alias(f"p{i}") for i, c in enumerate(_bloom_positions(F.col("l_orderkey"), m))],
+    )
+    for i in range(_BLOOM_K):
+        probed = probed.join(
+            F.broadcast(bits.withColumnRenamed("p", f"p{i}")), f"p{i}", "left_semi"
+        )
+    truth = build_keys.withColumnRenamed("o_orderkey", "l_orderkey").distinct()
+    return (
+        probed.join(truth.withColumn("is_true_match", F.lit(True)), "l_orderkey", "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce("is_true_match", F.lit(False)).alias("is_true_match"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    def pos(i: int, key: str) -> str:
+        fold = _duck_hex_fold(f"'b{i}:' || CAST({key} AS VARCHAR)", 1, 8)
+        return f"({fold}) % (SELECT m FROM msize)"
+
+    probe_conds = " AND ".join(
+        f"{pos(i, 'l_orderkey')} IN (SELECT p FROM bits)" for i in range(_BLOOM_K)
+    )
+    pos_union = " UNION ".join(
+        f"SELECT {pos(i, 'o_orderkey')} AS p FROM build" for i in range(_BLOOM_K)
+    )
+    return (
+        f"WITH build AS (SELECT o_orderkey FROM orders WHERE {_BLOOM_PRED}), "
+        "msize AS (SELECT 16 * COUNT(*) AS m FROM build), "
+        f"bits AS ({pos_union}) "
+        f"SELECT l_orderkey, l_linenumber, "
+        f"l_orderkey IN (SELECT o_orderkey FROM build) AS is_true_match "
+        f"FROM lineitem WHERE {probe_conds}"
+    )
+
+
 QUERIES = {
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_countmin_topk": sketch_countmin_topk,
+    "sketch_bloom_prune": sketch_bloom_prune,
 }
 
 ORACLES = {
     "sketch_hll_estimate": inline_views(_hll_oracle()),
     "sketch_countmin_topk": _cms_oracle(),
+    "sketch_bloom_prune": _bloom_oracle(),
 }

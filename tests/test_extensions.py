@@ -67,6 +67,29 @@ def test_deterministic_sketches_estimate_well(spark, sf_oracle):
         assert err < 0.12, f"{r.event_type}: HLL err {err:.1%}"
     for r in sketch_countmin_topk(spark, sf_oracle).collect():
         assert r.est_count >= r.true_count, f"{r.w}: CMS underestimated"
+    # Self-sizing bloom (m = 16n, k = 3): FP rate stays near the
+    # theoretical (1-e^{-3/16})^3 ~ 0.5% regardless of scale, and
+    # every true semi-join match survives (no false negatives).
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.sketches import _BLOOM_PRED, sketch_bloom_prune
+    from pyspark.sql import functions as F
+
+    rows = sketch_bloom_prune(spark, sf_oracle).collect()
+    n_match = sum(1 for r in rows if r.is_true_match)
+    n_fp = len(rows) - n_match
+    t = load_tables(spark, sf_oracle)
+    truth = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.expr(_BLOOM_PRED)).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert n_match == truth, "bloom dropped a true match"
+    n_nonmatch = t["lineitem"].count() - truth
+    assert n_fp / n_nonmatch < 0.02, f"bloom FP rate {n_fp / n_nonmatch:.2%}"
 
 
 def test_rows_only_ops_declared_and_sane(spark, sf_oracle):
