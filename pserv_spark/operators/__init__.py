@@ -36,6 +36,7 @@ def _load() -> None:
         "iterative",
         "rollup",
         "sketches",
+        "timedomain",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

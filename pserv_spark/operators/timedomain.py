@@ -1,0 +1,138 @@
+"""Time-domain analysis operators: DFT periodogram + lag cross-correlation.
+
+Two classic unevenly-sampled-time-series tools from the variable-star /
+AGN literature, applied to the events stream (the stand-in for the
+reference's ForcedSource light curves — public repo:
+python/desc/pserv/, forced-photometry ingest, SURVEY §1.1):
+
+- ``lightcurve_dft_power`` — the Deeming (1975) discrete-Fourier-
+  transform periodogram for unevenly sampled data:
+  P(f) = [ (Σ v·cos 2πft)² + (Σ v·sin 2πft)² ] / N.  Complements the
+  Stellingwerf PDM periodogram (``lightcurve_periodogram``): PDM is
+  trig-free, DFT is the frequency-domain standard.
+- ``lightcurve_dcf_lag`` — discrete correlation function between two
+  event-type "bands" (click vs purchase daily series) over a grid of
+  day lags — the band-to-band lag measurement used for reverberation
+  mapping, as a daily-binned Pearson correlation per lag.
+
+Scale path: both are explode-before-shuffle single-pass aggregations —
+trial frequencies (resp. lags) are fanned out map-side, then ONE
+partially-aggregated groupBy collapses rows × n_freq to
+users × n_freq.  No self-join on the fact table, no window over the
+full series; at 100 TB the only exchange is the final keyed aggregate.
+
+Determinism (SURVEY §4.5): Java ``Math.cos`` and libm ``cos`` disagree
+in the last ulp on ~0.4% of arguments (measured: 874/200k values), so
+raw trig sums cannot hash-match.  The Stetson-J quantization pattern
+absorbs this: per-row terms are floored to integer millionths
+(``CAST(FLOOR(x*1e6) AS BIGINT)``) before the SUM, making the
+aggregation exact-integer and order-independent; a 1-ulp trig
+difference changes the floored value only when x·1e6 sits within 1 ulp
+of an integer boundary (probability ~2⁻⁴⁶ per row — measure-zero).
+The DCF rounds ``corr`` to 4 digits, the same tolerance the validated
+``agg_corr`` corpus query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_tables
+from ._oracle import inline_views
+
+#: Trial periods (days) for the DFT periodogram.
+_PERIODS_D = (0.5, 1.0, 3.0, 7.0)
+
+#: Day lags for the discrete correlation function.
+_LAGS = tuple(range(-3, 4))
+
+#: Shared arithmetic (identical text both engines ⇒ identical double
+#: expression trees; only cos/sin may differ by 1 ulp, absorbed by the
+#: floor-quantization).
+_THETA = "2 * pi() * (ts_us / 86400000000.0) / p"
+_QC = f"CAST(FLOOR(value * cos({_THETA}) * 1000000.0) AS BIGINT)"
+_QS = f"CAST(FLOOR(value * sin({_THETA}) * 1000000.0) AS BIGINT)"
+_POWER = (
+    "ROUND(((CAST(c AS DOUBLE) / 1000000.0) * (CAST(c AS DOUBLE) / 1000000.0)"
+    " + (CAST(s AS DOUBLE) / 1000000.0) * (CAST(s AS DOUBLE) / 1000000.0))"
+    " / n_obs, 6)"
+)
+
+
+def _dft_sql(values_clause: str) -> str:
+    """Engine-shared DFT query body; only the periods-list FROM-clause
+    syntax differs per dialect."""
+    return (
+        "WITH base AS ("
+        "  SELECT user_id, ts_us, value FROM v_events"
+        "  WHERE event_type = 'purchase' AND user_id < 50"
+        "), ex AS ("
+        f"  SELECT user_id, ts_us, value, p FROM base CROSS JOIN {values_clause}"
+        "), parts AS ("
+        "  SELECT user_id, p,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_obs,"
+        f"   CAST(SUM({_QC}) AS BIGINT) AS c,"
+        f"   CAST(SUM({_QS}) AS BIGINT) AS s"
+        "  FROM ex GROUP BY user_id, p"
+        ") SELECT user_id, p AS period_days, n_obs, "
+        f"{_POWER} AS power FROM parts"
+    )
+
+
+def lightcurve_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deeming DFT periodogram over per-user purchase series."""
+    load_tables(spark, sf_dir)
+    rows = ",".join(f"({p})" for p in _PERIODS_D)
+    return spark.sql(_dft_sql(f"(VALUES {rows}) AS periods(p)"))
+
+
+def _dft_oracle() -> str:
+    rows = ",".join(f"({p})" for p in _PERIODS_D)
+    return _dft_sql(f"(VALUES {rows}) periods(p)")
+
+
+def _dcf_sql(lags_clause: str, day_shift: str) -> str:
+    """Engine-shared DCF body.  ``day_shift`` adds ``lag`` days to a
+    DATE (dialect-specific: Spark date_add, DuckDB date + int)."""
+    return (
+        "WITH daily AS ("
+        "  SELECT CAST(ts AS DATE) AS day, event_type,"
+        "    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v"
+        "  FROM v_events WHERE event_type IN ('click', 'purchase')"
+        "  GROUP BY 1, 2"
+        "), a AS (SELECT day, v FROM daily WHERE event_type = 'click'),"
+        "   b AS (SELECT day, v FROM daily WHERE event_type = 'purchase')"
+        f" SELECT dlag, CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+        "    ROUND(corr(a.v, b.v), 4) AS r"
+        f" FROM a CROSS JOIN {lags_clause}"
+        f" JOIN b ON b.day = {day_shift}"
+        "  GROUP BY dlag"
+    )
+
+
+def lightcurve_dcf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete correlation function: click→purchase daily-series
+    correlation at day lags −3…+3.  The daily rollup collapses the
+    stream to ~30 rows per band before the (broadcast-size) lag
+    fan-out, so the quadratic part never touches raw events."""
+    load_tables(spark, sf_dir)
+    rows = ",".join(f"({k})" for k in _LAGS)
+    return spark.sql(
+        _dcf_sql(f"(VALUES {rows}) AS lags(dlag)", "date_add(a.day, dlag)")
+    )
+
+
+def _dcf_oracle() -> str:
+    rows = ",".join(f"({k})" for k in _LAGS)
+    return _dcf_sql(f"(VALUES {rows}) lags(dlag)", "a.day + dlag")
+
+
+QUERIES = {
+    "lightcurve_dft_power": lightcurve_dft_power,
+    "lightcurve_dcf_lag": lightcurve_dcf_lag,
+}
+
+ORACLES = {
+    "lightcurve_dft_power": inline_views(_dft_oracle()),
+    "lightcurve_dcf_lag": inline_views(_dcf_oracle()),
+}
