@@ -37,6 +37,7 @@ def _load() -> None:
         "rollup",
         "sketches",
         "timedomain",
+        "lifecycle_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

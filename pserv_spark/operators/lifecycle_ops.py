@@ -1,0 +1,177 @@
+"""Data-lifecycle operators: retention + right-to-erasure purge.
+
+A 100 TB lakehouse needs compliance deletes that do NOT rewrite the
+table: GDPR/CCPA erasure of a handful of users and time-based retention
+must touch only the physical partitions that actually contain affected
+rows (the delete path every production table format — Delta, Iceberg,
+Hudi — optimizes for).  Day-zero plain-parquet implementation:
+
+- the store is laid out two-level: ``day`` (time partition) ×
+  ``ub`` (user hash-bucket), the same layout the CDC store uses
+  (``stream_cdc_apply``);
+- **retention** (drop everything before a cutoff day) is a pure
+  *metadata* delete: whole ``day=...`` directories are removed, no file
+  is read or written;
+- **erasure** (delete all rows of the requested users) prunes to the
+  buckets those users hash into — at most |erasure set| buckets — and
+  rewrites only the (surviving-day × touched-bucket) partitions with an
+  anti-filter; every other partition's files are left byte-identical
+  (tests/test_extensions.py audits mtimes).
+
+Serving reads the purged store and aggregates per day, so the exact
+DuckDB oracle is the equivalent global filter over raw events — proving
+the partition-surgical path produces exactly the semantics of the
+naive full-rewrite ``DELETE WHERE``.
+
+The reference manages MySQL tables where DELETE is the engine's problem
+(SURVEY §2.1, `DbConnection.apply`); this operator is the Spark-native
+scale path for the same administrative surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ._oracle import inline_views
+
+#: User hash-bucket count (scale with key cardinality; 32 keeps the
+#: erasure rewrite ≤ |erased users| / 32 of the surviving store).
+_BUCKETS = 32
+
+#: Retention cutoff: keep days >= this (the synthetic stream spans
+#: 2024-01-01 .. 2024-01-30).
+_CUTOFF = "2024-01-06"
+
+#: Erasure predicate (stands in for the uploaded erasure-request list;
+#: deterministic so the oracle can re-derive it).
+_ERASE_MOD = 37
+
+
+def _store_dir(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"pserv_purge_store_{key}")
+
+
+def _partition_files(root: str) -> dict[str, tuple[int, float]]:
+    """{relative parquet path: (size, mtime)} for rewrite auditing."""
+    out: dict[str, tuple[int, float]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def purge_store(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Build the layout, run retention + erasure, return audit info.
+
+    Returns (store_path, audit) where audit records which partitions
+    were dropped / rewritten / untouched and the untouched partitions'
+    file inventory before and after (must be identical).
+    """
+    ev = catalog.v_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    laid = ev.withColumn("day", F.to_date("ts")).withColumn(
+        "ub", F.pmod(F.hash("user_id"), F.lit(_BUCKETS))
+    )
+    store = _store_dir(sf_dir)
+    shutil.rmtree(store, ignore_errors=True)
+    laid.write.mode("overwrite").partitionBy("day", "ub").parquet(store)
+
+    before = _partition_files(store)
+
+    # --- retention: metadata-only drop of expired day partitions ---
+    dropped_days = []
+    for d in sorted(os.listdir(store)):
+        if d.startswith("day=") and d[4:] < _CUTOFF:
+            shutil.rmtree(os.path.join(store, d))
+            dropped_days.append(d)
+
+    # --- erasure: prune to the erased users' buckets, rewrite only
+    # those partitions.  The erased-user scan is itself partition-
+    # pruned (bucket pushdown: ub is derivable from the request list
+    # driver-side without reading the store). ---
+    erased_buckets = sorted(
+        {
+            r.ub
+            for r in ev.select("user_id")
+            .where(F.col("user_id") % _ERASE_MOD == 0)
+            .select(F.pmod(F.hash("user_id"), F.lit(_BUCKETS)).alias("ub"))
+            .distinct()
+            .collect()
+        }
+    )
+    touched_dirs = []
+    for d in sorted(os.listdir(store)):
+        if not d.startswith("day="):
+            continue
+        for b in erased_buckets:
+            part = os.path.join(store, d, f"ub={b}")
+            if os.path.isdir(part):
+                touched_dirs.append(os.path.relpath(part, store))
+
+    surviving = (
+        spark.read.parquet(store)
+        .where(F.col("ub").isin([int(b) for b in erased_buckets]))
+        .where(F.col("user_id") % _ERASE_MOD != 0)
+    )
+    surviving = surviving.localCheckpoint()  # materialize before dir removal
+    for rel in touched_dirs:
+        shutil.rmtree(os.path.join(store, rel))
+    surviving.write.mode("append").partitionBy("day", "ub").parquet(store)
+
+    after = _partition_files(store)
+    untouched_before = {
+        p: v
+        for p, v in before.items()
+        if not any(p.startswith(t + os.sep) for t in touched_dirs)
+        and not any(p.startswith(d + os.sep) for d in dropped_days)
+    }
+    untouched_after = {p: v for p, v in after.items() if p in untouched_before}
+    return store, {
+        "dropped_days": dropped_days,
+        "touched_dirs": touched_dirs,
+        "erased_buckets": erased_buckets,
+        "untouched_before": untouched_before,
+        "untouched_after": untouched_after,
+    }
+
+
+def purge_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention + erasure purge, served as a per-day rollup of the
+    surviving store (exact oracle = the global DELETE-WHERE filter)."""
+    store, _audit = purge_store(spark, sf_dir)
+    return (
+        spark.read.parquet(store)
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_PURGE_ORACLE = inline_views(
+    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    f"FROM v_events WHERE CAST(ts AS DATE) >= DATE '{_CUTOFF}' "
+    f"AND user_id % {_ERASE_MOD} != 0 GROUP BY 1"
+)
+
+
+QUERIES = {"purge_erasure_rewrite": purge_erasure_rewrite}
+ORACLES = {"purge_erasure_rewrite": _PURGE_ORACLE}

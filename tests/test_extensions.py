@@ -149,3 +149,19 @@ def test_zoned_crossmatch_property(spark, sf_oracle):
         )
         res = compare_frames(f"zoned_eps_{eps}", zoned, naive)
         assert res.ok, f"eps={eps}: {res.detail}"
+
+
+def test_purge_rewrite_is_partition_surgical(spark, sf_oracle):
+    """Lifecycle audit: retention drops whole day partitions without
+    reads; erasure rewrites only the erased users' hash-bucket
+    partitions; every other partition's files stay byte-identical
+    (size + mtime)."""
+    from pserv_spark.operators.lifecycle_ops import _BUCKETS, purge_store
+
+    _store, audit = purge_store(spark, sf_oracle)
+    assert audit["dropped_days"], "retention should expire some days"
+    assert audit["touched_dirs"], "erasure should touch some partitions"
+    # The rewrite prunes to the erased users' buckets only.
+    assert 0 < len(audit["erased_buckets"]) < _BUCKETS // 2
+    assert audit["untouched_before"], "most partitions must be untouched"
+    assert audit["untouched_before"] == audit["untouched_after"]
