@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..catalog import load_tables
-from ._oracle import inline_views
+from ._oracle import duck_hash32, inline_views
 
 _HLL_M = 256  # registers (first 2 hex digits of md5)
 _HLL_WBITS = 60  # rank field: next 15 hex digits
@@ -304,14 +304,245 @@ def _bloom_oracle() -> str:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct sketch + set-operation estimates
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = float(1 << 60)  # hash domain: 60-bit ints from 15 hex digits
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketches (Bar-Yossef et al. 2002) over the
+    distinct users of the 'click' and 'view' event streams, plus
+    union / intersection estimates from the *merged sketches* — the
+    theta-sketch-style set algebra that exact COUNT(DISTINCT) cannot
+    do without re-scanning both inputs.
+
+    Estimator: with U_(K) the K-th smallest normalized hash,
+    D-hat = (K-1)/U_(K); union from the merged K-min list; intersection
+    via the Jaccard fraction of merged values present in both sketches.
+
+    Scale shape: the sketch is built in TWO phases — per (type, salt)
+    partial K-min arrays (map-side bounded at K values each), then a
+    merge of 32 arrays per type — so no single reducer ever sees more
+    than 32·K values, and the same merge runs across days/partitions
+    for incremental maintenance.  Exact distinct counts are carried for
+    error context.  Everything is md5-anchored (SURVEY §4.5): both
+    engines replay identical integer hash lists, so estimates
+    hash-match exactly.
+    """
+    ev = catalog.v_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    w = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 3, 15), 16, 10).cast(
+        "long"
+    )
+    # Phase 1: partial K-min per (type, salt-of-hash).
+    partial = (
+        ev.select("event_type", w.alias("w"))
+        .groupBy("event_type", (F.col("w") % 32).alias("salt"))
+        .agg(F.slice(F.array_sort(F.collect_set("w")), 1, _KMV_K).alias("mins"))
+    )
+    # Phase 2: merge partials -> one K-min array per type (+ exact count).
+    sk = partial.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, _KMV_K).alias(
+            "mins"
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    sk = sk.join(exact, "event_type")
+
+    def est(arr):
+        # Standard KMV: a sketch holding fewer than K values has seen
+        # the whole distinct set -> its size IS the exact count.
+        kth = F.element_at(arr, F.least(F.lit(_KMV_K), F.size(arr))).cast("double")
+        return F.when(
+            F.size(arr) < _KMV_K, F.size(arr).cast("double")
+        ).otherwise(
+            F.round(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE) / kth, 4)
+        )
+
+    per_type = sk.select(
+        F.col("event_type").alias("set_expr"),
+        F.col("n_exact"),
+        est(F.col("mins")).alias("estimate"),
+    )
+
+    a = sk.where(F.col("event_type") == "click").select(
+        F.col("mins").alias("ma"), F.col("n_exact").alias("na")
+    )
+    b = sk.where(F.col("event_type") == "view").select(
+        F.col("mins").alias("mb"), F.col("n_exact").alias("nb")
+    )
+    both = a.crossJoin(b).select(
+        "ma",
+        "mb",
+        F.slice(F.array_sort(F.array_union("ma", "mb")), 1, _KMV_K).alias("mu"),
+    )
+    union_est = est(F.col("mu"))
+    jacc = F.size(
+        F.filter(
+            "mu",
+            lambda x: F.array_contains("ma", x) & F.array_contains("mb", x),
+        )
+    ).cast("double") / F.least(F.lit(_KMV_K), F.size("mu")).cast("double")
+    ev_exact = catalog.v_events(spark, sf_dir)
+    n_union = (
+        ev_exact.where(F.col("event_type").isin("click", "view"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+    )
+    n_inter = (
+        ev_exact.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .where(F.col("nt") == 2)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    setops = (
+        both.crossJoin(n_union.select(F.col("n").alias("nu")))
+        .crossJoin(n_inter.select(F.col("n").alias("ni")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("click|view").alias("set_expr"),
+                        F.col("nu").alias("n_exact"),
+                        union_est.alias("estimate"),
+                    ),
+                    F.struct(
+                        F.lit("click&view").alias("set_expr"),
+                        F.col("ni").alias("n_exact"),
+                        F.round(jacc * union_est, 4).alias("estimate"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    return per_type.unionByName(setops)
+
+
+def _kmv_oracle() -> str:
+    w = _duck_hex_fold("CAST(user_id AS VARCHAR)", 3, 15)
+    k = _KMV_K
+    scale = f"{_KMV_SCALE!r}"
+    return inline_views(
+        "WITH hashes AS (SELECT DISTINCT event_type, "
+        f"{w} AS w FROM v_events WHERE event_type IN ('click', 'view')), "
+        "ranked AS (SELECT event_type, w, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY w) AS rn FROM hashes), "
+        f"sk AS (SELECT event_type, list(w ORDER BY w) AS mins FROM ranked "
+        f"WHERE rn <= {k} GROUP BY event_type), "
+        "exact AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact "
+        "FROM v_events WHERE event_type IN ('click', 'view') GROUP BY event_type), "
+        "per_type AS (SELECT s.event_type AS set_expr, e.n_exact, "
+        f"CASE WHEN len(s.mins) < {k} THEN CAST(len(s.mins) AS DOUBLE) "
+        f"ELSE ROUND({k - 1} * {scale} / CAST(s.mins[len(s.mins)] AS DOUBLE), 4) END AS estimate "
+        "FROM sk s JOIN exact e ON s.event_type = e.event_type), "
+        "ab AS (SELECT (SELECT mins FROM sk WHERE event_type = 'click') AS ma, "
+        "(SELECT mins FROM sk WHERE event_type = 'view') AS mb), "
+        "mg AS (SELECT ma, mb, "
+        f"(list_sort(list_distinct(ma || mb)))[1:{k}] AS mu FROM ab), "
+        "nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM v_events "
+        "WHERE event_type IN ('click', 'view')), "
+        "ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+        "(SELECT user_id FROM v_events WHERE event_type IN ('click', 'view') "
+        "GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)), "
+        "setops AS ("
+        "SELECT 'click|view' AS set_expr, (SELECT n FROM nu) AS n_exact, "
+        f"CASE WHEN len(mu) < {k} THEN CAST(len(mu) AS DOUBLE) "
+        f"ELSE ROUND({k - 1} * {scale} / CAST(mu[len(mu)] AS DOUBLE), 4) END AS estimate FROM mg "
+        "UNION ALL "
+        "SELECT 'click&view', (SELECT n FROM ni), "
+        f"ROUND(CAST(len(list_filter(mu, x -> list_contains(ma, x) AND "
+        f"list_contains(mb, x))) AS DOUBLE) / CAST(least({k}, len(mu)) AS DOUBLE) * "
+        f"(CASE WHEN len(mu) < {k} THEN CAST(len(mu) AS DOUBLE) "
+        f"ELSE ROUND({k - 1} * {scale} / CAST(mu[len(mu)] AS DOUBLE), 4) END), 4) FROM mg) "
+        "SELECT * FROM per_type UNION ALL SELECT * FROM setops"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sampled quantile estimation
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PCT = 5  # keep ~5% of rows
+
+
+def sketch_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile estimates from a deterministic ~5% key-hash
+    sample, with the exact full-data quantiles for error context.
+
+    The scale story: exact interpolated percentiles need a per-group
+    sort of the full fact table; a hash sample bounds that sort to
+    SAMPLE_PCT of the data while staying reproducible (pure function
+    of the key — no RNG, no seed state, identical on every engine,
+    run, and partitioning).  Both engines select the identical sample
+    rows and share interpolated-percentile semantics (validated by the
+    corpus ``agg_percentile``), so the oracle match is exact.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    keyh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    samp = li.where(keyh % 100 < _SAMPLE_PCT)
+    est = samp.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("est_p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("est_p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("est_p99"),
+    )
+    true = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("true_p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("true_p90"),
+    )
+    return est.join(true, "l_returnflag")
+
+
+def _sampled_quantile_oracle() -> str:
+    keyh = duck_hash32(
+        "concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))"
+    )
+    return (
+        f"WITH samp AS (SELECT * FROM lineitem WHERE {keyh} % 100 < {_SAMPLE_PCT}), "
+        "est AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sample, "
+        "quantile_cont(l_extendedprice, 0.5) AS est_p50, "
+        "quantile_cont(l_extendedprice, 0.9) AS est_p90, "
+        "quantile_cont(l_extendedprice, 0.99) AS est_p99 "
+        "FROM samp GROUP BY l_returnflag), "
+        "tru AS (SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.5) AS true_p50, "
+        "quantile_cont(l_extendedprice, 0.9) AS true_p90 "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT e.l_returnflag, e.n_sample, e.est_p50, e.est_p90, e.est_p99, "
+        "t.true_p50, t.true_p90 FROM est e JOIN tru t USING (l_returnflag)"
+    )
+
+
 QUERIES = {
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_countmin_topk": sketch_countmin_topk,
     "sketch_bloom_prune": sketch_bloom_prune,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_sampled_quantile": sketch_sampled_quantile,
 }
 
 ORACLES = {
     "sketch_hll_estimate": inline_views(_hll_oracle()),
     "sketch_countmin_topk": _cms_oracle(),
     "sketch_bloom_prune": _bloom_oracle(),
+    "sketch_kmv_distinct": _kmv_oracle(),
+    "sketch_sampled_quantile": _sampled_quantile_oracle(),
 }

@@ -165,3 +165,17 @@ def test_purge_rewrite_is_partition_surgical(spark, sf_oracle):
     assert 0 < len(audit["erased_buckets"]) < _BUCKETS // 2
     assert audit["untouched_before"], "most partitions must be untouched"
     assert audit["untouched_before"] == audit["untouched_after"]
+
+
+def test_kmv_and_sampled_quantile_estimate_well(spark, sf_oracle):
+    """The KMV distinct estimates and hash-sampled quantiles must be
+    *good* estimates, not just deterministic ones."""
+    from pserv_spark.operators.sketches import sketch_kmv_distinct, sketch_sampled_quantile
+
+    for r in sketch_kmv_distinct(spark, sf_oracle).collect():
+        if r.n_exact:
+            assert abs(r.estimate - r.n_exact) / r.n_exact < 0.35, r
+    for r in sketch_sampled_quantile(spark, sf_oracle).collect():
+        if r.n_sample >= 20:
+            assert abs(r.est_p50 - r.true_p50) / r.true_p50 < 0.15, r
+            assert abs(r.est_p90 - r.true_p90) / r.true_p90 < 0.15, r
