@@ -195,13 +195,96 @@ _PK_LAYOUT_ORACLE = (
 )
 
 
+_FITS_REGISTERED: set[int] = set()
+
+
+def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom-connector ingest: events → FITS-style binary
+    table fixture → ``spark.read.format("fitslike")`` → aggregation.
+
+    This is the reference's actual ingest path (FITS binary table →
+    typed columns, NaN→NULL — public repo python/desc/pserv/Pserv.py,
+    ``create_csv_file_from_fits``) with the CSV hop deleted: the
+    Spark 4 Python DataSource decodes the binary rows executor-side in
+    row-block partitions.  NaNs are seeded into the fixture
+    (event_id % 101 == 0) to prove the NULL path; the DuckDB oracle
+    applies the same predicate to the original parquet, so a hash
+    match certifies the binary encode→decode round-trip is lossless.
+    """
+    import hashlib as _hl
+
+    from ..sources.fitslike import FitsLikeDataSource, write_fitslike
+
+    if id(spark) not in _FITS_REGISTERED:
+        spark.dataSource.register(FitsLikeDataSource)
+        _FITS_REGISTERED.add(id(spark))
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_fitslike_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}.dat",
+    )
+    if not os.path.exists(path):
+        src = (
+            catalog.v_events(spark, sf_dir)
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                "ts_us",
+                F.when(F.col("event_id") % 101 == 0, float("nan"))
+                .otherwise(F.col("value"))
+                .alias("value"),
+                "event_type",
+            )
+            .orderBy("event_id")
+        )
+        write_fitslike(
+            path,
+            [
+                ("event_id", "K"),
+                ("user_id", "K"),
+                ("ts_us", "K"),
+                ("value", "D"),
+                ("event_type", "8A"),
+            ],
+            [tuple(r) for r in src.collect()],
+        )
+    loaded = (
+        spark.read.format("fitslike")
+        .option("path", path)
+        .option("rowsPerBlock", 500)
+        .load()
+    )
+    return loaded.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.max("event_type").alias("etype"),
+    )
+
+
+_FITSLIKE_ORACLE = (
+    "SELECT user_id % 10 AS cohort, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    "CAST(SUM(CASE WHEN event_id % 101 = 0 THEN NULL "
+    "ELSE CAST(value AS DECIMAL(14,2)) END) AS DECIMAL(18,2)) AS sum_value, "
+    "CAST(MAX(ts_us) AS BIGINT) AS max_ts_us, MAX(event_type) AS etype "
+    "FROM v_events WHERE event_type = 'purchase' GROUP BY 1"
+)
+
+
 QUERIES = {
     "ingest_csv_roundtrip": ingest_csv_roundtrip,
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
     "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
+    "source_fitslike_scan": source_fitslike_scan,
 }
 ORACLES = {
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,
     "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),
+    "source_fitslike_scan": inline_views(_FITSLIKE_ORACLE),
 }

@@ -144,3 +144,38 @@ def test_pk_layout_files_are_object_clustered(spark, sf_oracle):
         pdf = pd.read_parquet(f, columns=["user_id", "ts_us"])
         keys = list(zip(pdf.user_id, pdf.ts_us))
         assert keys == sorted(keys), f"{os.path.basename(f)} not sorted"
+
+
+def test_fitslike_datasource_roundtrip(spark, tmp_path):
+    """Custom Python DataSource: header-declared schema, block
+    partitioning, NaN→NULL, string padding strip."""
+    from pserv_spark.sources.fitslike import (
+        FitsLikeDataSource,
+        read_header,
+        write_fitslike,
+    )
+
+    path = str(tmp_path / "t.dat")
+    rows = [(i, float(i) if i % 5 else float("nan"), f"s{i}") for i in range(257)]
+    write_fitslike(path, [("k", "K"), ("v", "D"), ("tag", "4A")], rows)
+    colspec, nrows, row_bytes, _off = read_header(path)
+    assert colspec == [("k", "K"), ("v", "D"), ("tag", "4A")]
+    assert (nrows, row_bytes) == (257, 8 + 8 + 4)
+
+    try:
+        spark.dataSource.register(FitsLikeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("fitslike")
+        .option("path", path)
+        .option("rowsPerBlock", 100)
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<k:bigint,v:double,tag:string>"
+    assert df.rdd.getNumPartitions() == 3  # ceil(257/100) row blocks
+    got = {r.k: (r.v, r.tag) for r in df.collect()}
+    assert len(got) == 257
+    assert got[7] == (7.0, "s7")
+    assert got[10][0] is None  # NaN -> NULL
+    assert got[256] == (256.0, "s256")  # exactly fills the 4A field
