@@ -360,6 +360,89 @@ _COMPACT_ORACLE = (
 )
 
 
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone-map data skipping on a NON-partition column —
+    the Delta/Iceberg file-stats mechanism, day-zero on plain parquet.
+
+    Partition pruning only helps for the partition key; a 100 TB fact
+    table also needs skipping on its clustered sort key.  Mechanism:
+    (1) range-layout the table (`repartitionByRange` on l_shipdate →
+    each output file covers a tight date band); (2) build a manifest of
+    per-file (min, max) of the sort key with ONE aggregated scan
+    (`input_file_name()` groupBy — what OPTIMIZE stats collection
+    does); (3) at query time, intersect the predicate with the
+    manifest driver-side (the manifest is file-count-sized, i.e. tiny)
+    and read only surviving files, keeping the predicate as a residual
+    filter.  The oracle is the plain global filter, so a hash match
+    proves skipping never changes results; tests assert most files
+    were actually skipped.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    lo, hi, hi_excl = "1996-01-01", "1996-03-31", "1996-04-01"
+    li = catalog.table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_zonemap_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    manifest_path = os.path.join(out, "_manifest.json")
+    if not os.path.exists(manifest_path):
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            li.repartitionByRange(16, "l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        stats = (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("l_shipdate").cast("string").alias("mn"),
+                F.max("l_shipdate").cast("string").alias("mx"),
+            )
+            .collect()
+        )
+        import json
+
+        with open(manifest_path, "w") as f:
+            json.dump([(r.file, r.mn, r.mx) for r in stats], f)
+
+    import json
+
+    manifest = json.load(open(manifest_path))
+    selected = [
+        fpath
+        for fpath, mn, mx in manifest
+        if not (mx < lo or mn >= hi_excl)  # ISO strings order correctly
+    ]
+    # surface the skipping stats for the audit test
+    layout_zonemap_prune.last_audit = {  # type: ignore[attr-defined]
+        "n_files": len(manifest),
+        "n_selected": len(selected),
+    }
+    pruned = spark.read.parquet(*selected).where(
+        F.to_date("l_shipdate").between(lo, hi)  # residual filter stays on
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_price"),
+    )
+
+
+_ZONEMAP_ORACLE = (
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_price "
+    "FROM lineitem "
+    "WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' "
+    "GROUP BY l_returnflag"
+)
+
+
 QUERIES = {
     "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
@@ -369,7 +452,7 @@ QUERIES = {
     "class_balance_downsample": class_balance_downsample,
     "win_ewma_decay": win_ewma_decay,
     "win_rolling_median": win_rolling_median,
-    "layout_compact_smallfiles": layout_compact_smallfiles,
+    "layout_compact_smallfiles": layout_compact_smallfiles,    "layout_zonemap_prune": layout_zonemap_prune,
 }
 
 ORACLES = {
@@ -454,5 +537,5 @@ ORACLES = {
         "FROM v_events WHERE user_id < 30 "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id "
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
-    ),
+    ),    "layout_zonemap_prune": _ZONEMAP_ORACLE,
 }

@@ -179,3 +179,14 @@ def test_kmv_and_sampled_quantile_estimate_well(spark, sf_oracle):
         if r.n_sample >= 20:
             assert abs(r.est_p50 - r.true_p50) / r.true_p50 < 0.15, r
             assert abs(r.est_p90 - r.true_p90) / r.true_p90 < 0.15, r
+
+
+def test_zonemap_prunes_most_files(spark, sf_oracle):
+    """Zone-map skipping must actually skip: the 3-month predicate on
+    the range-laid-out table should read a small minority of files."""
+    from pserv_spark.operators.pipeline_ops import layout_zonemap_prune
+
+    layout_zonemap_prune(spark, sf_oracle).collect()
+    audit = layout_zonemap_prune.last_audit
+    assert audit["n_files"] >= 8
+    assert 0 < audit["n_selected"] <= audit["n_files"] // 4, audit
