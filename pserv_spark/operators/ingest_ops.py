@@ -248,6 +248,7 @@ def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("event_type", "8A"),
             ],
             [tuple(r) for r in src.collect()],
+            sort_key="event_id",
         )
     loaded = (
         spark.read.format("fitslike")

@@ -31,6 +31,9 @@ TUNING_SQL_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Let custom Python DataSources (sources/fitslike.py) receive
+    # pushed filters for block pruning (off by default in Spark 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -51,13 +51,20 @@ _CODES = {
 }
 
 
-def _header_cards(colspec: list[tuple[str, str]], nrows: int, row_bytes: int) -> bytes:
+def _header_cards(
+    colspec: list[tuple[str, str]],
+    nrows: int,
+    row_bytes: int,
+    sort_key: str | None = None,
+) -> bytes:
     cards = [
         f"{'XTENSION':<8}= 'BINTABLE'",
         f"{'NAXIS1':<8}= {row_bytes}",
         f"{'NAXIS2':<8}= {nrows}",
         f"{'TFIELDS':<8}= {len(colspec)}",
     ]
+    if sort_key:
+        cards.append(f"{'SORTKEY':<8}= '{sort_key}'")
     for i, (name, code) in enumerate(colspec, start=1):
         cards.append(f"{'TTYPE' + str(i):<8}= '{name}'")
         cards.append(f"{'TFORM' + str(i):<8}= '{code}'")
@@ -77,13 +84,20 @@ def _parse_code(code: str) -> tuple[str, T.DataType, int]:
 
 
 def write_fitslike(
-    path: str, colspec: list[tuple[str, str]], rows: list[tuple]
+    path: str,
+    colspec: list[tuple[str, str]],
+    rows: list[tuple],
+    sort_key: str | None = None,
 ) -> None:
-    """Write a FITS-style binary table (fixture generator / export)."""
+    """Write a FITS-style binary table (fixture generator / export).
+
+    ``sort_key`` declares that ``rows`` are ascending in that column
+    (recorded as a SORTKEY header card); the reader exploits it for
+    block-level filter pushdown."""
     fmts = [_parse_code(c) for _n, c in colspec]
     row_bytes = sum(w for _f, _t, w in fmts)
     with open(path, "wb") as f:
-        f.write(_header_cards(colspec, len(rows), row_bytes))
+        f.write(_header_cards(colspec, len(rows), row_bytes, sort_key))
         for row in rows:
             for (fmt, dtype, width), v in zip(fmts, row):
                 if fmt.endswith("s"):
@@ -99,8 +113,10 @@ def write_fitslike(
         f.write(b"\x00" * pad)
 
 
-def read_header(path: str) -> tuple[list[tuple[str, str]], int, int, int]:
-    """(colspec, nrows, row_bytes, data_offset) from the ASCII header."""
+def read_header(
+    path: str,
+) -> tuple[list[tuple[str, str]], int, int, int, str | None]:
+    """(colspec, nrows, row_bytes, data_offset, sort_key)."""
     cards: dict[str, str] = {}
     with open(path, "rb") as f:
         while True:
@@ -122,7 +138,13 @@ def read_header(path: str) -> tuple[list[tuple[str, str]], int, int, int]:
     colspec = [
         (cards[f"TTYPE{i}"], cards[f"TFORM{i}"]) for i in range(1, nfields + 1)
     ]
-    return colspec, int(cards["NAXIS2"]), int(cards["NAXIS1"]), offset
+    return (
+        colspec,
+        int(cards["NAXIS2"]),
+        int(cards["NAXIS1"]),
+        offset,
+        cards.get("SORTKEY"),
+    )
 
 
 class _RowRange(InputPartition):
@@ -136,18 +158,80 @@ class FitsLikeReader(DataSourceReader):
         self.path = path
         self.rows_per_block = rows_per_block
         self.nan_as_null = nan_as_null
-        self.colspec, self.nrows, self.row_bytes, self.offset = read_header(path)
+        (
+            self.colspec,
+            self.nrows,
+            self.row_bytes,
+            self.offset,
+            self.sort_key,
+        ) = read_header(path)
         self.fmts = [_parse_code(c) for _n, c in self.colspec]
+        self.lo: float | None = None  # pushed lower bound on sort_key
+        self.hi: float | None = None  # pushed upper bound
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Block pruning on the declared sort column.
+
+        Bounds from =, <, <=, >, >= predicates on ``sort_key`` narrow
+        the row-block list in ``partitions()``.  ALL filters are
+        returned as residual: Spark re-applies them after the scan, so
+        pushdown only ever prunes IO — a block-boundary bug could slow
+        the query, never corrupt it.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if self.sort_key is not None:
+            key = (self.sort_key,)
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                val = getattr(f, "value", None)
+                if tuple(attr or ()) != key or not isinstance(val, (int, float)):
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, val) if self.lo is not None else val
+                    self.hi = min(self.hi, val) if self.hi is not None else val
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self.lo = max(self.lo, val) if self.lo is not None else val
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self.hi = min(self.hi, val) if self.hi is not None else val
+        return filters
+
+    def _key_at(self, f, row: int, col_off: int, fmt: str, width: int):
+        f.seek(self.offset + row * self.row_bytes + col_off)
+        return struct.unpack(fmt, f.read(width))[0]
 
     def partitions(self) -> list[InputPartition]:
         n = max(1, math.ceil(self.nrows / self.rows_per_block))
-        return [
+        blocks = [
             _RowRange(
                 i * self.rows_per_block,
                 min((i + 1) * self.rows_per_block, self.nrows),
             )
             for i in range(n)
         ]
+        if self.sort_key is None or (self.lo is None and self.hi is None):
+            return blocks
+        names = [c for c, _code in self.colspec]
+        idx = names.index(self.sort_key)
+        col_off = sum(w for _f, _t, w in self.fmts[:idx])
+        fmt, _t, width = self.fmts[idx]
+        kept = []
+        with open(self.path, "rb") as f:
+            for b in blocks:
+                mn = self._key_at(f, b.start, col_off, fmt, width)
+                mx = self._key_at(f, b.end - 1, col_off, fmt, width)
+                if (self.hi is not None and mn > self.hi) or (
+                    self.lo is not None and mx < self.lo
+                ):
+                    continue
+                kept.append(b)
+        return kept or [_RowRange(0, 0)]
 
     def read(self, partition: _RowRange) -> Iterator[tuple]:
         fmt = ">" + "".join(f.lstrip(">") for f, _t, _w in self.fmts)
@@ -181,7 +265,7 @@ class FitsLikeDataSource(DataSource):
         return "fitslike"
 
     def schema(self) -> T.StructType:
-        colspec, _n, _rb, _off = read_header(self.options["path"])
+        colspec, _n, _rb, _off, _sk = read_header(self.options["path"])
         return T.StructType(
             [
                 T.StructField(name, _parse_code(code)[1])

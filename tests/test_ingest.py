@@ -158,7 +158,7 @@ def test_fitslike_datasource_roundtrip(spark, tmp_path):
     path = str(tmp_path / "t.dat")
     rows = [(i, float(i) if i % 5 else float("nan"), f"s{i}") for i in range(257)]
     write_fitslike(path, [("k", "K"), ("v", "D"), ("tag", "4A")], rows)
-    colspec, nrows, row_bytes, _off = read_header(path)
+    colspec, nrows, row_bytes, _off, _sk = read_header(path)
     assert colspec == [("k", "K"), ("v", "D"), ("tag", "4A")]
     assert (nrows, row_bytes) == (257, 8 + 8 + 4)
 
@@ -179,3 +179,39 @@ def test_fitslike_datasource_roundtrip(spark, tmp_path):
     assert got[7] == (7.0, "s7")
     assert got[10][0] is None  # NaN -> NULL
     assert got[256] == (256.0, "s256")  # exactly fills the 4A field
+
+
+def test_fitslike_filter_pushdown_prunes_blocks(spark, tmp_path):
+    """pushFilters on the SORTKEY column narrows the row-block list;
+    results are identical because all filters stay residual."""
+    from pserv_spark.sources.fitslike import FitsLikeDataSource, write_fitslike
+
+    path = str(tmp_path / "sorted.dat")
+    write_fitslike(
+        path,
+        [("k", "K"), ("v", "D")],
+        [(i, float(i) * 0.5) for i in range(1000)],
+        sort_key="k",
+    )
+    try:
+        spark.dataSource.register(FitsLikeDataSource)
+    except Exception:
+        pass
+    base = (
+        spark.read.format("fitslike")
+        .option("path", path)
+        .option("rowsPerBlock", 100)
+        .load()
+    )
+    assert base.rdd.getNumPartitions() == 10  # no filter: all blocks
+    filtered = base.where("k >= 250 AND k < 440")
+    # planning happens in a Python worker, so audit via the partition
+    # count of the planned scan: rows 250..439 span blocks 2,3,4 ->
+    # 3 of 10 blocks survive pruning.
+    assert filtered.rdd.getNumPartitions() == 3
+    got = sorted(r.k for r in filtered.collect())
+    assert got == list(range(250, 440))
+    # disjoint range -> zero data blocks survive, still a valid plan
+    empty = base.where("k > 5000")
+    assert empty.rdd.getNumPartitions() == 1  # the sentinel empty range
+    assert empty.count() == 0
