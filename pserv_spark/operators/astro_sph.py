@@ -294,6 +294,67 @@ _STETSON_ORACLE = (
 )
 
 
+_HPX_NSIDE = 8
+_HPX_NPIX = 12 * _HPX_NSIDE * _HPX_NSIDE  # 768
+_HPX_NCAP = 2 * _HPX_NSIDE * (_HPX_NSIDE - 1)  # 112
+
+
+def _healpix_sql(elem1: str, elem2: str) -> str:
+    """Engine-shared ang2pix_ring (Gorski et al. 2005, the public
+    HEALPix ring-scheme pixelization; nside=8) + per-pixel counts.
+
+    Identical SQL text runs in both engines (only array element access
+    differs), so the double expression trees match; the single trig
+    call (sin of dec) carries the usual measure-zero floor-boundary
+    risk (SURVEY timedomain precedent).  `tt` needs no trig at all:
+    phi/(pi/2) == ra/90.
+    """
+    n = _HPX_NSIDE
+    four_n = 4 * n
+    return (
+        f"WITH sky AS (SELECT vec_id, ({elem1} + 0.5) * 360.0 AS ra, "
+        f"{elem2} * 180.0 AS dec FROM v_emb), "
+        "g AS (SELECT vec_id, "
+        "  ra / 90.0 - 4.0 * FLOOR(ra / 360.0) AS tt, "
+        "  SIN(RADIANS(dec)) AS z FROM sky), "
+        "eq AS (SELECT vec_id, tt, z, ABS(z) AS za, "
+        f"  CAST(FLOOR({n} * (0.5 + tt) - {0.75 * n} * z) AS BIGINT) AS jp, "
+        f"  CAST(FLOOR({n} * (0.5 + tt) + {0.75 * n} * z) AS BIGINT) AS jm "
+        "FROM g), "
+        "pixed AS (SELECT vec_id, CASE WHEN za <= 2.0 / 3.0 THEN "
+        # equatorial belt: ring ir in [1, 2n+1], 4n pixels per ring
+        f"  {_HPX_NCAP} + ({n} + jp - jm) * {four_n} + "
+        f"  ((CAST(FLOOR((jp + jm - {n} + (1 - (({n} + 1 + jp - jm) % 2)) + 1) / 2.0) AS BIGINT) "
+        f"    % {four_n}) + {four_n}) % {four_n} "
+        "ELSE "
+        # polar caps: ring ir in [1, n), 4*ir pixels per ring
+        f"  CASE WHEN z > 0 THEN 2 * hp_ir * (hp_ir - 1) + hp_ip "
+        f"  ELSE {_HPX_NPIX} - 2 * hp_ir * (hp_ir + 1) + hp_ip END "
+        "END AS pix FROM ("
+        "  SELECT *, jp2 + jm2 + 1 AS hp_ir, "
+        "    ((CAST(FLOOR(tt * (jp2 + jm2 + 1)) AS BIGINT) % (4 * (jp2 + jm2 + 1))) "
+        "     + (4 * (jp2 + jm2 + 1))) % (4 * (jp2 + jm2 + 1)) AS hp_ip "
+        "  FROM (SELECT *, "
+        f"    CAST(FLOOR((tt - FLOOR(tt)) * {n} * SQRT(3.0 * (1.0 - za))) AS BIGINT) AS jp2, "
+        f"    CAST(FLOOR((1.0 - (tt - FLOOR(tt))) * {n} * SQRT(3.0 * (1.0 - za))) AS BIGINT) AS jm2 "
+        "  FROM eq) _p) _q) "
+        "SELECT pix, CAST(COUNT(*) AS BIGINT) AS n_src "
+        "FROM pixed GROUP BY pix"
+    )
+
+
+def astro_healpix_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix ring-scheme source-density map (nside=8): the sky
+    histogram Qserv-era pipelines build for coverage/depth QA, and the
+    equal-area bucketing key for spatial co-location at 100 TB (a
+    `partitionBy(pix)` layout gives every chunk the same solid angle —
+    the property dec-zones lack near the poles).  Pure single-pass
+    map + groupBy: pixel assignment is a narrow projection fused into
+    the scan; the only exchange is the 768-bucket aggregate."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_healpix_sql("element_at(emb, 1)", "element_at(emb, 2)"))
+
+
 QUERIES = {
     "astro_conesearch_sph": astro_conesearch_sph,
     "astro_crossmatch_sph": astro_crossmatch_sph,
@@ -303,6 +364,7 @@ QUERIES = {
     "astro_box_search": astro_box_search,
     "astro_ellipse_search": astro_ellipse_search,
     "astro_epoch_propagation": astro_epoch_propagation,
+    "astro_healpix_ring": astro_healpix_ring,
 }
 
 _SKY_CTE = (
@@ -371,4 +433,5 @@ ORACLES = {
         f"ROUND(dec + pm_dec * ({_PM_DT_YR} / 3600000.0), 6) AS dec_new "
         "FROM sky"
     ),
+    "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
 }

@@ -121,3 +121,42 @@ def test_calibrated_lightcurve_stats_oracle(spark, astro):
     )
     res = compare_df_to_duckdb("lightcurve", out, oracle, "", tables=tables)
     assert res.ok, f"{res.detail} {res.mismatches[:3]}"
+
+
+def test_healpix_ring_matches_independent_python(spark, sf_oracle):
+    """The SQL ang2pix_ring must agree with an independent pure-Python
+    implementation of the published algorithm (Gorski et al. 2005) on
+    every source."""
+    import math
+    from collections import Counter
+
+    from pserv_spark.operators.astro_sph import _HPX_NSIDE, _sky, astro_healpix_ring
+
+    n = _HPX_NSIDE
+
+    def ang2pix_ring(ra, dec):
+        z = math.sin(math.radians(dec))
+        za = abs(z)
+        tt = (ra / 90.0) % 4.0
+        if za <= 2.0 / 3.0:
+            jp = math.floor(n * (0.5 + tt) - 0.75 * n * z)
+            jm = math.floor(n * (0.5 + tt) + 0.75 * n * z)
+            ir = n + 1 + jp - jm
+            kshift = 1 - (ir & 1)
+            ip = math.floor((jp + jm - n + kshift + 1) / 2) % (4 * n)
+            return 2 * n * (n - 1) + (ir - 1) * 4 * n + ip
+        tp = tt - math.floor(tt)
+        tmp = n * math.sqrt(3.0 * (1.0 - za))
+        jp = math.floor(tp * tmp)
+        jm = math.floor((1.0 - tp) * tmp)
+        ir = jp + jm + 1
+        ip = math.floor(tt * ir) % (4 * ir)
+        if z > 0:
+            return 2 * ir * (ir - 1) + ip
+        return 12 * n * n - 2 * ir * (ir + 1) + ip
+
+    expected = Counter(
+        ang2pix_ring(r.ra, r.dec) for r in _sky(spark, sf_oracle).collect()
+    )
+    got = {r.pix: r.n_src for r in astro_healpix_ring(spark, sf_oracle).collect()}
+    assert got == dict(expected)
