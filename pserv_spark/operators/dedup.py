@@ -31,7 +31,7 @@ token arrays never cross the shuffle except for candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -550,6 +550,70 @@ _SPAN_ORACLE = (
 )
 
 
+def er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: match "dirty" customer names
+    back to the master list with a blocking equi-join + Levenshtein
+    residual — the standard ER/record-linkage shape (and the fuzzy
+    complement of the exact/near-dup text operators here).
+
+    Probe set: every 29th customer's name with a typo in the word part
+    ("Custoner#…", deterministic so the oracle re-derives it) — the
+    true entity is then uniquely closest (distance 1; every other
+    candidate also differs in ≥1 digit).  Blocking key = the leading
+    digits, untouched by the corruption, so the O(N·M) all-pairs
+    comparison collapses to per-block candidates; at 100 TB the block key is exactly the kind
+    of key a production linker shuffles on, and the Levenshtein UDF
+    runs JVM-side (built-in `levenshtein`, whole-stage codegen).
+    Best match per probe = lowest (distance, custkey) — a total order
+    (SURVEY §4.5 rule 4)."""
+    cust = catalog.load_tables(spark, sf_dir)["customer"]
+    probes = (
+        cust.where(F.col("c_custkey") % 29 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.concat(
+                F.lit("Custoner#"), F.substring("c_name", 10, 9)
+            ).alias("dirty_name"),
+        )
+    )
+    block = lambda c: F.substring(c, 10, 7)  # leading 7 of 9 digits
+    cands = probes.join(
+        cust.select("c_custkey", "c_name"),
+        block(F.col("dirty_name")) == block(F.col("c_name")),
+    ).select(
+        "probe_key",
+        "dirty_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("dirty_name", "c_name").alias("dist"),
+    )
+    best = cands.where(F.col("dist") <= 2).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("probe_key").orderBy("dist", "c_custkey")
+        ),
+    )
+    return best.where(F.col("rn") == 1).select(
+        "probe_key", "dirty_name", F.col("c_custkey").alias("matched_key"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+_ER_ORACLE = (
+    "WITH probes AS (SELECT c_custkey AS probe_key, "
+    "concat('Custoner#', substr(c_name, 10, 9)) AS dirty_name "
+    "FROM customer WHERE c_custkey % 29 = 0), "
+    "cands AS (SELECT p.probe_key, p.dirty_name, c.c_custkey, "
+    "levenshtein(p.dirty_name, c.c_name) AS dist "
+    "FROM probes p JOIN customer c "
+    "ON substr(p.dirty_name, 10, 7) = substr(c.c_name, 10, 7)), "
+    "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key "
+    "ORDER BY dist, c_custkey) AS rn FROM cands WHERE dist <= 2) "
+    "SELECT probe_key, dirty_name, c_custkey AS matched_key, "
+    "CAST(dist AS INT) AS dist FROM best WHERE rn = 1"
+)
+
+
 QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -558,6 +622,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_substring_spans": dedup_substring_spans,
+    "er_fuzzy_blocked": er_fuzzy_blocked,
 }
 
 ORACLES = {
@@ -568,4 +633,5 @@ ORACLES = {
     "dedup_embedding_cosine": inline_views(_EMB_COS_ORACLE),
     "dedup_cluster_cc": _CC_ORACLE,
     "dedup_substring_spans": _SPAN_ORACLE,
+    "er_fuzzy_blocked": _ER_ORACLE,
 }

@@ -269,6 +269,50 @@ _SALTED_JOIN_ORACLE = (
 )
 
 
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority /
+    exponential sampling, Duffield-Lund-Thorup): key_i = -ln(u_i)/w_i
+    with u_i a key-hash uniform and w_i = n_chars (longer documents
+    weighted up); the k smallest keys are the sample.  RNG-free like
+    every sampler here: identical on every engine, run, and
+    partitioning, and mergeable (per-partition top-k partials combine
+    into the global top-k — Spark's TakeOrderedAndProject does exactly
+    that, no full sort).
+
+    Determinism: the key is rounded to 9 digits INSIDE the ordering
+    with doc_id as total-order tiebreak (SURVEY §4.5 rule 4); a 1-ulp
+    libm `ln` difference flips a rounded key only on a measure-zero
+    boundary."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = (_split_hash(F.concat(F.lit("wps:"), F.col("doc_id").cast("string"))) + 1).cast(
+        "double"
+    ) / (4294967296.0 + 1)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    ranked = docs.select(
+        "doc_id", "n_chars", F.round(key, 9).alias("priority_key")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("priority_key"), F.col("doc_id"))
+        ),
+    )
+    return ranked.where(F.col("rn") <= 20).select(
+        "doc_id", "n_chars", "priority_key", F.col("rn").cast("int").alias("rn")
+    )
+
+
+_WPS_HASH = duck_hash32("concat('split:', concat('wps:', CAST(doc_id AS VARCHAR)))")
+_WPS_ORACLE = (
+    "WITH keyed AS (SELECT doc_id, n_chars, "
+    f"ROUND(-ln(CAST({_WPS_HASH} + 1 AS DOUBLE) / (4294967296.0 + 1)) "
+    "/ CAST(n_chars AS DOUBLE), 9) AS priority_key FROM documents), "
+    "ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority_key, doc_id) AS rn "
+    "FROM keyed) "
+    "SELECT doc_id, n_chars, priority_key, CAST(rn AS INT) AS rn "
+    "FROM ranked WHERE rn <= 20"
+)
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
@@ -277,6 +321,7 @@ QUERIES = {
     "agg_salted_twophase": agg_salted_twophase,
     "agg_histogram_bins": agg_histogram_bins,
     "join_salted_skew": join_salted_skew,
+    "sample_weighted_priority": sample_weighted_priority,
 }
 
 ORACLES = {
@@ -287,4 +332,5 @@ ORACLES = {
     "ts_gap_fill_locf": _LOCF_ORACLE,
     "agg_salted_twophase": _SALTED_ORACLE,
     "agg_histogram_bins": _HIST_ORACLE,
+    "sample_weighted_priority": _WPS_ORACLE,
 }

@@ -190,3 +190,14 @@ def test_zonemap_prunes_most_files(spark, sf_oracle):
     audit = layout_zonemap_prune.last_audit
     assert audit["n_files"] >= 8
     assert 0 < audit["n_selected"] <= audit["n_files"] // 4, audit
+
+
+def test_fuzzy_er_recovers_true_entities(spark, sf_oracle):
+    """Every corrupted probe must link back to its own customer row
+    (the typo leaves the true entity uniquely closest)."""
+    from pserv_spark.operators.dedup import er_fuzzy_blocked
+
+    rows = er_fuzzy_blocked(spark, sf_oracle).collect()
+    assert rows, "expected probes"
+    assert all(r.probe_key == r.matched_key for r in rows)
+    assert all(r.dist == 1 for r in rows)
