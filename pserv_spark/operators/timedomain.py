@@ -127,12 +127,56 @@ def _dcf_oracle() -> str:
     return _dcf_sql(f"(VALUES {rows}) lags(dlag)", "a.day + dlag")
 
 
+_FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+
+def _funnel_sql() -> str:
+    """Engine-shared 3-step ordered funnel (MATCH_RECOGNIZE-lite):
+    signup -> click -> purchase, earliest-chain semantics, conversion
+    counted only when the whole chain fits in a 7-day window.
+
+    Scale shape: three chained per-user conditional-min aggregations,
+    all keyed on user_id — Catalyst plans ONE exchange and reuses the
+    partitioning across the chain (no per-user sort, no window over
+    the raw stream).
+    """
+    return (
+        "WITH s1 AS ("
+        "  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1"
+        "  FROM v_events GROUP BY user_id"
+        "), s2 AS ("
+        "  SELECT e.user_id, MIN(s1.t1) AS t1,"
+        "    MIN(CASE WHEN e.event_type = 'click' AND e.ts_us > s1.t1 THEN e.ts_us END) AS t2"
+        "  FROM v_events e JOIN s1 ON e.user_id = s1.user_id"
+        "  WHERE s1.t1 IS NOT NULL GROUP BY e.user_id"
+        "), s3 AS ("
+        "  SELECT e.user_id, MIN(s2.t1) AS t1, MIN(s2.t2) AS t2,"
+        "    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t2 THEN e.ts_us END) AS t3"
+        "  FROM v_events e JOIN s2 ON e.user_id = s2.user_id"
+        "  WHERE s2.t2 IS NOT NULL GROUP BY e.user_id"
+        ") SELECT"
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1 WHERE t1 IS NOT NULL) AS n_signup,"
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2 WHERE t2 IS NOT NULL) AS n_clicked_after,"
+        "  CAST(COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END) AS BIGINT) AS n_purchased_after,"
+        f"  CAST(COUNT(CASE WHEN t3 - t1 <= {_FUNNEL_WINDOW_US} THEN 1 END) AS BIGINT) AS n_converted_7d"
+        "  FROM s3"
+    )
+
+
+def seq_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel with a time-window constraint."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_funnel_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
+    "seq_funnel_3step": seq_funnel_3step,
 }
 
 ORACLES = {
     "lightcurve_dft_power": inline_views(_dft_oracle()),
     "lightcurve_dcf_lag": inline_views(_dcf_oracle()),
+    "seq_funnel_3step": inline_views(_funnel_sql()),
 }
