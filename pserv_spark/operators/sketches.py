@@ -531,12 +531,75 @@ def _sampled_quantile_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-index rollup (bit_or presence bitmaps)
+# ---------------------------------------------------------------------------
+
+
+def agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roaring-bitmap-style distinct rollup: per (event_type, day) a
+    presence bitmap of user hash-buckets (60 buckets in one BIGINT —
+    shift 63 overflows DuckDB's signed <<), OR-merged across days
+    into per-type monthly bitmaps.
+
+    The OLAP bitmap trick: COUNT(DISTINCT) does not re-aggregate
+    (distinct users per day cannot be summed into distinct users per
+    month), but presence *bitmaps* merge with a pure bit OR — so a
+    100 TB store can keep tiny per-(dim, day) bitmaps and answer
+    distinct-bucket questions over any date range without touching raw
+    events.  Both the daily bitmaps and the OR-merge are exact integer
+    ops (`shiftleft`/`bit_or`/`bit_count`), hence the exact oracle.
+    Bucket count is the precision dial; a production bitmap uses 2^k
+    words of the same construction.
+    """
+    ev = catalog.v_events(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bm:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 60
+    ).cast("int")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            bucket.alias("b"),
+        )
+        # shiftleft's PySpark wrapper only takes a literal shift; the
+        # SQL form accepts a column.
+        .withColumn("bit", F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .groupBy("event_type", "day")
+        .agg(F.bit_or("bit").alias("bm"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.bit_count(F.bit_or("bm")).cast("int").alias("n_buckets_month"),
+        F.max(F.bit_count("bm")).cast("int").alias("max_buckets_day"),
+    )
+
+
+def _bitmap_oracle() -> str:
+    b = duck_hash32("concat('bm:', CAST(user_id AS VARCHAR))")
+    return inline_views(
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        f"bit_or(CAST(1 AS BIGINT) << CAST({b} % 60 AS INT)) AS bm "
+        "FROM v_events GROUP BY 1, 2) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+        "CAST(bit_count(bit_or(bm)) AS INT) AS n_buckets_month, "
+        "CAST(MAX(bit_count(bm)) AS INT) AS max_buckets_day "
+        "FROM daily GROUP BY event_type"
+    )
+
+
 QUERIES = {
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_countmin_topk": sketch_countmin_topk,
     "sketch_bloom_prune": sketch_bloom_prune,
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_sampled_quantile": sketch_sampled_quantile,
+    "agg_bitmap_rollup": agg_bitmap_rollup,
 }
 
 ORACLES = {
@@ -545,4 +608,5 @@ ORACLES = {
     "sketch_bloom_prune": _bloom_oracle(),
     "sketch_kmv_distinct": _kmv_oracle(),
     "sketch_sampled_quantile": _sampled_quantile_oracle(),
+    "agg_bitmap_rollup": _bitmap_oracle(),
 }
