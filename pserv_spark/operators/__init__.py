@@ -38,6 +38,7 @@ def _load() -> None:
         "sketches",
         "timedomain",
         "lifecycle_ops",
+        "search_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -214,14 +214,145 @@ def _pagerank_oracle() -> str:
     return sql + f" SELECT src AS node, rank FROM r{_PR_ITERS}"
 
 
+_PCA_ITERS = 3
+
+
+def _pca_sql(dims_clause: str, elem: str) -> str:
+    """Top-principal-component power iteration, fully in SQL CTEs (no
+    driver state — the pagerank pattern, not the kmeans one).
+
+    Stage 1 builds the mean-centered Gram matrix M = Σ (x−μ)(x−μ)ᵀ:
+    a per-vector (i, j) fan-out with map-side partial aggregation —
+    4096 groups regardless of row count, so at 100 TB the shuffle
+    carries only dim² partials.  Stage 2 runs ``_PCA_ITERS`` synchronous
+    power steps on the 4096-row M relation (metadata-sized joins).
+
+    Determinism: μ is ROUNDed at 6 dp (kmeans precedent); every
+    cross-row/cross-term SUM is floor-quantized to integer units first
+    (Stetson/DFT pattern), so M, each matvec, and each norm are exact
+    BIGINTs; per-step loadings are re-quantized via ROUND(·, 9).  The
+    eigenvector sign is pinned by the deterministic v₀ = 1/8 ⋅ 𝟙.
+    """
+    ctes = [
+        f"dims AS ({dims_clause})",
+        f"x AS (SELECT vec_id, i, {elem} AS xi FROM v_emb CROSS JOIN dims)",
+        # Exact-integer mean: a ROUND(AVG(double),6) mean is NOT safe
+        # here — with 64 dims one average landing within an ulp of a
+        # 6-dp boundary flips μ between engines (observed at sf0.01);
+        # the quantized SUM/COUNT quotient is deterministic.
+        "mu AS (SELECT i,"
+        " CAST(SUM(CAST(FLOOR(xi * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY i)",
+        "cx AS (SELECT vec_id, x.i, xi - sq / (n * 1000000.0) AS c"
+        " FROM x JOIN mu ON x.i = mu.i)",
+        "m AS (SELECT a.i, b.i AS j,"
+        " CAST(SUM(CAST(FLOOR(a.c * b.c * 1000000.0) AS BIGINT)) AS BIGINT) AS mq"
+        " FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)",
+        # v₀ = 1/8 ⋅ 𝟙 at integer 1e6 scale.  The matvec is pure
+        # BIGINT (mq·vq — no float constants an optimizer could fold
+        # differently: mixed x/c1*col*c1 forms diverged by 1 in FLOOR
+        # between engines before this).  Scales: mq 1e6 · vq 1e6 ⇒ wq
+        # 1e12; safe to ~10⁵ vectors — rescale the quanta with N beyond.
+        "v0 AS (SELECT i, CAST(125000 AS BIGINT) AS vq FROM dims)",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"w{k} AS (SELECT m.i, CAST(SUM(m.mq * v.vq) AS BIGINT) AS wq"
+            f" FROM m JOIN v{k - 1} v ON m.j = v.i GROUP BY m.i)"
+        )
+        ctes.append(
+            f"n{k} AS (SELECT CAST(SUM(CAST(FLOOR((wq / 1000000000000.0)"
+            " * (wq / 1000000000000.0) * 1000.0) AS BIGINT)) AS BIGINT) AS n2q"
+            f" FROM w{k})"
+        )
+        # FLOOR-quantize back to 1e6-scale integers, never ROUND
+        # (§4.5 rule 2); sqrt is IEEE-correctly-rounded in both engines.
+        ctes.append(
+            f"v{k} AS (SELECT i, CAST(FLOOR(wq / 1000000000000.0"
+            f" / sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) AS vq"
+            f" FROM w{k} CROSS JOIN n{k})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT i AS dim_idx, CAST(vq AS DOUBLE) / 1000000.0 AS loading,"
+        f" CAST(FLOOR(sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) / 1000000.0 AS lambda1"
+        f" FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}"
+    )
+
+
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-PC extraction (mean-centered Gram + 3 power
+    steps) over the embedding table."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _pca_sql(
+            f"SELECT explode(sequence(1, {_DIM})) AS i",
+            "element_at(emb, i)",
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    return inline_views(
+        _pca_sql(
+            f"SELECT unnest(generate_series(1, {_DIM})) AS i",
+            "emb[i]",
+        )
+    )
+
+
+_BFS_ITERS = 3
+_BFS_SEED = "p1"
+
+
+def _bfs_sql(vchar: str) -> str:
+    """Synchronous-frontier BFS distances (≤ _BFS_ITERS hops) from a
+    seed node over the part↔supplier co-purchase graph — the Pregel
+    shortest-path step as pure relational algebra, all-integer (no
+    float determinism concerns at all).  Each iteration is one
+    equi-join of the current distance relation against the static edge
+    list + one MIN aggregation; the edge list is the same one
+    ``graph_pagerank`` uses.
+    """
+    ctes = [
+        f"half AS (SELECT DISTINCT 'p' || CAST(l_partkey AS {vchar}) AS src,"
+        f" 's' || CAST(l_suppkey AS {vchar}) AS dst FROM lineitem)",
+        "edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)",
+        f"d0 AS (SELECT '{_BFS_SEED}' AS node, 0 AS dist)",
+    ]
+    for k in range(1, _BFS_ITERS + 1):
+        ctes.append(
+            f"d{k} AS (SELECT node, CAST(MIN(dist) AS INT) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1}"
+            " UNION ALL"
+            f" SELECT e.dst AS node, d.dist + 1 AS dist"
+            f" FROM edges e JOIN d{k - 1} d ON e.src = d.node"
+            ") u GROUP BY node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, dist FROM d{_BFS_ITERS}"
+    )
+
+
+def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (≤3) from part node 'p1'."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bfs_sql("STRING"))
+
+
 QUERIES = {
     "cluster_kmeans_lloyd": cluster_kmeans_lloyd,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "vec_pca_power": vec_pca_power,
+    "graph_bfs_frontier": graph_bfs_frontier,
 }
 
 ORACLES = {
     "cluster_kmeans_lloyd": _kmeans_oracle(),
     "graph_triangle_count": _TRIANGLE_ORACLE,
     "graph_pagerank": _pagerank_oracle(),
+    "vec_pca_power": _pca_oracle(),
+    "graph_bfs_frontier": _bfs_sql("VARCHAR"),
 }

@@ -1,0 +1,143 @@
+"""Ranked retrieval over the documents corpus: BM25 + phrase search.
+
+The reference fronts a SQL engine whose text capability is LIKE-level
+(MySQL standing in for Qserv — public repo python/desc/pserv/Pserv.py,
+SURVEY §0/§3.1); a training-data pipeline needs real retrieval.  Two
+classic IR operators, both expressed as inverted-index algebra over an
+exploded token relation (Robertson & Spärck Jones BM25; positional
+postings for phrases):
+
+- ``text_bm25_topk`` — Okapi BM25 (k1=1.2, b=0.75) for a fixed query
+  term set, top-10 docs.  Postings are built by explode → filter to
+  the query terms *before* any shuffle (the filter is the index probe
+  — at 100 TB only rows for the 3 query terms ever leave the map
+  side); doc lengths come from one groupBy; df/N/avgdl are
+  scalar-subquery broadcasts.
+- ``text_phrase_search`` — positional phrase matching ("hash join"):
+  adjacency is decided by LAG over (doc_id, pos) — one window on the
+  per-doc ordered postings, no positions self-join.
+
+Determinism (SURVEY §4.5): the BM25 per-term score uses ``ln`` (Java
+Math.log vs libm log differ in the last ulp), so per-(doc,term) scores
+are floor-quantized to integer millionths before the cross-term SUM —
+the Stetson/DFT pattern; the summed score is exact BIGINT.  Ranking
+orders by (score_q DESC, doc_id) — a total order.  tf/df/dl/N are
+exact integers; avgdl is a single exact-operand division, identical
+expression text in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_tables
+from ._oracle import inline_views
+
+_QUERY_TERMS = ("hash", "merge", "window")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+
+#: Dialect-specific (doc_id, token) postings relation.
+_SPARK_TOKS = (
+    "SELECT doc_id, token FROM documents"
+    " LATERAL VIEW explode(split(text, ' ')) t AS token"
+)
+_DUCK_TOKS = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+)
+
+#: Dialect-specific (doc_id, pos, token) positional postings (pos 1-based).
+_SPARK_POS = (
+    "SELECT doc_id, pos + 1 AS pos, token FROM documents"
+    " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token"
+)
+_DUCK_POS = (
+    "SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS token"
+    " FROM documents, unnest(generate_series(1,"
+    " len(string_split(text, ' ')))) AS t(i)"
+)
+
+
+def _bm25_sql(toks_clause: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    # Per-(doc,term) BM25 term score; every input is an exact integer
+    # or the shared avgdl double — only ln() can drift by 1 ulp, which
+    # the floor-quantization absorbs.
+    term_score = (
+        "ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+        f" * (tf.tf * ({_K1} + 1.0))"
+        f" / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / st.avgdl))"
+    )
+    return (
+        f"WITH toks AS ({toks_clause}),"
+        " dl AS ("
+        "  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id"
+        "), st AS ("
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl"
+        "), tf AS ("
+        f"  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf"
+        f"  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token"
+        "), df AS ("
+        "  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token"
+        "), scored AS ("
+        "  SELECT tf.doc_id,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_terms_hit,"
+        f"   CAST(SUM(CAST(FLOOR(({term_score}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+        "      AS score_q"
+        "  FROM tf JOIN df ON tf.token = df.token"
+        "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st"
+        "  GROUP BY tf.doc_id"
+        "), top AS ("
+        # ORDER BY + LIMIT → TakeOrderedAndProject (distributed
+        # per-partition top-k + driver merge); the ROW_NUMBER below
+        # ranks only the <= _TOPK survivors.
+        "  SELECT doc_id, n_terms_hit, score_q FROM scored"
+        f"  ORDER BY score_q DESC, doc_id LIMIT {_TOPK}"
+        ") SELECT doc_id, n_terms_hit,"
+        "    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rk,"
+        "    CAST(score_q AS DOUBLE) / 1000000.0 AS bm25"
+        "  FROM top"
+    )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed 3-term query."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_bm25_sql(_SPARK_TOKS))
+
+
+_PHRASE = ("hash", "join")
+
+
+def _phrase_sql(pos_clause: str) -> str:
+    """Docs containing the exact phrase, with occurrence counts, via
+    LAG adjacency on positional postings."""
+    return (
+        f"WITH pos AS ({pos_clause}),"
+        " adj AS ("
+        "  SELECT doc_id, token,"
+        "    LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tok"
+        "  FROM pos"
+        ") SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occur"
+        f"  FROM adj WHERE prev_tok = '{_PHRASE[0]}' AND token = '{_PHRASE[1]}'"
+        "  GROUP BY doc_id"
+    )
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for "hash join"."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_phrase_sql(_SPARK_POS))
+
+
+QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
+    "text_phrase_search": text_phrase_search,
+}
+
+ORACLES = {
+    "text_bm25_topk": inline_views(_bm25_sql(_DUCK_TOKS)),
+    "text_phrase_search": inline_views(_phrase_sql(_DUCK_POS)),
+}

@@ -169,14 +169,144 @@ def seq_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_funnel_sql())
 
 
+def _markov_sql() -> str:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG over a total order (ts_us, event_id), bigram counts,
+    row-normalized probabilities.
+
+    Scale shape: one window over (user_id) partitions (the same
+    exchange every per-user op reuses), then two keyed aggregations on
+    the tiny (prev, next) type alphabet.  Probability is a single
+    double division of exact integers — deterministic without rounding
+    (SURVEY §4.5 rule 2: never ROUND an exact quotient).
+    """
+    return (
+        "WITH ord AS ("
+        "  SELECT user_id, event_type,"
+        "    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "      AS prev_type"
+        "  FROM v_events"
+        "), pairs AS ("
+        "  SELECT prev_type, event_type AS next_type,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_trans"
+        "  FROM ord WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+        "), tot AS ("
+        "  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from"
+        "  FROM pairs GROUP BY prev_type"
+        ") SELECT p.prev_type, p.next_type, p.n_trans, t.n_from,"
+        "    CAST(p.n_trans AS DOUBLE) / t.n_from AS prob"
+        "  FROM pairs p JOIN tot t ON p.prev_type = t.prev_type"
+    )
+
+
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_markov_sql())
+
+
+#: Rolling-frame anomaly parameters: frame = 5 preceding observations,
+#: z² threshold 4 (|z| > 2), minimum 3 frame observations.
+_ANOM_FRAME = "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING"
+
+
+def _anomaly_sql() -> str:
+    """Rolling z-score anomaly screen on per-user purchase series,
+    decided entirely in exact integer arithmetic.
+
+    The frame statistics are scaled-integer sums (x = value·100 as
+    BIGINT), so mean/variance never touch floats: with s = Σx,
+    q = Σx², n = frame count, the |z| > 2 test
+    (x − s/n)² > 4 · (n·q − s²)/(n(n−1)) multiplies out to
+
+        (n·x − s)² · (n − 1)  >  4 · n · (n·q − s²)
+
+    — a pure-BIGINT predicate (|x| ≤ 10⁶ ⇒ every term < 2⁶³), hence
+    bit-identical across engines with no quantization step at all.
+    Scale shape: one per-user window (single exchange), then one
+    keyed aggregation.
+    """
+    return (
+        "WITH p AS ("
+        "  SELECT user_id, ts_us, event_id,"
+        "    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x"
+        "  FROM v_events WHERE event_type = 'purchase'"
+        "), framed AS ("
+        "  SELECT user_id, x,"
+        f"    CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {_ANOM_FRAME}) AS BIGINT) AS s,"
+        f"    CAST(SUM(x * x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {_ANOM_FRAME}) AS BIGINT) AS q,"
+        f"    CAST(COUNT(x) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {_ANOM_FRAME}) AS BIGINT) AS n"
+        "  FROM p"
+        ") SELECT user_id,"
+        "    CAST(COUNT(CASE WHEN n >= 3 THEN 1 END) AS BIGINT) AS n_eval,"
+        "    CAST(COUNT(CASE WHEN n >= 3 AND"
+        "      (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * q - s * s)"
+        "      THEN 1 END) AS BIGINT) AS n_anomalies"
+        "  FROM framed GROUP BY user_id"
+        "  HAVING COUNT(CASE WHEN n >= 3 THEN 1 END) > 0"
+    )
+
+
+def win_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score (|z| > 2) anomaly counts per user, exact-integer
+    frame statistics."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_anomaly_sql())
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _seasonal_sql() -> str:
+    """Day-of-week seasonal decomposition of the daily purchase totals.
+
+    dow is epoch-day mod 7 (portable — avoids the Spark/DuckDB DOW
+    numbering trap, SURVEY §4.5 dialect list; 0 = Thursday since
+    1970-01-01 was one).  Daily totals are exact DECIMAL sums; the
+    per-dow mean and the seasonal index are single double divisions of
+    exact operands, so no rounding is needed.  Scale shape: the raw
+    stream collapses to ~n_days rows in the first aggregation; all
+    later stages are metadata-sized.
+    """
+    return (
+        "WITH daily AS ("
+        f"  SELECT CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT) AS day_idx,"
+        "    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS v"
+        "  FROM v_events WHERE event_type = 'purchase' GROUP BY 1"
+        "), by_dow AS ("
+        "  SELECT day_idx % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,"
+        "    CAST(SUM(v) AS DECIMAL(20,2)) AS tot"
+        "  FROM daily GROUP BY day_idx % 7"
+        "), overall AS ("
+        "  SELECT CAST(SUM(tot) AS DOUBLE) / CAST(SUM(n_days) AS BIGINT) AS g"
+        "  FROM by_dow"
+        ") SELECT dow, n_days,"
+        "    CAST(tot AS DOUBLE) / n_days AS avg_daily,"
+        "    (CAST(tot AS DOUBLE) / n_days) / g AS seasonal_idx"
+        "  FROM by_dow CROSS JOIN overall"
+    )
+
+
+def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal-index decomposition of daily purchase volume."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_seasonal_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
     "seq_funnel_3step": seq_funnel_3step,
+    "seq_markov_transitions": seq_markov_transitions,
+    "win_anomaly_rolling_z": win_anomaly_rolling_z,
+    "ts_seasonal_dow": ts_seasonal_dow,
 }
 
 ORACLES = {
     "lightcurve_dft_power": inline_views(_dft_oracle()),
     "lightcurve_dcf_lag": inline_views(_dcf_oracle()),
     "seq_funnel_3step": inline_views(_funnel_sql()),
+    "seq_markov_transitions": inline_views(_markov_sql()),
+    "win_anomaly_rolling_z": inline_views(_anomaly_sql()),
+    "ts_seasonal_dow": inline_views(_seasonal_sql()),
 }

@@ -201,3 +201,158 @@ def test_fuzzy_er_recovers_true_entities(spark, sf_oracle):
     assert rows, "expected probes"
     assert all(r.probe_key == r.matched_key for r in rows)
     assert all(r.dist == 1 for r in rows)
+
+
+def test_markov_rows_are_proper_distributions(spark, sf_oracle):
+    """Per prev_type, transition probabilities must sum to 1 and the
+    bigram total must equal rows-minus-first-per-user."""
+    from pserv_spark.operators.timedomain import seq_markov_transitions
+
+    rows = seq_markov_transitions(spark, sf_oracle).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, grp in by_prev.items():
+        assert abs(sum(g.prob for g in grp) - 1.0) < 1e-9, prev
+        assert all(g.n_from == sum(x.n_trans for x in grp) for g in grp)
+
+
+def test_seasonal_index_averages_to_one(spark, sf_oracle):
+    """The day-weighted mean of the seasonal index is 1 by
+    construction; dow covers 0..6 exactly once."""
+    from pserv_spark.operators.timedomain import ts_seasonal_dow
+
+    rows = ts_seasonal_dow(spark, sf_oracle).collect()
+    assert sorted(r.dow for r in rows) == list(range(7))
+    n = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonal_idx * r.n_days for r in rows) / n
+    assert abs(weighted - 1.0) < 1e-9
+
+
+def test_rolling_anomaly_bounds(spark, sf_oracle):
+    """Anomaly count is bounded by evaluated count, and the screen
+    actually fires somewhere at sf0.01 (non-vacuous threshold)."""
+    from pserv_spark.operators.timedomain import win_anomaly_rolling_z
+
+    rows = win_anomaly_rolling_z(spark, sf_oracle).collect()
+    assert rows
+    assert all(0 <= r.n_anomalies <= r.n_eval for r in rows)
+    assert sum(r.n_anomalies for r in rows) > 0
+
+
+def test_bm25_ranking_properties(spark, sf_oracle):
+    """Ranks are 1..k with non-increasing scores, and the top doc's
+    score is reproduced by an independent Python BM25 on the raw text."""
+    import math
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.search_ops import _B, _K1, _QUERY_TERMS, text_bm25_topk
+
+    rows = sorted(text_bm25_topk(spark, sf_oracle).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.bm25 >= b.bm25 for a, b in zip(rows, rows[1:]))
+    assert all(1 <= r.n_terms_hit <= len(_QUERY_TERMS) for r in rows)
+
+    docs = {r.doc_id: r.text.split(" ")
+            for r in catalog.table(spark, sf_oracle, "documents").collect()}
+    n, avgdl = len(docs), sum(map(len, docs.values())) / len(docs)
+    df = {t: sum(1 for d in docs.values() if t in d) for t in _QUERY_TERMS}
+
+    def bm25(toks):
+        s = 0
+        for t in _QUERY_TERMS:
+            tf = toks.count(t)
+            if tf:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                term = idf * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * len(toks) / avgdl))
+                s += math.floor(term * 1e6)
+        return s / 1e6
+
+    top = rows[0]
+    assert abs(bm25(docs[top.doc_id]) - top.bm25) < 1e-9
+    assert top.bm25 == max(bm25(t) for t in docs.values())
+
+
+def test_phrase_search_agrees_with_python_recount(spark, sf_oracle):
+    """Occurrence counts equal a direct substring-pair recount."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.search_ops import _PHRASE, text_phrase_search
+
+    got = {r.doc_id: r.n_occur for r in text_phrase_search(spark, sf_oracle).collect()}
+    assert got
+    want = {}
+    for r in catalog.table(spark, sf_oracle, "documents").collect():
+        toks = r.text.split(" ")
+        c = sum(1 for a, b in zip(toks, toks[1:]) if (a, b) == _PHRASE)
+        if c:
+            want[r.doc_id] = c
+    assert got == want
+
+
+def test_pca_power_matches_numpy_reimplementation(spark, sf_oracle):
+    """Independent check (HEALPix precedent): replicate the quantized
+    power iteration in numpy from the raw parquet and demand exact
+    loading equality; also sanity-check the direction against numpy's
+    true dominant eigenvector."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pserv_spark.operators.iterative import _PCA_ITERS, vec_pca_power
+
+    rows = sorted(vec_pca_power(spark, sf_oracle).collect(), key=lambda r: r.dim_idx)
+    tbl = pq.read_table(f"{sf_oracle}/embeddings.parquet")
+    x = np.array([list(v) for v in tbl.column("embedding").to_pylist()], dtype=np.float64)
+    n = len(x)
+    mu = np.floor(x * 1e6).sum(axis=0) / (n * 1e6)
+    c = x - mu
+    m = np.zeros((x.shape[1],) * 2)
+    for r in c:
+        m += np.floor(np.outer(r, r) * 1e6)
+    vq = np.full(x.shape[1], 125000, dtype=np.int64)
+    for _ in range(_PCA_ITERS):
+        wq = (m * vq).sum(axis=1)
+        n2q = np.floor((wq / 1e12) ** 2 * 1e3).sum()
+        vq = np.floor(wq / 1e12 / math.sqrt(n2q / 1e3) * 1e6).astype(np.int64)
+    got = np.array([r.loading for r in rows])
+    assert np.array_equal(got, vq / 1e6)
+
+    # Uniform random embeddings have a flat spectrum (λmax/λmedian ≈ 2
+    # at sf0.01), so 3 steps cannot isolate the top eigv — instead
+    # assert the spectral invariants: the iterate's Rayleigh quotient
+    # concentrates well above the median eigenvalue and λ₁ ≤ λmax.
+    lam1 = rows[0].lambda1
+    mm = m / 1e6
+    evals = np.linalg.eigvalsh(mm)
+    rayleigh = got @ mm @ got / (got @ got)
+    assert float(np.median(evals)) < rayleigh <= evals[-1] * 1.001, rayleigh
+    assert 0 < lam1 <= evals[-1] * 1.001
+
+
+def test_bfs_matches_python_reimplementation(spark, sf_oracle):
+    """BFS distances equal a driver-side adjacency-dict BFS, and the
+    bipartite parity invariant holds (p* even / s* odd from a p seed)."""
+    from collections import deque
+
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.iterative import _BFS_ITERS, _BFS_SEED, graph_bfs_frontier
+
+    got = {r.node: r.dist for r in graph_bfs_frontier(spark, sf_oracle).collect()}
+    li = load_tables(spark, sf_oracle)["lineitem"]
+    adj: dict = {}
+    for r in li.select("l_partkey", "l_suppkey").distinct().collect():
+        p, s = f"p{r.l_partkey}", f"s{r.l_suppkey}"
+        adj.setdefault(p, set()).add(s)
+        adj.setdefault(s, set()).add(p)
+    want, q = {_BFS_SEED: 0}, deque([_BFS_SEED])
+    while q:
+        u = q.popleft()
+        if want[u] >= _BFS_ITERS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+    assert all((node[0] == "p") == (d % 2 == 0) for node, d in got.items())
