@@ -355,6 +355,50 @@ def astro_healpix_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_healpix_sql("element_at(emb, 1)", "element_at(emb, 2)"))
 
 
+# J2000 north galactic pole + node constants (Perryman/Hipparcos
+# convention, public): α_NGP, δ_NGP, l of the north celestial pole.
+_A_NGP, _D_NGP, _L_NCP = 192.85948, 27.12825, 122.93192
+
+
+def _galactic_sql(e1: str, e2: str) -> str:
+    """Equatorial → galactic (l, b) rotation — the scisql-style
+    coordinate UDF (Qserv queries filter on galactic latitude to mask
+    the plane).  Narrow per-row projection, no shuffle at all; outputs
+    floor-quantized at 1e-6 deg so the 1-ulp JVM/libm trig drift never
+    crosses the hash (never ROUND — §4.5 rule 2)."""
+    sinb = (
+        f"SIN(RADIANS({_D_NGP})) * SIN(RADIANS(dec)) + "
+        f"COS(RADIANS({_D_NGP})) * COS(RADIANS(dec)) * COS(RADIANS(ra - {_A_NGP}))"
+    )
+    y = f"COS(RADIANS(dec)) * SIN(RADIANS(ra - {_A_NGP}))"
+    x = (
+        f"COS(RADIANS({_D_NGP})) * SIN(RADIANS(dec)) - "
+        f"SIN(RADIANS({_D_NGP})) * COS(RADIANS(dec)) * COS(RADIANS(ra - {_A_NGP}))"
+    )
+    lraw = f"({_L_NCP} - DEGREES(ATAN2({y}, {x})))"
+    return (
+        f"WITH sky AS (SELECT vec_id, ({e1} + 0.5) * 360.0 AS ra,"
+        f" {e2} * 180.0 AS dec FROM v_emb)"
+        " SELECT vec_id, ra, dec,"
+        # CAST ... AS DOUBLE before the divide: Spark parses the
+        # 1000000.0 literal as DECIMAL, and BIGINT/DECIMAL would emit
+        # a DECIMAL column (schema drift vs the DOUBLE oracle).
+        f" CAST(CAST(FLOOR(({lraw} - 360.0 * FLOOR({lraw} / 360.0)) * 1000000.0) AS BIGINT)"
+        "   AS DOUBLE) / 1000000.0 AS gal_l,"
+        f" CAST(CAST(FLOOR(DEGREES(ASIN({sinb})) * 1000000.0) AS BIGINT)"
+        "   AS DOUBLE) / 1000000.0 AS gal_b"
+        " FROM sky"
+    )
+
+
+def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Galactic (l, b) for every source (J2000 rotation)."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(
+        _galactic_sql("element_at(emb, 1)", "element_at(emb, 2)")
+    )
+
+
 QUERIES = {
     "astro_conesearch_sph": astro_conesearch_sph,
     "astro_crossmatch_sph": astro_crossmatch_sph,
@@ -365,6 +409,7 @@ QUERIES = {
     "astro_ellipse_search": astro_ellipse_search,
     "astro_epoch_propagation": astro_epoch_propagation,
     "astro_healpix_ring": astro_healpix_ring,
+    "astro_galactic_coords": astro_galactic_coords,
 }
 
 _SKY_CTE = (
@@ -434,4 +479,5 @@ ORACLES = {
         "FROM sky"
     ),
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
+    "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
 }

@@ -277,15 +277,66 @@ _FITSLIKE_ORACLE = (
 )
 
 
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution across ingest batches — the lakehouse
+    answer to the reference's fixed-DDL ALTER TABLE path (SURVEY §1.1:
+    schemas are declared, but the LSST catalog schema itself gained
+    columns between data releases).
+
+    Batch 1 lands (id, qty); batch 2 lands (id, qty, discount) — a
+    column added mid-stream.  The read side uses
+    ``option("mergeSchema", "true")``, which resolves the union schema
+    from parquet footers only (no data scan) and back-fills NULLs for
+    the pre-evolution files.  At 100 TB the cost model matters:
+    mergeSchema reads every footer at planning time, so steady-state
+    pipelines pin the merged schema explicitly — this operator
+    verifies the back-fill semantics that pinned schema relies on.
+    """
+    import hashlib
+
+    li = catalog.table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    b1 = li.where(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("id"), F.col("l_quantity").alias("qty")
+    )
+    b2 = li.where(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_discount").alias("discount"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    b1.write.parquet(os.path.join(out, "batch=1"))
+    b2.write.parquet(os.path.join(out, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("id", "qty", "discount", "batch")
+    )
+
+
+_SCHEMA_EVO_ORACLE = (
+    "SELECT l_orderkey AS id, l_quantity AS qty, CAST(NULL AS DOUBLE) AS discount,"
+    " 1 AS batch FROM lineitem WHERE l_orderkey < 200 AND l_linenumber = 1"
+    " UNION ALL "
+    "SELECT l_orderkey, l_quantity, l_discount, 2"
+    " FROM lineitem WHERE l_orderkey < 200 AND l_linenumber = 2"
+)
+
+
 QUERIES = {
     "ingest_csv_roundtrip": ingest_csv_roundtrip,
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
     "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
+    "ingest_schema_evolution": ingest_schema_evolution,
     "source_fitslike_scan": source_fitslike_scan,
 }
 ORACLES = {
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,
     "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),
+    "ingest_schema_evolution": _SCHEMA_EVO_ORACLE,
     "source_fitslike_scan": inline_views(_FITSLIKE_ORACLE),
 }

@@ -275,7 +275,8 @@ def _pca_sql(dims_clause: str, elem: str) -> str:
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT i AS dim_idx, CAST(vq AS DOUBLE) / 1000000.0 AS loading,"
-        f" CAST(FLOOR(sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) / 1000000.0 AS lambda1"
+        f" CAST(CAST(FLOOR(sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) AS DOUBLE)"
+        " / 1000000.0 AS lambda1"
         f" FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}"
     )
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ._oracle import DUCK_HASH32
 
 FRAME_BYTES = 16
 FRAME_STRIDE = 4
@@ -257,8 +258,125 @@ _AUDIO_RESAMPLE_ORACLE = (
 )
 
 
+#: Perceptual-hash parameters: 32-bit hash, byte 4-grams, 4 bands of
+#: 8 bits, Hamming radius 3 (< n_bands ⇒ banding is lossless by
+#: pigeonhole: any pair within radius shares at least one full band).
+PHASH_BITS = 32
+PHASH_GRAM = 4
+PHASH_BANDS = 4
+PHASH_RADIUS = 3
+
+
+def phash32(payload: bytes) -> int:
+    """SimHash-style 32-bit perceptual hash over byte 4-grams: each
+    gram votes ±1 per bit position from its md5; bit = sign of the
+    vote sum.  On real media this runs on decoded pixel/PCM blocks —
+    here the deterministic fake payload (ascii text bytes) keeps the
+    DuckDB oracle able to recompute it SQL-side."""
+    votes = [0] * PHASH_BITS
+    for i in range(len(payload) - PHASH_GRAM + 1):
+        h = int(hashlib.md5(payload[i : i + PHASH_GRAM]).hexdigest()[:8], 16)
+        for b in range(PHASH_BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(PHASH_BITS) if votes[b] > 0)
+
+
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual-hash Hamming distance.
+
+    Pipeline: Arrow-batched ``mapInPandas`` computes the 32-bit phash
+    per asset (the only Python stage — one pass over the payload
+    column); LSH banding turns the all-pairs Hamming search into an
+    equi-join on (band, band_value) — at 100 TB the shuffle carries
+    only (doc_id, 4 band keys), never payloads, and radius < bands
+    makes the banding exact, not approximate.  Residual check is
+    JVM-side ``bit_count(h1 ^ h2)``."""
+    assets = _assets(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [phash32(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    hashed = assets.mapInPandas(hasher, "doc_id long, phash long")
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("phash", 8 * k)
+                        .bitwiseAND(255)
+                        .alias("bval"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.expr("CAST(bit_count(h1 ^ h2) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= PHASH_RADIUS)
+
+
+#: Oracle recomputes the phash from the text bytes entirely in SQL
+#: (ascii payload ⇒ byte grams == char grams), then brute-forces all
+#: pairs — the naive form the banded plan must reproduce exactly.
+_PHASH_ORACLE = (
+    # NB the position column must NOT be named `i` — DUCK_HASH32's
+    # hex-fold lambda uses `i` and would capture/shadow it (observed:
+    # every gram hashed the lambda index instead of its position).
+    "WITH grams AS ("
+    "  SELECT doc_id, "
+    + DUCK_HASH32.format(expr=f"substr(text, gp, {PHASH_GRAM})")
+    + " AS h"
+    "  FROM documents, unnest(generate_series(1,"
+    f"   length(text) - {PHASH_GRAM - 1})) AS t(gp)"
+    "  WHERE doc_id % 5 = 0"
+    "), votes AS ("
+    "  SELECT doc_id, b,"
+    "    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v"
+    f"  FROM grams, unnest(generate_series(0, {PHASH_BITS - 1})) AS u(b)"
+    "  GROUP BY doc_id, b"
+    "), ph AS ("
+    "  SELECT doc_id,"
+    "    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)"
+    "      AS BIGINT) AS phash"
+    "  FROM votes GROUP BY doc_id"
+    ") SELECT a.doc_id AS d1, b.doc_id AS d2,"
+    "    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming"
+    "  FROM ph a JOIN ph b ON a.doc_id < b.doc_id"
+    f"  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_RADIUS}"
+)
+
+
 QUERIES = {
     "mm_audio_resample_meta": mm_audio_resample_meta,
+    "mm_phash_near_dup": mm_phash_near_dup,
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_embed": mm_feature_embed,
@@ -267,6 +385,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_audio_resample_meta": _AUDIO_RESAMPLE_ORACLE,
+    "mm_phash_near_dup": _PHASH_ORACLE,
     "mm_decode_meta": _DECODE_META_ORACLE,
     "mm_frame_sample": _FRAME_SAMPLE_ORACLE,
     "mm_feature_embed": _FEATURE_EMBED_ORACLE,

@@ -210,14 +210,64 @@ _KS_ORACLE = inline_views(
 )
 
 
+def _entropy_sql() -> str:
+    """Per-categorical-column Shannon entropy (nats) + Gini impurity —
+    the class-balance profile a sampling/curriculum stage reads before
+    deciding split ratios.
+
+    One UNION-ALL scan stacks the profiled columns into (col, val)
+    rows, one groupBy counts categories, one groupBy folds the
+    distribution metrics.  The per-category −p·ln p terms are
+    floor-quantized to 1e-9 before the cross-category SUM (ln differs
+    by 1 ulp across engines — the DFT/Stetson pattern).  Gini is NOT
+    quantized the same way: p² = (c/n)² sits exactly on floor
+    boundaries whenever c/n is a short decimal (0.2² · 1e9 is an
+    integer — observed ±1 flips), so it is computed as the fully
+    exact Σc² instead: gini = 1 − Σc²/n².  At 100 TB the shuffle
+    carries only (column × category) partial counts.
+    """
+    stacked = (
+        "SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders"
+        " UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders"
+        " UNION ALL SELECT 'event_type', event_type FROM v_events"
+        " UNION ALL SELECT 'doc_lang', lang FROM documents"
+    )
+    p = "(CAST(c AS DOUBLE) / n)"
+    return (
+        f"WITH stacked AS ({stacked}),"
+        " cat AS ("
+        "  SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c FROM stacked"
+        "  GROUP BY col, val"
+        "), tot AS ("
+        "  SELECT col, CAST(SUM(c) AS BIGINT) AS n FROM cat GROUP BY col"
+        ") SELECT cat.col,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_categories,"
+        "    CAST(MAX(n) AS BIGINT) AS n_rows,"
+        f"   CAST(CAST(SUM(CAST(FLOOR(-{p} * ln({p}) * 1000000000.0) AS BIGINT)) AS BIGINT)"
+        "      AS DOUBLE) / 1000000000.0 AS entropy_nats,"
+        "   1.0 - CAST(SUM(c * c) AS BIGINT)"
+        "      / (CAST(MAX(n) AS DOUBLE) * MAX(n)) AS gini"
+        "  FROM cat JOIN tot ON cat.col = tot.col"
+        "  GROUP BY cat.col"
+    )
+
+
+def profile_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity per categorical column."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_entropy_sql())
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
     "profile_ks_drift": profile_ks_drift,
+    "profile_entropy_gini": profile_entropy_gini,
 }
 
 ORACLES = {
     "profile_table_stats": _TABLE_STATS_ORACLE,
     "profile_value_counts": _VALUE_COUNTS_ORACLE,
     "profile_ks_drift": _KS_ORACLE,
+    "profile_entropy_gini": inline_views(_entropy_sql()),
 }

@@ -356,3 +356,78 @@ def test_bfs_matches_python_reimplementation(spark, sf_oracle):
                 q.append(v)
     assert got == want
     assert all((node[0] == "p") == (d % 2 == 0) for node, d in got.items())
+
+
+def test_phash_near_dup_finds_exact_dups(spark, sf_oracle):
+    """Seeded exact-duplicate texts (same payload ⇒ same phash) must
+    surface at Hamming 0 when both ids are in the sampled subset; all
+    pairs respect the radius and orientation."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.multimodal import PHASH_RADIUS, mm_phash_near_dup, phash32
+
+    rows = mm_phash_near_dup(spark, sf_oracle).collect()
+    assert rows
+    assert all(r.d1 < r.d2 and 0 <= r.hamming <= PHASH_RADIUS for r in rows)
+    docs = {r.doc_id: r.text for r in catalog.table(spark, sf_oracle, "documents").collect()
+            if r.doc_id % 5 == 0}
+    by_text: dict = {}
+    for d, t in docs.items():
+        by_text.setdefault(t, []).append(d)
+    got = {(r.d1, r.d2) for r in rows}
+    for ids in by_text.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert (a, b) in got
+    # spot-check one reported pair against the Python hash
+    r = rows[0]
+    h1, h2 = phash32(docs[r.d1].encode()), phash32(docs[r.d2].encode())
+    assert bin(h1 ^ h2).count("1") == r.hamming
+
+
+def test_schema_evolution_backfills_nulls(spark, sf_oracle):
+    from pserv_spark.operators.ingest_ops import ingest_schema_evolution
+
+    rows = ingest_schema_evolution(spark, sf_oracle).collect()
+    assert {r.batch for r in rows} == {1, 2}
+    assert all(r.discount is None for r in rows if r.batch == 1)
+    assert all(r.discount is not None for r in rows if r.batch == 2)
+
+
+def test_entropy_gini_bounds(spark, sf_oracle):
+    import math
+
+    from pserv_spark.operators.profiling_ops import profile_entropy_gini
+
+    rows = profile_entropy_gini(spark, sf_oracle).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0.0 <= r.entropy_nats <= math.log(r.n_categories) + 1e-9, r
+        assert 0.0 <= r.gini < 1.0 - 1.0 / r.n_rows + 1e-12, r
+
+
+def test_galactic_coords_match_python_formula(spark, sf_oracle):
+    """Recompute (l, b) in pure Python for every source and demand
+    agreement at the 1e-6-deg quantization grain; also the pole
+    anchor: a source at the NGP itself must map to b = +90."""
+    import math
+
+    from pserv_spark.operators.astro_sph import _A_NGP, _D_NGP, _L_NCP, astro_galactic_coords
+
+    def lb(ra, dec):
+        a, d = math.radians(ra - _A_NGP), math.radians(dec)
+        dn = math.radians(_D_NGP)
+        sinb = math.sin(dn) * math.sin(d) + math.cos(dn) * math.cos(d) * math.cos(a)
+        b = math.degrees(math.asin(sinb))
+        y = math.cos(d) * math.sin(a)
+        x = math.cos(dn) * math.sin(d) - math.sin(dn) * math.cos(d) * math.cos(a)
+        l = _L_NCP - math.degrees(math.atan2(y, x))
+        return l - 360.0 * math.floor(l / 360.0), b
+
+    rows = astro_galactic_coords(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        l, b = lb(r.ra, r.dec)
+        assert abs(l - r.gal_l) < 2e-6 and abs(b - r.gal_b) < 2e-6, r
+    l_pole, b_pole = lb(_A_NGP, _D_NGP)
+    assert abs(b_pole - 90.0) < 1e-9
