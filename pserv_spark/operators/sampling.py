@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..functions.text import token_hash32
-from ._oracle import duck_hash32
+from ._oracle import duck_hash32, inline_views
 
 
 def _split_hash(col):
@@ -313,6 +313,54 @@ _WPS_ORACLE = (
 )
 
 
+_EMBARGO_DAYS = 2
+_US_PER_DAY = 86_400_000_000
+
+
+def _embargo_sql() -> str:
+    """Leakage-safe temporal train/test split with an embargo gap —
+    the time-series cross-validation discipline (train strictly
+    before, test strictly after, and an excluded buffer between so
+    label horizons cannot leak across the boundary).
+
+    The split day is min_day + 80% of the day span, all integer; the
+    embargo excludes the _EMBARGO_DAYS days before it.  One scalar
+    subquery (broadcast) + one scan with a CASE label + one keyed
+    aggregation; every metric is an exact integer.
+    """
+    day = f"CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT)"
+    return (
+        "WITH bounds AS ("
+        f"  SELECT MIN({day}) AS lo, MAX({day}) AS hi FROM v_events"
+        "), lab AS ("
+        f"  SELECT {day} AS d, user_id, value, event_type,"
+        "    CASE"
+        f"     WHEN {day} < lo + CAST(FLOOR((hi - lo) * 8 / 10) AS BIGINT)"
+        f"          - {_EMBARGO_DAYS} THEN 'train'"
+        f"     WHEN {day} >= lo + CAST(FLOOR((hi - lo) * 8 / 10) AS BIGINT) THEN 'test'"
+        "     ELSE 'embargo' END AS split"
+        "  FROM v_events CROSS JOIN bounds"
+        ") SELECT split,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        "    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,"
+        "    CAST(MIN(d) AS BIGINT) AS min_day,"
+        "    CAST(MAX(d) AS BIGINT) AS max_day,"
+        "    CAST(SUM(CASE WHEN event_type = 'purchase'"
+        "      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        "      AS purchase_cents"
+        "  FROM lab GROUP BY split"
+    )
+
+
+def sample_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 temporal split with a 2-day embargo buffer."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_embargo_sql())
+
+
+_EMBARGO_ORACLE = inline_views(_embargo_sql())
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
@@ -322,6 +370,7 @@ QUERIES = {
     "agg_histogram_bins": agg_histogram_bins,
     "join_salted_skew": join_salted_skew,
     "sample_weighted_priority": sample_weighted_priority,
+    "sample_time_embargo_split": sample_time_embargo_split,
 }
 
 ORACLES = {
@@ -333,4 +382,5 @@ ORACLES = {
     "agg_salted_twophase": _SALTED_ORACLE,
     "agg_histogram_bins": _HIST_ORACLE,
     "sample_weighted_priority": _WPS_ORACLE,
+    "sample_time_embargo_split": _EMBARGO_ORACLE,
 }

@@ -293,6 +293,89 @@ def ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_seasonal_sql())
 
 
+def _cusum_sql() -> str:
+    """CUSUM level-shift changepoint detection on the daily purchase
+    total series, entirely in scaled-integer arithmetic.
+
+    With v_k the day-k total in cents (BIGINT), n days and T = Σv,
+    the mean-adjusted cumulative sum at day k is
+    S_k = Σ_{i≤k}(v_i − T/n); scaling by n gives
+    n·S_k = n·P_k − k·T (P_k = prefix sum, k = row index) — pure
+    BIGINT, so the argmax decision is exact.  The changepoint is the
+    first day attaining max |n·S_k| (total order: (|nS| DESC, day)).
+    Scale shape: the raw stream collapses to one row per day in the
+    first aggregation; both windows run on that metadata-sized series.
+    """
+    return (
+        "WITH daily AS ("
+        f"  SELECT CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT) AS day_idx,"
+        "    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v"
+        "  FROM v_events WHERE event_type = 'purchase' GROUP BY 1"
+        "), pre AS ("
+        "  SELECT day_idx, v,"
+        "    CAST(SUM(v) OVER (ORDER BY day_idx"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,"
+        "    CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS k,"
+        "    CAST(SUM(v) OVER () AS BIGINT) AS t,"
+        "    CAST(COUNT(*) OVER () AS BIGINT) AS n"
+        "  FROM daily"
+        "), cs AS ("
+        "  SELECT day_idx, v, n * p - k * t AS ns, n FROM pre"
+        ") SELECT day_idx, v AS day_total_cents,"
+        "    CAST(ns AS DOUBLE) / n / 100.0 AS cusum,"
+        "    CASE WHEN ROW_NUMBER() OVER (ORDER BY ABS(ns) DESC, day_idx) = 1"
+        "      THEN TRUE ELSE FALSE END AS is_changepoint"
+        "  FROM cs"
+    )
+
+
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over the daily purchase series."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_cusum_sql())
+
+
+def _asof_nearest_sql() -> str:
+    """Nearest-neighbor temporal join: each purchase matched to its
+    closest click (either direction) of the same user — the two-sided
+    complement of the corpus ``join_asof`` (backward-only).  One
+    window exchange on user_id computes both candidates (last click
+    before via a preceding MAX, first click after via a following
+    MIN) — no event×event join ever materializes.  All-integer µs
+    arithmetic; ties (equidistant) resolve to the earlier click,
+    identical in both engines because the frame order is total."""
+    frame_prev = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    frame_next = "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    ck = "CASE WHEN event_type = 'click' THEN ts_us END"
+    return (
+        "WITH ev AS ("
+        "  SELECT user_id, event_id, ts_us, event_type FROM v_events"
+        "  WHERE event_type IN ('click', 'purchase')"
+        "), m AS ("
+        "  SELECT user_id, event_id, ts_us, event_type,"
+        f"    MAX({ck}) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {frame_prev}) AS prev_click,"
+        f"    MIN({ck}) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {frame_next}) AS next_click"
+        "  FROM ev"
+        ") SELECT event_id, user_id, ts_us,"
+        "    CASE WHEN prev_click IS NULL THEN next_click"
+        "         WHEN next_click IS NULL THEN prev_click"
+        "         WHEN ts_us - prev_click <= next_click - ts_us THEN prev_click"
+        "         ELSE next_click END AS click_ts_us,"
+        "    CASE WHEN prev_click IS NULL THEN next_click - ts_us"
+        "         WHEN next_click IS NULL THEN ts_us - prev_click"
+        "         WHEN ts_us - prev_click <= next_click - ts_us THEN ts_us - prev_click"
+        "         ELSE next_click - ts_us END AS abs_delta_us"
+        "  FROM m WHERE event_type = 'purchase'"
+        "    AND (prev_click IS NOT NULL OR next_click IS NOT NULL)"
+    )
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided nearest-in-time click for every purchase."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_asof_nearest_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -300,6 +383,8 @@ QUERIES = {
     "seq_markov_transitions": seq_markov_transitions,
     "win_anomaly_rolling_z": win_anomaly_rolling_z,
     "ts_seasonal_dow": ts_seasonal_dow,
+    "ts_changepoint_cusum": ts_changepoint_cusum,
+    "join_asof_nearest": join_asof_nearest,
 }
 
 ORACLES = {
@@ -309,4 +394,6 @@ ORACLES = {
     "seq_markov_transitions": inline_views(_markov_sql()),
     "win_anomaly_rolling_z": inline_views(_anomaly_sql()),
     "ts_seasonal_dow": inline_views(_seasonal_sql()),
+    "ts_changepoint_cusum": inline_views(_cusum_sql()),
+    "join_asof_nearest": inline_views(_asof_nearest_sql()),
 }

@@ -431,3 +431,54 @@ def test_galactic_coords_match_python_formula(spark, sf_oracle):
         assert abs(l - r.gal_l) < 2e-6 and abs(b - r.gal_b) < 2e-6, r
     l_pole, b_pole = lb(_A_NGP, _D_NGP)
     assert abs(b_pole - 90.0) < 1e-9
+
+
+def test_cusum_changepoint_properties(spark, sf_oracle):
+    """Exactly one changepoint; CUSUM telescopes to ~0 at the last
+    day (Σ deviations = 0 by construction); the flagged day attains
+    the max |cusum|."""
+    from pserv_spark.operators.timedomain import ts_changepoint_cusum
+
+    rows = sorted(ts_changepoint_cusum(spark, sf_oracle).collect(), key=lambda r: r.day_idx)
+    assert sum(r.is_changepoint for r in rows) == 1
+    assert abs(rows[-1].cusum) < 1e-6
+    peak = max(abs(r.cusum) for r in rows)
+    flagged = next(r for r in rows if r.is_changepoint)
+    assert abs(abs(flagged.cusum) - peak) < 1e-12
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_oracle):
+    """For a sample of users, every matched click is the true nearest
+    click by |Δt| (earlier-click tiebreak)."""
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import join_asof_nearest
+    from pyspark.sql import functions as F
+
+    got = [r for r in join_asof_nearest(spark, sf_oracle).collect() if r.user_id < 30]
+    ev = (
+        v_events(spark, sf_oracle)
+        .where((F.col("user_id") < 30) & F.col("event_type").isin("click", "purchase"))
+        .collect()
+    )
+    clicks: dict = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append(e.ts_us)
+    assert got
+    for r in got:
+        best = min(abs(c - r.ts_us) for c in clicks[r.user_id])
+        assert r.abs_delta_us == best, r
+
+
+def test_embargo_split_is_leak_free(spark, sf_oracle):
+    """Train ends strictly >= embargo days before test starts; the
+    three partitions tile the day range; test holds ~20% of days."""
+    from pserv_spark.operators.sampling import _EMBARGO_DAYS, sample_time_embargo_split
+
+    rows = {r.split: r for r in sample_time_embargo_split(spark, sf_oracle).collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    assert rows["train"].max_day + _EMBARGO_DAYS < rows["test"].min_day
+    assert rows["train"].max_day < rows["embargo"].min_day <= rows["embargo"].max_day < rows["test"].min_day
+    span = rows["test"].max_day - rows["train"].min_day + 1
+    test_frac = (rows["test"].max_day - rows["test"].min_day + 1) / span
+    assert 0.1 < test_frac < 0.3, test_frac
