@@ -277,6 +277,74 @@ _FITSLIKE_ORACLE = (
 )
 
 
+def ingest_registry_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-dimension enrichment from a SQLite observation registry —
+    the reference's ``ingest_registry`` + ``ingest_calexp_info`` pair
+    (public repo python/desc/pserv/ utils: fill CcdVisit from the
+    obs-registry sqlite file, then update per-visit zero
+    points/seeing/sky from calexp metadata; SURVEY §2.1).
+
+    A deterministic registry (seeing/sky/zero-point per visit id) is
+    written to an actual ``.sqlite`` file and read back through
+    stdlib ``sqlite3`` — registries are metadata-sized, so the
+    driver-side hop is the right scale call (the reference does the
+    same through MySQL).  The frame lands via ``createDataFrame`` with
+    an explicit schema and broadcast-joins onto the visit dimension
+    (orders sample): at 100 TB the dim join is still a broadcast —
+    registries don't grow with the fact table.  All registry values
+    are exact dyadic-free quotients of small ints, identical in IEEE
+    on both sides.
+    """
+    import sqlite3
+
+    reg_path = os.path.join(tempfile.gettempdir(), "pserv_registry.sqlite")
+    if os.path.exists(reg_path):
+        os.remove(reg_path)
+    con = sqlite3.connect(reg_path)
+    con.execute(
+        "CREATE TABLE registry (visit_id INTEGER PRIMARY KEY,"
+        " seeing REAL, sky_bg REAL, zero_point REAL)"
+    )
+    con.executemany(
+        "INSERT INTO registry VALUES (?, ?, ?, ?)",
+        [
+            (k, (k % 50) / 10.0 + 0.5, (k % 97) / 7.0, 25.0 + (k % 13) / 100.0)
+            for k in range(0, 500)
+        ],
+    )
+    con.commit()
+    con.close()
+
+    con = sqlite3.connect(reg_path)
+    reg_rows = con.execute(
+        "SELECT visit_id, seeing, sky_bg, zero_point FROM registry ORDER BY visit_id"
+    ).fetchall()
+    con.close()
+    reg = spark.createDataFrame(
+        reg_rows, "visit_id bigint, seeing double, sky_bg double, zero_point double"
+    )
+    visits = (
+        catalog.table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_orderkey").alias("visit_id"),
+            F.col("o_orderdate").cast("date").alias("obs_date"),
+        )
+    )
+    return visits.join(F.broadcast(reg), "visit_id").select(
+        "visit_id", "obs_date", "seeing", "sky_bg", "zero_point"
+    )
+
+
+_REGISTRY_ORACLE = (
+    "SELECT o_orderkey AS visit_id, CAST(o_orderdate AS DATE) AS obs_date,"
+    " CAST(o_orderkey % 50 AS DOUBLE) / 10.0 + 0.5 AS seeing,"
+    " CAST(o_orderkey % 97 AS DOUBLE) / 7.0 AS sky_bg,"
+    " 25.0 + CAST(o_orderkey % 13 AS DOUBLE) / 100.0 AS zero_point"
+    " FROM orders WHERE o_orderkey < 500"
+)
+
+
 def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution across ingest batches — the lakehouse
     answer to the reference's fixed-DDL ALTER TABLE path (SURVEY §1.1:
@@ -331,6 +399,7 @@ QUERIES = {
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
     "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
     "ingest_schema_evolution": ingest_schema_evolution,
+    "ingest_registry_visits": ingest_registry_visits,
     "source_fitslike_scan": source_fitslike_scan,
 }
 ORACLES = {
@@ -338,5 +407,6 @@ ORACLES = {
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,
     "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),
     "ingest_schema_evolution": _SCHEMA_EVO_ORACLE,
+    "ingest_registry_visits": _REGISTRY_ORACLE,
     "source_fitslike_scan": inline_views(_FITSLIKE_ORACLE),
 }

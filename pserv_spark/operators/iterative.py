@@ -342,12 +342,51 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bfs_sql("STRING"))
 
 
+def _linkpred_sql() -> str:
+    """Common-neighbors / Jaccard link prediction on the bipartite
+    part↔supplier graph: part pairs never directly connected but
+    sharing suppliers are candidate 'future edges' (the classic
+    Liben-Nowell & Kleinberg scores).
+
+    Shape: one self-join of the (supplier → part) adjacency on the
+    supplier key — pair fan-out is Σ_s deg(s)², the standard bound —
+    then a keyed count and a broadcast-sized degree join.  The part
+    universe is capped (l_partkey < 300) the way a production run
+    would shard the candidate space.  cn and degrees are exact
+    integers; Jaccard is one exact-operand division (unrounded,
+    §4.5 rule 2)."""
+    return (
+        "WITH adj AS ("
+        "  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem"
+        "  WHERE l_partkey < 300"
+        "), deg AS ("
+        "  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY p"
+        "), pairs AS ("
+        "  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS cn"
+        "  FROM adj a JOIN adj b ON a.s = b.s AND a.p < b.p"
+        "  GROUP BY a.p, b.p"
+        ") SELECT p1, p2, cn,"
+        "    CAST(cn AS DOUBLE) / (d1.d + d2.d - cn) AS jaccard"
+        "  FROM pairs JOIN deg d1 ON pairs.p1 = d1.p"
+        "  JOIN deg d2 ON pairs.p2 = d2.p"
+        "  WHERE cn >= 2"
+    )
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor + Jaccard link-prediction scores for part
+    pairs sharing ≥2 suppliers."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_linkpred_sql())
+
+
 QUERIES = {
     "cluster_kmeans_lloyd": cluster_kmeans_lloyd,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "vec_pca_power": vec_pca_power,
     "graph_bfs_frontier": graph_bfs_frontier,
+    "graph_common_neighbors": graph_common_neighbors,
 }
 
 ORACLES = {
@@ -356,4 +395,5 @@ ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
     "vec_pca_power": _pca_oracle(),
     "graph_bfs_frontier": _bfs_sql("VARCHAR"),
+    "graph_common_neighbors": _linkpred_sql(),
 }

@@ -443,7 +443,96 @@ _ZONEMAP_ORACLE = (
 )
 
 
+_TT_US_PER_DAY = 86_400_000_000
+
+
+def layout_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel on plain parquet — the
+    Delta/Iceberg ``VERSION AS OF`` mechanism, reproduced with
+    file-list manifests (a snapshot IS its file list; appends create a
+    new manifest, never touch old files).
+
+    Version 1 lands the first half of the purchase stream; an append
+    batch lands the rest and commits manifest v2 = v1 ∪ new-files.
+    Querying "as of v1" plans a scan over exactly the v1 manifest —
+    no tombstones, no copy-on-write, and old versions stay readable
+    for free.  The oracle recomputes both versions from the raw
+    stream, so a hash match proves append isolation (v1's answer is
+    unchanged by later writes).  At 100 TB the manifest is
+    file-count-sized and the as-of scan prunes to the listed files at
+    planning time.
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_timetravel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    m1p, m2p = os.path.join(out, "_v1.json"), os.path.join(out, "_v2.json")
+    if not (os.path.exists(m1p) and os.path.exists(m2p)):
+        shutil.rmtree(out, ignore_errors=True)
+        data = os.path.join(out, "data")
+        ev.where(day < mid).write.parquet(data)
+        v1_files = sorted(
+            os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+        )
+        ev.where(day >= mid).write.mode("append").parquet(data)
+        all_files = sorted(
+            os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+        )
+        os.makedirs(out, exist_ok=True)
+        with open(m1p, "w") as fh:
+            json.dump(v1_files, fh)
+        with open(m2p, "w") as fh:
+            json.dump(all_files, fh)
+
+    def as_of(manifest_path: str, version: int) -> DataFrame:
+        with open(manifest_path) as fh:
+            files = json.load(fh)
+        return (
+            spark.read.parquet(*files)
+            .agg(
+                F.lit(version).alias("version"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .cast("long")
+                .alias("cents"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+        )
+
+    return as_of(m1p, 1).unionByName(as_of(m2p, 2))
+
+
+_TT_DAY = f"CAST(FLOOR(ts_us / {_TT_US_PER_DAY}.0) AS BIGINT)"
+_TIMETRAVEL_ORACLE = (
+    "WITH p AS (SELECT *, " + _TT_DAY + " AS d FROM v_events"
+    " WHERE event_type = 'purchase'),"
+    " b AS (SELECT MIN(d) + CAST(FLOOR((MAX(d) - MIN(d)) / 2) AS BIGINT) AS mid FROM p)"
+    " SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,"
+    "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+    " FROM p CROSS JOIN b WHERE d < mid"
+    " UNION ALL"
+    " SELECT 2, CAST(COUNT(*) AS BIGINT),"
+    "  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT),"
+    "  CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p"
+)
+
+
 QUERIES = {
+    "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -456,6 +545,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
     "layout_compact_smallfiles": _COMPACT_ORACLE,
     "layout_zorder_keys": inline_views(
         "WITH b AS (SELECT vec_id, "

@@ -226,14 +226,74 @@ _PII_ORACLE = (
 )
 
 
+#: Dialect-specific (doc_id, pos, token) positional postings.
+_SPARK_POS_TOKS = (
+    "SELECT doc_id, pos + 1 AS pos, token FROM documents"
+    " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token"
+)
+_DUCK_POS_TOKS = (
+    "SELECT doc_id, wp AS pos, (string_split(text, ' '))[wp] AS token"
+    " FROM documents, unnest(generate_series(1,"
+    " len(string_split(text, ' ')))) AS t(wp)"
+)
+
+
+def _bigram_lm_sql(pos_clause: str) -> str:
+    """Corpus-trained bigram language-model scoring — the KenLM-style
+    perplexity filter of LLM data pipelines (docs whose token stream
+    is improbable under the corpus's own bigram statistics get low
+    avg log-prob and high perplexity).
+
+    Unsmoothed MLE: P(w₂|w₁) = c(w₁w₂)/c(w₁·) — no zeros, since the
+    scored stream is the training stream.  Count tables are
+    vocab²-bounded (broadcast-sized regardless of corpus scale, so
+    scoring is a map-side join at 100 TB); per-bigram ln terms are
+    floor-quantized at 1e-9 before the per-doc SUM (DFT/Stetson
+    pattern); avg log-prob is one exact-operand division, and
+    perplexity exp(−avg) is floor-quantized at 1e-6.
+    """
+    return (
+        f"WITH toks AS ({pos_clause}),"
+        " big AS ("
+        "  SELECT a.doc_id, a.token AS w1, b.token AS w2"
+        "  FROM toks a JOIN toks b"
+        "    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+        "), c12 AS ("
+        "  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2"
+        "), c1 AS ("
+        "  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot FROM c12 GROUP BY w1"
+        "), scored AS ("
+        "  SELECT big.doc_id,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_bigrams,"
+        "    CAST(SUM(CAST(FLOOR(ln(CAST(c12.c AS DOUBLE) / c1.ctot)"
+        "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS lp_q"
+        "  FROM big JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2"
+        "  JOIN c1 ON big.w1 = c1.w1"
+        "  GROUP BY big.doc_id"
+        ") SELECT doc_id, n_bigrams,"
+        "    CAST(lp_q AS DOUBLE) / 1000000000.0 / n_bigrams AS avg_logprob,"
+        "    CAST(CAST(FLOOR(exp(-(CAST(lp_q AS DOUBLE) / 1000000000.0 / n_bigrams))"
+        "      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS perplexity"
+        "  FROM scored WHERE doc_id % 10 = 0"
+    )
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM avg log-prob + perplexity per document (sampled)."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_bigram_lm_sql(_SPARK_POS_TOKS))
+
+
 QUERIES = {
     "text_repetition_ratio": text_repetition_ratio,
     "decontaminate_ngram": decontaminate_ngram,
     "text_pii_redact": text_pii_redact,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 ORACLES = {
     "text_repetition_ratio": _REPETITION_ORACLE,
     "decontaminate_ngram": _DECONTAM_ORACLE,
     "text_pii_redact": _PII_ORACLE,
+    "text_bigram_logprob": _bigram_lm_sql(_DUCK_POS_TOKS),
 }

@@ -482,3 +482,80 @@ def test_embargo_split_is_leak_free(spark, sf_oracle):
     span = rows["test"].max_day - rows["train"].min_day + 1
     test_frac = (rows["test"].max_day - rows["test"].min_day + 1) / span
     assert 0.1 < test_frac < 0.3, test_frac
+
+
+def test_bigram_lm_scores_match_python_lm(spark, sf_oracle):
+    """Recompute the corpus bigram LM in Python and verify sampled
+    docs' avg log-prob exactly (same quantization), plus the
+    perplexity = exp(-avg) identity at its quantization grain."""
+    import math
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.quality_ops import text_bigram_logprob
+
+    rows = text_bigram_logprob(spark, sf_oracle).collect()
+    assert rows
+    docs = {r.doc_id: r.text.split(" ")
+            for r in catalog.table(spark, sf_oracle, "documents").collect()}
+    c12: dict = {}
+    c1: dict = {}
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    for r in rows:
+        toks = docs[r.doc_id]
+        qs = [math.floor(math.log(c12[(a, b)] / c1[a]) * 1e9)
+              for a, b in zip(toks, toks[1:])]
+        assert r.n_bigrams == len(qs)
+        avg = sum(qs) / 1e9 / len(qs)
+        assert abs(r.avg_logprob - avg) < 1e-12
+        assert abs(r.perplexity - math.floor(math.exp(-avg) * 1e6) / 1e6) < 1e-12
+        assert r.avg_logprob < 0 and r.perplexity > 1
+
+
+def test_common_neighbors_spotcheck(spark, sf_oracle):
+    """Jaccard identity and a direct recount for the top-cn pair."""
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.iterative import graph_common_neighbors
+    from pyspark.sql import functions as F
+
+    rows = graph_common_neighbors(spark, sf_oracle).collect()
+    assert rows and all(r.p1 < r.p2 and r.cn >= 2 for r in rows)
+    top = max(rows, key=lambda r: (r.cn, -r.p1))
+    adj = (
+        load_tables(spark, sf_oracle)["lineitem"]
+        .where(F.col("l_partkey").isin(int(top.p1), int(top.p2)))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    s1 = {a.l_suppkey for a in adj if a.l_partkey == top.p1}
+    s2 = {a.l_suppkey for a in adj if a.l_partkey == top.p2}
+    assert top.cn == len(s1 & s2)
+    assert abs(top.jaccard - len(s1 & s2) / len(s1 | s2)) < 1e-12
+
+
+def test_registry_roundtrip_through_sqlite(spark, sf_oracle):
+    """The sqlite hop is lossless and every visit got enriched."""
+    from pserv_spark.operators.ingest_ops import ingest_registry_visits
+
+    rows = ingest_registry_visits(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        k = r.visit_id
+        assert r.seeing == (k % 50) / 10.0 + 0.5
+        assert r.sky_bg == (k % 97) / 7.0
+        assert r.zero_point == 25.0 + (k % 13) / 100.0
+
+
+def test_timetravel_v1_is_append_isolated(spark, sf_oracle):
+    """v1 row count must be strictly inside v2's, and re-reading v1
+    AFTER the append batch landed returns the pre-append answer."""
+    from pserv_spark.operators.pipeline_ops import layout_snapshot_timetravel
+
+    rows = {r.version: r for r in layout_snapshot_timetravel(spark, sf_oracle).collect()}
+    assert 0 < rows[1].n_rows < rows[2].n_rows
+    assert rows[1].cents < rows[2].cents
+    again = {r.version: r for r in layout_snapshot_timetravel(spark, sf_oracle).collect()}
+    assert again[1] == rows[1]
