@@ -99,9 +99,21 @@ def _astro_crossmatch_sph(spark, sf_dir):
     return astro_crossmatch_sph(spark, sf_dir)
 
 
+def _mm_phash_near_dup(spark, sf_dir):
+    from pserv_spark.operators.multimodal import mm_phash_near_dup
+
+    return mm_phash_near_dup(spark, sf_dir)
+
+
 @pytest.mark.parametrize(
     "fn",
-    [vec_crossmatch_zoned, dedup_minhash_lsh, dedup_simhash, _astro_crossmatch_sph],
+    [
+        vec_crossmatch_zoned,
+        dedup_minhash_lsh,
+        dedup_simhash,
+        _astro_crossmatch_sph,
+        _mm_phash_near_dup,
+    ],
 )
 def test_banded_operators_have_no_nested_loop(spark, sf_oracle, fn):
     """The scale-path operators exist to replace O(N²) joins; a
@@ -247,3 +259,43 @@ def test_rollup_serve_reads_only_rollup(spark, sf_oracle):
     assert plan.count("Scan parquet") == 1
     assert "events.parquet" not in plan
     assert "pserv_rollup" in plan
+
+
+def test_bm25_topk_avoids_global_sort(spark, sf_oracle):
+    """The BM25 ranking must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge), not a single-partition global
+    window — the difference between O(k) and O(matching docs) on the
+    final exchange."""
+    from pserv_spark.operators.search_ops import text_bm25_topk
+
+    plan = _plan(text_bm25_topk(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_nearest_single_window_exchange(spark, sf_oracle):
+    """Both direction candidates (prev MAX / next MIN) must ride ONE
+    user_id window exchange — a second exchange would mean the two
+    frames were planned as separate shuffles."""
+    from pserv_spark.operators.timedomain import join_asof_nearest
+
+    df = join_asof_nearest(spark, sf_oracle)
+    assert exchange_count(df) == 1
+    assert "PartitionBy: [user_id" in _plan(df) or "user_id" in _plan(df)
+
+
+def test_markov_windows_are_partitioned(spark, sf_oracle):
+    """The LAG runs per-user — no 'No Partition Defined' global
+    window anywhere in the transition-matrix plan."""
+    from pserv_spark.operators.timedomain import seq_markov_transitions
+
+    plan = _plan(seq_markov_transitions(spark, sf_oracle))
+    assert "Window" in plan
+    assert "PartitionBy: []" not in plan.replace("partitionBy", "PartitionBy")
+
+
+def test_registry_dim_join_broadcasts(spark, sf_oracle):
+    """The sqlite registry is metadata-sized; its join onto the visit
+    dimension must be a broadcast, never a shuffle of the dim."""
+    from pserv_spark.operators.ingest_ops import ingest_registry_visits
+
+    assert "BroadcastHashJoin" in _plan(ingest_registry_visits(spark, sf_oracle))
