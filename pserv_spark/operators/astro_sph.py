@@ -391,6 +391,44 @@ def _galactic_sql(e1: str, e2: str) -> str:
     )
 
 
+def astro_xmatch_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-match catalog crossmatch: each source's single nearest
+    neighbor within `_XM_EPS` degrees — the directional form Qserv's
+    catalog-vs-catalog matching actually serves (vs the all-pairs
+    `astro_crossmatch_sph`).  Candidates come from the same 3-zone
+    equi-join; the per-source winner is ROW_NUMBER over the total
+    order (round(sep, 6), id2) — §4.5 rule 4."""
+    sky = _sky(spark, sf_dir)
+    zoned = sky.withColumn("zone", F.floor(F.col("dec") / _XM_EPS))
+    a = zoned.select(
+        F.col("vec_id").alias("id1"),
+        F.col("ra").alias("ra1"),
+        F.col("dec").alias("dec1"),
+        F.explode(
+            F.array(F.col("zone") - 1, F.col("zone"), F.col("zone") + 1)
+        ).alias("zone"),
+    )
+    b = zoned.select(
+        F.col("vec_id").alias("id2"),
+        F.col("ra").alias("ra2"),
+        F.col("dec").alias("dec2"),
+        "zone",
+    )
+    sep = _ang_sep(F.col("ra1"), F.col("dec1"), F.col("ra2"), F.col("dec2"))
+    pairs = (
+        a.join(b, "zone")
+        .where(F.col("id1") != F.col("id2"))
+        .where(sep < _XM_EPS)
+        .select("id1", "id2", F.round(sep, 6).alias("sep_deg"))
+    )
+    w = Window.partitionBy("id1").orderBy("sep_deg", "id2")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id1", F.col("id2").alias("best_id"), "sep_deg")
+    )
+
+
 def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Galactic (l, b) for every source (J2000 rotation)."""
     catalog.load_tables(spark, sf_dir)
@@ -410,6 +448,7 @@ QUERIES = {
     "astro_epoch_propagation": astro_epoch_propagation,
     "astro_healpix_ring": astro_healpix_ring,
     "astro_galactic_coords": astro_galactic_coords,
+    "astro_xmatch_best": astro_xmatch_best,
 }
 
 _SKY_CTE = (
@@ -480,4 +519,14 @@ ORACLES = {
     ),
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
     "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
+    "astro_xmatch_best": inline_views(
+        f"WITH {_SKY_CTE}, pairs AS ("
+        "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+        f"ROUND({_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')}, 6) AS sep_deg "
+        "FROM sky a JOIN sky b ON a.vec_id <> b.vec_id "
+        f"WHERE {_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')} < 2.0) "
+        "SELECT id1, id2 AS best_id, sep_deg FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY sep_deg, id2) AS rn "
+        "FROM pairs) t WHERE rn = 1"
+    ),
 }

@@ -300,6 +300,43 @@ _PMI_ORACLE = (
 )
 
 
+def _url_sql(vchar: str) -> str:
+    """Web-pipeline URL canonicalization — the normalization pass that
+    precedes URL-keyed dedup at crawl scale (lowercase the host, drop
+    the fragment and tracking params, keep stable query params).
+
+    The driver schema has no URL column, so a deterministic mixed-case
+    URL is synthesized per document from (source, doc_id) — the
+    normalization logic itself is the operator.  Pure per-row string
+    algebra (regexp_extract is arg-compatible across engines, SURVEY
+    §2.2 fn_regex): no shuffle, fused into the scan.
+    """
+    url = (
+        "concat('HTTPS://WWW.', source, '.Example.COM/docs/D',"
+        f" CAST(doc_id AS {vchar}),"
+        f" '?utm_source=feed&id=', CAST(doc_id AS {vchar}), '&utm_medium=x#sec-2')"
+    )
+    return (
+        f"WITH u AS (SELECT doc_id, {url} AS url FROM documents)"
+        " SELECT doc_id,"
+        "  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,"
+        "  regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,"
+        "  regexp_extract(url, '[?&]id=([0-9]+)', 1) AS id_param,"
+        "  concat('https://',"
+        "    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),"
+        "    regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),"
+        "    '?id=', regexp_extract(url, '[?&]id=([0-9]+)', 1)) AS canonical"
+        " FROM u"
+    )
+
+
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize synthetic crawl URLs (host case, tracking params,
+    fragments) for URL-keyed dedup."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_url_sql("STRING"))
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -307,9 +344,11 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_ngram_freq": text_ngram_freq,
     "text_cooccur_pmi": text_cooccur_pmi,
+    "text_url_normalize": text_url_normalize,
 }
 
 ORACLES = {
+    "text_url_normalize": _url_sql("VARCHAR"),
     "text_langid": _langid_oracle(),
     "text_quality_score": _QUALITY_ORACLE,
     "text_token_count": _TOKEN_COUNT_ORACLE,

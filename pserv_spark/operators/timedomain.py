@@ -376,6 +376,55 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_asof_nearest_sql())
 
 
+_CONC_IV_US = 600_000_000  # each event opens a 10-minute activity interval
+
+
+def _concurrency_sql() -> str:
+    """Peak concurrency per day (classic interval sweep-line), without
+    a global window.
+
+    Every event opens a half-open 10-minute interval [s, e); the sweep
+    emits +1 at s and −1 at e.  The scalable shape is two-phase (the
+    salted-agg pattern): within-day running sums use a window
+    PARTITIONed BY day, and the cross-day offset ("carry" = Σ deltas
+    of all earlier days, i.e. intervals still open at midnight) comes
+    from a per-day total rollup whose running sum is metadata-sized.
+    peak(day) = carry(day) + max running.  Ties at the same timestamp
+    order (t, delta) — ends before starts, so touching intervals never
+    double-count; tied equal-delta rows permute freely but their
+    running-sum *set* is permutation-invariant, so the per-day MAX is
+    exact.  All integers.
+    """
+    return (
+        "WITH iv AS ("
+        f"  SELECT ts_us AS s, ts_us + {_CONC_IV_US} AS e FROM v_events"
+        "), pts AS ("
+        "  SELECT s AS t, 1 AS delta FROM iv"
+        "  UNION ALL SELECT e, -1 FROM iv"
+        "), d AS ("
+        f"  SELECT t, delta, CAST(FLOOR(t / {_US_PER_DAY}.0) AS BIGINT) AS day"
+        "  FROM pts"
+        "), daily_tot AS ("
+        "  SELECT day, CAST(SUM(delta) AS BIGINT) AS tot FROM d GROUP BY day"
+        "), carry AS ("
+        "  SELECT day, CAST(COALESCE(SUM(tot) OVER (ORDER BY day"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c"
+        "  FROM daily_tot"
+        "), run AS ("
+        "  SELECT day, CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t, delta"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r"
+        "  FROM d"
+        ") SELECT run.day, CAST(MAX(carry.c + run.r) AS BIGINT) AS peak_concurrency"
+        "  FROM run JOIN carry ON run.day = carry.day GROUP BY run.day"
+    )
+
+
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent 10-minute activity intervals."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_concurrency_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -385,6 +434,7 @@ QUERIES = {
     "ts_seasonal_dow": ts_seasonal_dow,
     "ts_changepoint_cusum": ts_changepoint_cusum,
     "join_asof_nearest": join_asof_nearest,
+    "ts_max_concurrency": ts_max_concurrency,
 }
 
 ORACLES = {
@@ -396,4 +446,5 @@ ORACLES = {
     "ts_seasonal_dow": inline_views(_seasonal_sql()),
     "ts_changepoint_cusum": inline_views(_cusum_sql()),
     "join_asof_nearest": inline_views(_asof_nearest_sql()),
+    "ts_max_concurrency": inline_views(_concurrency_sql()),
 }

@@ -559,3 +559,58 @@ def test_timetravel_v1_is_append_isolated(spark, sf_oracle):
     assert rows[1].cents < rows[2].cents
     again = {r.version: r for r in layout_snapshot_timetravel(spark, sf_oracle).collect()}
     assert again[1] == rows[1]
+
+
+def test_xmatch_best_is_nearest_of_pairset(spark, sf_oracle):
+    """Each source's best match is the true minimum-separation
+    neighbor of the all-pairs crossmatch, and best-matching is
+    consistent with the pair set's symmetry."""
+    from pserv_spark.operators.astro_sph import astro_crossmatch_sph, astro_xmatch_best
+
+    pairs: dict = {}
+    for r in astro_crossmatch_sph(spark, sf_oracle).collect():
+        pairs.setdefault(r.id1, []).append((r.sep_deg, r.id2))
+        pairs.setdefault(r.id2, []).append((r.sep_deg, r.id1))
+    best = {r.id1: (r.sep_deg, r.best_id) for r in astro_xmatch_best(spark, sf_oracle).collect()}
+    assert set(best) == set(pairs)
+    for src, (sep, bid) in best.items():
+        assert (sep, bid) == min(pairs[src]), src
+
+
+def test_url_normalize_canonical_form(spark, sf_oracle):
+    from pserv_spark.operators.textanalysis import text_url_normalize
+
+    rows = text_url_normalize(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.host == r.host.lower() and r.host.startswith("www.")
+        assert r.canonical == f"https://{r.host}{r.path}?id={r.doc_id}"
+        assert "utm" not in r.canonical and "#" not in r.canonical
+        assert int(r.id_param) == r.doc_id
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_oracle):
+    """Recompute per-day peaks with a single-threaded Python sweep
+    (the two-phase carry must equal the global-order answer)."""
+    from collections import defaultdict
+
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import _CONC_IV_US, ts_max_concurrency
+
+    got = {r.day: r.peak_concurrency for r in ts_max_concurrency(spark, sf_oracle).collect()}
+    pts = []
+    for e in v_events(spark, sf_oracle).select("ts_us").collect():
+        pts.append((e.ts_us, 1))
+        pts.append((e.ts_us + _CONC_IV_US, -1))
+    pts.sort()
+    day_us = 86_400_000_000
+    cur, want = 0, defaultdict(int)
+    for t, d in pts:
+        cur += d
+        day = t // day_us
+        want[day] = max(want[day], cur)
+    # days whose running peak never exceeds the carry-in still appear
+    # in the engine output with peak = max point value that day
+    for day, peak in got.items():
+        assert peak == want[day], (day, peak, want[day])
+    assert set(got) == set(want)
