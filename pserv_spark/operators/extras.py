@@ -273,6 +273,67 @@ _INTERSECT_ALL_ORACLE = f"({_SETALL_A}) INTERSECT ALL ({_SETALL_B})"
 _EXCEPT_ALL_ORACLE = f"({_SETALL_A}) EXCEPT ALL ({_SETALL_B})"
 
 
+_MULTI_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _pctl_multi_sql(fn: str) -> str:
+    """Multi-quantile profile of purchase values in ONE aggregation
+    pass (the per-column quantile block of an OPTIMIZE/ANALYZE stats
+    collection).  Spark ``percentile`` and DuckDB ``quantile_cont``
+    share exact linear-interpolation semantics (verified by the corpus
+    ``agg_percentile``); each quantile is a column of the same
+    aggregate, stacked to rows afterwards — one scan, one shuffle of
+    4 doubles per group."""
+    cols = ", ".join(
+        f"{fn}(value, {p}) AS q{int(p * 100)}" for p in _MULTI_PS
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT event_type, {p} AS p, q{int(p * 100)} AS v FROM a"
+        for p in _MULTI_PS
+    )
+    return (
+        f"WITH a AS (SELECT event_type, {cols} FROM v_events"
+        "  WHERE event_type IN ('purchase', 'click') GROUP BY event_type)"
+        f" {stacked}"
+    )
+
+
+def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75/p95 of event value per type, single-pass."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_pctl_multi_sql("percentile"))
+
+
+def _running_distinct_sql() -> str:
+    """Running distinct-user count per event type over days — COUNT
+    (DISTINCT) OVER is unsupported in both engines, so the portable
+    (and shuffle-equivalent) form is the first-occurrence-flag trick:
+    mark each (type, user)'s first day via MIN, roll up flags per day,
+    then a running SUM over the per-type day series (metadata-sized).
+    All integers."""
+    return (
+        "WITH firsts AS ("
+        f"  SELECT event_type, user_id,"
+        f"    CAST(MIN(FLOOR(ts_us / {86_400_000_000}.0)) AS BIGINT) AS first_day"
+        "  FROM v_events GROUP BY event_type, user_id"
+        "), per_day AS ("
+        "  SELECT event_type, first_day AS day,"
+        "    CAST(COUNT(*) AS BIGINT) AS new_users"
+        "  FROM firsts GROUP BY event_type, first_day"
+        ") SELECT event_type, day, new_users,"
+        "    CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "      AS distinct_users_to_date"
+        "  FROM per_day"
+    )
+
+
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_running_distinct_sql())
+
+
 QUERIES = {
     "set_intersect_all": set_intersect_all,
     "set_except_all": set_except_all,
@@ -284,6 +345,8 @@ QUERIES = {
     "dim_scd2_ranges": dim_scd2_ranges,
     "merge_cdc_upsert": merge_cdc_upsert,
     "agg_mode_deterministic": agg_mode_deterministic,
+    "agg_percentile_multi": agg_percentile_multi,
+    "win_running_distinct": win_running_distinct,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -297,4 +360,6 @@ ORACLES = {
     "dim_scd2_ranges": inline_views(_SCD2_ORACLE),
     "merge_cdc_upsert": inline_views(_MERGE_ORACLE),
     "agg_mode_deterministic": _MODE_ORACLE,
+    "agg_percentile_multi": inline_views(_pctl_multi_sql("quantile_cont")),
+    "win_running_distinct": inline_views(_running_distinct_sql()),
 }

@@ -258,11 +258,61 @@ def profile_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_entropy_sql())
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_sql() -> str:
+    """Pairwise Pearson correlation matrix of the numeric fact
+    columns, from ONE scan of exact decimal moment sums.
+
+    corr(x,y) = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)),
+    with every Σ an order-independent DECIMAL sum (per-row products
+    cast to DECIMAL(30,8) — §4.5 rule 1) and the final formula a fixed
+    double expression over those exact operands, ROUNDed at 6 dp like
+    the validated ``agg_corr``.  Profiling all C(4,2) pairs costs one
+    aggregation of 15 partials — the single-scan property
+    ``profile_table_stats`` established, extended to second moments.
+    """
+    sums = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(24,6))) AS s_{c}")
+        sums.append(f"SUM(CAST({c} * {c} AS DECIMAL(30,8))) AS ss_{c}")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST({a} * {b} AS DECIMAL(30,8))) AS sp_{a}_{b}")
+
+    def r(a: str, b: str) -> str:
+        num = (
+            f"(n * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"sqrt((n * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (n * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        return f"ROUND({num} / {den}, 6)"
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, {r(a, b)} AS r, n AS n_rows FROM m"
+        for a, b in pairs
+    )
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) {rows}"
+
+
+def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every numeric-column pair, one scan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_corr_matrix_sql())
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
     "profile_ks_drift": profile_ks_drift,
     "profile_entropy_gini": profile_entropy_gini,
+    "profile_corr_matrix": profile_corr_matrix,
 }
 
 ORACLES = {
@@ -270,4 +320,5 @@ ORACLES = {
     "profile_value_counts": _VALUE_COUNTS_ORACLE,
     "profile_ks_drift": _KS_ORACLE,
     "profile_entropy_gini": inline_views(_entropy_sql()),
+    "profile_corr_matrix": _corr_matrix_sql(),
 }

@@ -614,3 +614,67 @@ def test_max_concurrency_matches_python_sweep(spark, sf_oracle):
     for day, peak in got.items():
         assert peak == want[day], (day, peak, want[day])
     assert set(got) == set(want)
+
+
+def test_percentile_multi_monotone_and_matches_numpy(spark, sf_oracle):
+    import numpy as np
+
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.extras import _MULTI_PS, agg_percentile_multi
+
+    rows = agg_percentile_multi(spark, sf_oracle).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[float(r.p)] = r.v
+    vals = {
+        t: sorted(
+            e.value
+            for e in v_events(spark, sf_oracle).where(f"event_type = '{t}'").collect()
+        )
+        for t in by_type
+    }
+    for t, qs in by_type.items():
+        ordered = [qs[p] for p in sorted(qs)]
+        assert ordered == sorted(ordered)
+        for p in _MULTI_PS:
+            want = float(np.quantile(np.array(vals[t]), p, method="linear"))
+            assert abs(qs[p] - want) < 1e-9, (t, p)
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.extras import win_running_distinct
+    from pyspark.sql import functions as F
+
+    rows = win_running_distinct(spark, sf_oracle).collect()
+    finals = {}
+    for r in rows:
+        cur = finals.get(r.event_type)
+        if cur is None or r.day > cur[0]:
+            finals[r.event_type] = (r.day, r.distinct_users_to_date)
+    truth = {
+        r.event_type: r.n
+        for r in v_events(spark, sf_oracle)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {t: v for t, (_, v) in finals.items()} == truth
+
+
+def test_corr_matrix_matches_numpy(spark, sf_oracle):
+    import numpy as np
+
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.profiling_ops import _CORR_COLS, profile_corr_matrix
+
+    rows = profile_corr_matrix(spark, sf_oracle).collect()
+    assert len(rows) == 6
+    data = load_tables(spark, sf_oracle)["lineitem"].select(*_CORR_COLS).collect()
+    arr = np.array([[getattr(r, c) for c in _CORR_COLS] for r in data])
+    cm = np.corrcoef(arr.T)
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    for r in rows:
+        want = cm[idx[r.col_x], idx[r.col_y]]
+        assert abs(r.r - want) < 1e-5, (r.col_x, r.col_y, r.r, want)
+        assert abs(r.r) <= 1.0
