@@ -39,6 +39,7 @@ def _load() -> None:
         "timedomain",
         "lifecycle_ops",
         "search_ops",
+        "ml_ops",
     ):
         try:
             mod = importlib.import_module(f".{modname}", __package__)

@@ -678,3 +678,44 @@ def test_corr_matrix_matches_numpy(spark, sf_oracle):
         want = cm[idx[r.col_x], idx[r.col_y]]
         assert abs(r.r - want) < 1e-5, (r.col_x, r.col_y, r.r, want)
         assert abs(r.r) <= 1.0
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_oracle):
+    import numpy as np
+
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.ml_ops import _X1, _X2, _Y, ml_ols_normal_eq
+
+    row = ml_ols_normal_eq(spark, sf_oracle).collect()[0]
+    data = (
+        load_tables(spark, sf_oracle)["lineitem"]
+        .selectExpr(_X1, _X2, f"{_Y} AS y")
+        .collect()
+    )
+    X = np.array([[1.0, r[0], r[1]] for r in data])
+    y = np.array([r[2] for r in data])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row.beta0 - beta[0]) < 1e-2
+    assert abs(row.beta1 - beta[1]) < 1e-4
+    assert abs(row.beta2 - beta[2]) < 1e-4
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(row.r2 - r2) < 1e-5
+    assert row.r2 > 0.5  # revenue ~ qty + price explains most variance
+
+
+def test_naive_bayes_beats_majority_class(spark, sf_oracle):
+    """Self-classification accuracy must beat the majority-class
+    baseline (langs differ in token distributions), and every scored
+    doc appears exactly once."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.ml_ops import ml_nb_train_classify
+
+    rows = ml_nb_train_classify(spark, sf_oracle).collect()
+    docs = catalog.table(spark, sf_oracle, "documents").collect()
+    sampled = [d for d in docs if d.doc_id % 7 == 0]
+    assert len(rows) == len(sampled)
+    acc = sum(r.correct for r in rows) / len(rows)
+    langs = [d.lang for d in sampled]
+    majority = max(langs.count(l) for l in set(langs)) / len(langs)
+    assert acc >= majority, (acc, majority)
