@@ -334,6 +334,36 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_running_distinct_sql())
 
 
+def _try_arith_sql(safe_div: str, safe_int_div: str) -> str:
+    """TRY-arithmetic semantics: division by zero yields NULL, not an
+    error (the ANSI-mode-safe ingestion arithmetic; Spark ``try_divide``
+    — the oracle composes the same semantics from NULLIF).  Per-row
+    only, fused into the scan."""
+    return (
+        "SELECT l_orderkey, l_linenumber,"
+        f" {safe_div} AS price_per_above17,"
+        f" {safe_int_div} AS key_per_line3"
+        " FROM lineitem WHERE l_orderkey < 300"
+    )
+
+
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide: NULL on zero denominators."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _try_arith_sql(
+            "try_divide(l_extendedprice, l_quantity - 17.0)",
+            "try_divide(CAST(l_orderkey AS DOUBLE), l_linenumber - 3)",
+        )
+    )
+
+
+_TRY_ARITH_ORACLE = _try_arith_sql(
+    "l_extendedprice / NULLIF(l_quantity - 17.0, 0.0)",
+    "CAST(l_orderkey AS DOUBLE) / NULLIF(l_linenumber - 3, 0)",
+)
+
+
 QUERIES = {
     "set_intersect_all": set_intersect_all,
     "set_except_all": set_except_all,
@@ -347,6 +377,7 @@ QUERIES = {
     "agg_mode_deterministic": agg_mode_deterministic,
     "agg_percentile_multi": agg_percentile_multi,
     "win_running_distinct": win_running_distinct,
+    "fn_try_arith": fn_try_arith,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -362,4 +393,5 @@ ORACLES = {
     "agg_mode_deterministic": _MODE_ORACLE,
     "agg_percentile_multi": inline_views(_pctl_multi_sql("quantile_cont")),
     "win_running_distinct": inline_views(_running_distinct_sql()),
+    "fn_try_arith": _TRY_ARITH_ORACLE,
 }

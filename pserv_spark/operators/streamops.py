@@ -18,6 +18,7 @@ from ..streaming import (
     stream_stream_join,
     stream_cdc_apply,
     stream_rollup_upsert,
+    stream_topk_maintain,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -32,6 +33,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_rollup_upsert": stream_rollup_upsert,
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_topk_maintain": stream_topk_maintain,
     # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
@@ -47,6 +49,13 @@ ORACLES = {
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # foreachBatch leaderboard: final k-row store == batch top-10.
+    "stream_topk_maintain": (
+        "SELECT user_id, n FROM ("
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk "
+        "FROM events GROUP BY user_id) t WHERE rk <= 10"
+    ),
     # Batch-order-independent final state == batch latest-per-key query.
     "stream_cdc_apply": (
         "WITH latest AS (SELECT user_id, value, "

@@ -12,6 +12,7 @@ from .jobs import (
     stream_hopping_complete,
     stream_tumbling_watermark,
     stream_rollup_upsert,
+    stream_topk_maintain,
     stream_cdc_apply,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "stream_hopping_complete",
     "stream_tumbling_watermark",
     "stream_rollup_upsert",
+    "stream_topk_maintain",
     "stream_cdc_apply",
 ]

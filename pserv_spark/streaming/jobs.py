@@ -423,3 +423,50 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.read.parquet(out).select("day", "event_type", "n", "sum_value")
+
+
+def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a top-k leaderboard (most-active
+    users): the stream aggregates per-user counts in complete mode and
+    each micro-batch ``foreachBatch``-overwrites a k-row store with
+    the current top-10 under the total order (n DESC, user_id).
+
+    The store is k rows — rewriting it per batch IS the scalable
+    design (contrast the rollup upsert, which must be partition-
+    surgical because its store is day-count-sized).  After a bounded
+    ``availableNow`` run the leaderboard equals the batch top-10,
+    which is the exact oracle.
+    """
+    import hashlib as _hl
+    import shutil
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_stream_topk_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    counts = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def publish(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.orderBy(F.col("n").desc(), "user_id")
+            .limit(10)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    query = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.read.parquet(out).select("user_id", "n")

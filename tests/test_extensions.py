@@ -719,3 +719,34 @@ def test_naive_bayes_beats_majority_class(spark, sf_oracle):
     langs = [d.lang for d in sampled]
     majority = max(langs.count(l) for l in set(langs)) / len(langs)
     assert acc >= majority, (acc, majority)
+
+
+def test_stream_topk_equals_batch_topk(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.streaming import stream_topk_maintain
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        ((r.user_id, r.n) for r in stream_topk_maintain(spark, sf_oracle).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = [
+        (r.user_id, r.n)
+        for r in v_events(spark, sf_oracle)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_try_arith_nulls_exactly_on_zero_denominators(spark, sf_oracle):
+    from pserv_spark.operators.extras import fn_try_arith
+
+    rows = fn_try_arith(spark, sf_oracle).collect()
+    assert rows
+    assert any(r.key_per_line3 is None for r in rows)
+    for r in rows:
+        assert (r.key_per_line3 is None) == (r.l_linenumber == 3)
