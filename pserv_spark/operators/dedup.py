@@ -614,6 +614,77 @@ _ER_ORACLE = (
 )
 
 
+CONTAINMENT_T = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B|/|A| ≥ 0.8 with
+    |A| < |B| — the sub-document/quotation detector Jaccard misses
+    (a short doc fully copied into a long one has high containment
+    but low Jaccard).
+
+    Candidates use the one-sided prefix filter: under any shared
+    total order (document frequency asc, the ppjoin order reused from
+    ``dedup_ngram_jaccard``), a set with containment ≥ t in ANY
+    superset must collide within its first |A| − ⌈t·|A|⌉ + 1 shingles;
+    the candidate join is prefix(A) ⋈ all-shingles(B) — lossless, and
+    an equi-join on the shingle key like every banded operator here.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
+    dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
+    ordered = (
+        exploded.join(dfreq, "w")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(CONTAINMENT_T) * F.col("n_sh")) + 1
+    ).cast("int")
+    # Probe side sampled 1-in-3 (both engine and oracle): the engine
+    # side scales fine, but the naive all-pairs oracle is quadratic —
+    # the sample keeps the sf0.1 sweep inside its time budget while
+    # still exercising every code path.
+    probe = ordered.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("d_small"),
+        F.explode(
+            F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
+        ).alias("w"),
+    )
+    build = exploded.select(F.col("doc_id").alias("d_big"), "w")
+    cand = (
+        probe.join(build, "w")
+        .where(F.col("d_small") != F.col("d_big"))
+        .select("d_small", "d_big")
+        .distinct()
+    )
+    ic = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    cont = ic.cast("double") / F.col("a.n_sh")
+    return (
+        cand.join(sh.alias("a"), cand.d_small == F.col("a.doc_id"))
+        .join(sh.alias("b"), cand.d_big == F.col("b.doc_id"))
+        .where(F.col("a.n_sh") < F.col("b.n_sh"))
+        .where(cont >= CONTAINMENT_T)
+        .select("d_small", "d_big", F.round(cont, 6).alias("containment"))
+    )
+
+
+_CONTAIN_ORACLE = (
+    "WITH sh0 AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))) AS sh "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, sh, len(sh) AS n FROM sh0) "
+    "SELECT a.doc_id AS d_small, b.doc_id AS d_big, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n, 6) AS containment "
+    "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id AND a.n < b.n "
+    "AND a.doc_id % 3 = 0 "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n >= 0.8"
+)
+
+
 QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -623,6 +694,7 @@ QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_substring_spans": dedup_substring_spans,
     "er_fuzzy_blocked": er_fuzzy_blocked,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
@@ -634,4 +706,5 @@ ORACLES = {
     "dedup_cluster_cc": _CC_ORACLE,
     "dedup_substring_spans": _SPAN_ORACLE,
     "er_fuzzy_blocked": _ER_ORACLE,
+    "dedup_containment": _CONTAIN_ORACLE,
 }

@@ -750,3 +750,36 @@ def test_try_arith_nulls_exactly_on_zero_denominators(spark, sf_oracle):
     assert any(r.key_per_line3 is None for r in rows)
     for r in rows:
         assert (r.key_per_line3 is None) == (r.l_linenumber == 3)
+
+
+def test_containment_prefix_filter_is_lossless(spark, sf_oracle):
+    """Engine (prefix-filtered) pairs must equal a direct Python
+    all-pairs recount, and containment subsumption holds: every
+    Jaccard >= 0.9 near-dup pair (with sampled smaller side, distinct
+    sizes) reappears as a containment pair."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.dedup import CONTAINMENT_T, dedup_containment, dedup_ngram_jaccard
+
+    got = {(r.d_small, r.d_big): r.containment
+           for r in dedup_containment(spark, sf_oracle).collect()}
+    assert got
+
+    def sh(t):
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    docs = {r.doc_id: sh(r.text)
+            for r in catalog.table(spark, sf_oracle, "documents").collect()}
+    want = {}
+    for a, sa in docs.items():
+        if a % 3 != 0:
+            continue
+        for b, sb in docs.items():
+            if a != b and len(sa) < len(sb):
+                c = len(sa & sb) / len(sa)
+                if c >= CONTAINMENT_T:
+                    want[(a, b)] = round(c, 6)
+    assert got == want
+    for r in dedup_ngram_jaccard(spark, sf_oracle).collect():
+        small, big = sorted((r.d1, r.d2), key=lambda d: len(docs[d]))
+        if small % 3 == 0 and len(docs[small]) < len(docs[big]):
+            assert (small, big) in got
