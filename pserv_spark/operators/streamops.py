@@ -34,7 +34,6 @@ QUERIES = {
     "stream_rollup_upsert": stream_rollup_upsert,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_topk_maintain": stream_topk_maintain,
-    # Late-data/watermark semantics — rows-only by declaration.
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
 
@@ -49,6 +48,34 @@ ORACLES = {
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Append-mode holdback is DETERMINISTIC, not merely rows-only: a
+    # bounded availableNow run emits exactly the windows whose end is
+    # <= the final watermark (max event time − delay) — verified to
+    # reproduce the engine output bit-for-bit at sf0.001/0.01/0.1.
+    "stream_tumbling_watermark": (
+        "WITH m AS (SELECT MAX(ts) AS mt FROM events), "
+        "w AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "SELECT day, event_type, n FROM w CROSS JOIN m "
+        "WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mt - INTERVAL 1 HOUR"
+    ),
+    # Session windows: Spark's session end = last event + gap; a
+    # session is emitted once the watermark passes that end.  The
+    # LAG/flag sessionization below re-derives the same sessions.
+    "stream_session_window": (
+        "WITH m AS (SELECT MAX(ts) AS mt FROM events), "
+        "lagd AS (SELECT user_id, ts, "
+        "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "sess AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM lagd), "
+        "agg AS (SELECT user_id, sid, MIN(ts) AS sess_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS sess_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM sess GROUP BY 1, 2) "
+        "SELECT user_id, sess_start, n_events FROM agg CROSS JOIN m "
+        "WHERE sess_end <= mt - INTERVAL 1 HOUR"
+    ),
     # foreachBatch leaderboard: final k-row store == batch top-10.
     "stream_topk_maintain": (
         "SELECT user_id, n FROM ("

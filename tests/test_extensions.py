@@ -94,13 +94,12 @@ def test_deterministic_sketches_estimate_well(spark, sf_oracle):
 
 def test_rows_only_ops_declared_and_sane(spark, sf_oracle):
     """Ops without oracles must be exactly the declared rows-only set
-    (sketches + post-watermark streaming), and still behave sanely."""
+    (now only the cross-engine-incomparable HLL estimate — the two
+    append-mode streaming ops graduated to exact oracles once the
+    final-watermark holdback proved deterministic), and still behave
+    sanely."""
     rows_only = sorted(set(EXTENSION_QUERIES) - set(EXTENSION_ORACLES))
-    assert rows_only == [
-        "agg_approx_distinct",
-        "stream_session_window",
-        "stream_tumbling_watermark",
-    ]
+    assert rows_only == ["agg_approx_distinct"]
     # HLL estimate within 10% of the exact distinct count per group.
     approx = {
         r.l_returnflag: r.approx_supp
