@@ -425,6 +425,77 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_concurrency_sql())
 
 
+def _ls_sql(values_clause: str) -> str:
+    """Lomb–Scargle periodogram (Lomb 1976; Scargle 1982) for
+    unevenly sampled light curves — the standard LSST-era period
+    finder, completing the periodogram triad (PDM: trig-free folding;
+    Deeming DFT: plain Fourier power; LS: least-squares-equivalent
+    with the τ phase origin that makes the statistic time-shift
+    invariant).
+
+    Two map-side fan-out passes over (user × frequency), each ending
+    in ONE keyed aggregation of floor-quantized per-row trig terms
+    (the Stetson/DFT determinism pattern): pass 1 accumulates
+    Σsin 2ωt / Σcos 2ωt → τ = atan2(S,C)/2ω; pass 2, joined back on
+    the (user, period) key, accumulates the centered-value projections
+    on cos/sin ω(t−τ).  atan2's 1-ulp cross-engine drift perturbs τ
+    by ~1e-16 — absorbed by the pass-2 quantization (boundary hits
+    measure-zero).  The per-user mean is the exact-integer quotient
+    (the PCA μ pattern).  At 100 TB: no self-join, no window; two
+    shuffles, both keyed on (user, period) with map-side combine.
+    """
+    theta = "2 * pi() * (ts_us / 86400000000.0) / p"
+    return (
+        "WITH base AS ("
+        "  SELECT user_id, ts_us, value FROM v_events"
+        "  WHERE event_type = 'purchase' AND user_id < 50"
+        "), mu AS ("
+        "  SELECT user_id,"
+        "    CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,"
+        "    CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY user_id"
+        "), ex AS ("
+        "  SELECT b.user_id, b.ts_us,"
+        "    b.value - mu.sq / (mu.n * 1000000.0) AS cv, p"
+        "  FROM base b JOIN mu ON b.user_id = mu.user_id"
+        "  CROSS JOIN " + values_clause + ""
+        "), p1 AS ("
+        f"  SELECT user_id, p,"
+        f"    CAST(SUM(CAST(FLOOR(sin(2 * ({theta})) * 1000000.0) AS BIGINT)) AS BIGINT) AS s2,"
+        f"    CAST(SUM(CAST(FLOOR(cos(2 * ({theta})) * 1000000.0) AS BIGINT)) AS BIGINT) AS c2"
+        "  FROM ex GROUP BY user_id, p"
+        "), tau AS ("
+        "  SELECT user_id, p,"
+        "    atan2(CAST(s2 AS DOUBLE), CAST(c2 AS DOUBLE))"
+        "      / (2 * (2 * pi() / (p * 86400000000.0))) AS t0"
+        "  FROM p1"
+        "), p2 AS ("
+        "  SELECT ex.user_id, ex.p,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_obs,"
+        "    CAST(SUM(CAST(FLOOR(ex.cv * cos((2 * pi() / (ex.p * 86400000000.0)) * (ex.ts_us - tau.t0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS a,"
+        "    CAST(SUM(CAST(FLOOR(ex.cv * sin((2 * pi() / (ex.p * 86400000000.0)) * (ex.ts_us - tau.t0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS b,"
+        "    CAST(SUM(CAST(FLOOR(pow(cos((2 * pi() / (ex.p * 86400000000.0)) * (ex.ts_us - tau.t0)), 2) * 1000000.0) AS BIGINT)) AS BIGINT) AS cc,"
+        "    CAST(SUM(CAST(FLOOR(pow(sin((2 * pi() / (ex.p * 86400000000.0)) * (ex.ts_us - tau.t0)), 2) * 1000000.0) AS BIGINT)) AS BIGINT) AS ss"
+        "  FROM ex JOIN tau ON ex.user_id = tau.user_id AND ex.p = tau.p"
+        "  GROUP BY ex.user_id, ex.p"
+        ") SELECT user_id, p AS period_days, n_obs,"
+        "    CAST(CAST(FLOOR(0.5 * ((CAST(a AS DOUBLE) / 1000000.0) * (CAST(a AS DOUBLE) / 1000000.0)"
+        "      / (CAST(cc AS DOUBLE) / 1000000.0)"
+        "      + (CAST(b AS DOUBLE) / 1000000.0) * (CAST(b AS DOUBLE) / 1000000.0)"
+        "      / (CAST(ss AS DOUBLE) / 1000000.0)) * 1000000.0) AS BIGINT) AS DOUBLE)"
+        "      / 1000000.0 AS ls_power"
+        "  FROM p2"
+    )
+
+
+_LS_PERIODS = "(VALUES (0.5), (1.0), (3.0), (7.0))"
+
+
+def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb–Scargle power at 4 trial periods per user series."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ls_sql(f"{_LS_PERIODS} AS periods(p)"))
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -435,6 +506,7 @@ QUERIES = {
     "ts_changepoint_cusum": ts_changepoint_cusum,
     "join_asof_nearest": join_asof_nearest,
     "ts_max_concurrency": ts_max_concurrency,
+    "lightcurve_lomb_scargle": lightcurve_lomb_scargle,
 }
 
 ORACLES = {
@@ -447,4 +519,5 @@ ORACLES = {
     "ts_changepoint_cusum": inline_views(_cusum_sql()),
     "join_asof_nearest": inline_views(_asof_nearest_sql()),
     "ts_max_concurrency": inline_views(_concurrency_sql()),
+    "lightcurve_lomb_scargle": inline_views(_ls_sql(f"{_LS_PERIODS} periods(p)")),
 }

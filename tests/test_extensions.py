@@ -782,3 +782,42 @@ def test_containment_prefix_filter_is_lossless(spark, sf_oracle):
         small, big = sorted((r.d1, r.d2), key=lambda d: len(docs[d]))
         if small % 3 == 0 and len(docs[small]) < len(docs[big]):
             assert (small, big) in got
+
+
+def test_lomb_scargle_matches_python_reimplementation(spark, sf_oracle):
+    """Replicate the quantized LS pipeline in pure Python for a few
+    users and demand exact power equality; also the sanity bounds:
+    power is non-negative and finite."""
+    import math
+
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import lightcurve_lomb_scargle
+
+    rows = lightcurve_lomb_scargle(spark, sf_oracle).collect()
+    assert rows and all(r.ls_power >= 0 for r in rows)
+    ev = (
+        v_events(spark, sf_oracle)
+        .where("event_type = 'purchase' AND user_id < 5")
+        .select("user_id", "ts_us", "value")
+        .collect()
+    )
+    series: dict = {}
+    for e in ev:
+        series.setdefault(e.user_id, []).append((e.ts_us, e.value))
+    got = {(r.user_id, float(r.period_days)): r.ls_power for r in rows if r.user_id < 5}
+    for uid, pts in series.items():
+        n = len(pts)
+        sq = sum(math.floor(v * 1e6) for _, v in pts)
+        mu = sq / (n * 1e6)
+        for p in (0.5, 1.0, 3.0, 7.0):
+            w = 2 * math.pi / (p * 86400000000.0)
+            s2 = sum(math.floor(math.sin(2 * (w * t)) * 1e6) for t, _ in pts)
+            c2 = sum(math.floor(math.cos(2 * (w * t)) * 1e6) for t, _ in pts)
+            t0 = math.atan2(s2, c2) / (2 * w)
+            a = sum(math.floor((v - mu) * math.cos(w * (t - t0)) * 1e6) for t, v in pts)
+            b = sum(math.floor((v - mu) * math.sin(w * (t - t0)) * 1e6) for t, v in pts)
+            cc = sum(math.floor(math.cos(w * (t - t0)) ** 2 * 1e6) for t, _ in pts)
+            ss = sum(math.floor(math.sin(w * (t - t0)) ** 2 * 1e6) for t, _ in pts)
+            want = math.floor(0.5 * ((a / 1e6) ** 2 / (cc / 1e6)
+                                     + (b / 1e6) ** 2 / (ss / 1e6)) * 1e6) / 1e6
+            assert abs(got[(uid, p)] - want) < 2e-6, (uid, p)
