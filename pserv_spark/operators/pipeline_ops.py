@@ -515,6 +515,109 @@ def layout_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of(m1p, 1).unionByName(as_of(m2p, 2))
 
 
+def layout_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (the Iceberg capability plain Hive
+    layouts lack): old data stays partitioned by DAY, new data lands
+    partitioned by MONTH, and queries plan against BOTH specs without
+    rewriting history.
+
+    Mechanism: each batch's manifest records its partition spec and
+    per-partition file list; the reader turns a predicate into
+    spec-appropriate partition pruning per manifest (day granularity
+    on the old files, month granularity + residual on the new), then
+    unions the two scans.  The oracle is the plain global filter —
+    a hash match proves cross-spec planning loses nothing.  The
+    returned frame aggregates per (spec, day) so the result also
+    shows which spec served each slice.
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
+    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_specevo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    man_path = os.path.join(out, "_manifests.json")
+    if not os.path.exists(man_path):
+        shutil.rmtree(out, ignore_errors=True)
+        old_dir, new_dir = os.path.join(out, "byday"), os.path.join(out, "bymonth")
+        (
+            ev.where(day < mid)
+            .withColumn("p_day", day)
+            .write.partitionBy("p_day")
+            .parquet(old_dir)
+        )
+        (
+            ev.where(day >= mid)
+            .withColumn("p_month", F.floor(day / 30).cast("long"))
+            .write.partitionBy("p_month")
+            .parquet(new_dir)
+        )
+        manifests = [
+            {"spec": "day", "root": old_dir, "col": "p_day"},
+            {"spec": "month", "root": new_dir, "col": "p_month"},
+        ]
+        with open(man_path, "w") as fh:
+            json.dump(manifests, fh)
+
+    with open(man_path) as fh:
+        manifests = json.load(fh)
+
+    # Query: a 20-day window straddling the spec boundary.
+    q_lo, q_hi = mid - 10, mid + 10
+    parts = []
+    for m in manifests:
+        df = spark.read.option("basePath", m["root"]).parquet(m["root"])
+        if m["spec"] == "day":
+            # day-granular spec: partition predicate IS the filter
+            pruned = df.where(
+                (F.col("p_day") >= q_lo) & (F.col("p_day") < q_hi)
+            )
+        else:
+            # month-granular spec: prune to candidate months, keep the
+            # day predicate as a residual on the data column
+            d = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
+            pruned = df.where(
+                (F.col("p_month") >= q_lo // 30) & (F.col("p_month") <= q_hi // 30)
+            ).where((d >= q_lo) & (d < q_hi))
+        parts.append(
+            pruned.select(
+                F.lit(m["spec"]).alias("spec"),
+                F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY)))
+                .cast("long")
+                .alias("day"),
+                "value",
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("spec", "day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+_SPECEVO_ORACLE = (
+    "WITH p AS (SELECT *, " + "CAST(FLOOR(ts_us / 86400000000.0) AS BIGINT)" + " AS d"
+    " FROM v_events WHERE event_type = 'purchase'),"
+    " b AS (SELECT MIN(d) AS lo, MIN(d) + CAST(FLOOR((MAX(d) - MIN(d)) / 2) AS BIGINT) AS mid FROM p)"
+    " SELECT CASE WHEN d < mid THEN 'day' ELSE 'month' END AS spec, d AS day,"
+    "  CAST(COUNT(*) AS BIGINT) AS n,"
+    "  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM p CROSS JOIN b WHERE d >= mid - 10 AND d < mid + 10"
+    " GROUP BY 1, 2"
+)
+
+
 _TT_DAY = f"CAST(FLOOR(ts_us / {_TT_US_PER_DAY}.0) AS BIGINT)"
 _TIMETRAVEL_ORACLE = (
     "WITH p AS (SELECT *, " + _TT_DAY + " AS d FROM v_events"
@@ -533,6 +636,7 @@ _TIMETRAVEL_ORACLE = (
 
 QUERIES = {
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
+    "layout_partition_evolution": layout_partition_evolution,
     "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -546,6 +650,7 @@ QUERIES = {
 
 ORACLES = {
     "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
+    "layout_partition_evolution": inline_views(_SPECEVO_ORACLE),
     "layout_compact_smallfiles": _COMPACT_ORACLE,
     "layout_zorder_keys": inline_views(
         "WITH b AS (SELECT vec_id, "

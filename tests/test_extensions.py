@@ -821,3 +821,20 @@ def test_lomb_scargle_matches_python_reimplementation(spark, sf_oracle):
             want = math.floor(0.5 * ((a / 1e6) ** 2 / (cc / 1e6)
                                      + (b / 1e6) ** 2 / (ss / 1e6)) * 1e6) / 1e6
             assert abs(got[(uid, p)] - want) < 2e-6, (uid, p)
+
+
+def test_partition_evolution_prunes_per_spec(spark, sf_oracle):
+    """The day-spec scan must read only the queried day partitions and
+    the month-spec scan only the candidate months (partition pruning
+    visible in each side's plan as PartitionFilters)."""
+    from pserv_spark.operators.pipeline_ops import layout_partition_evolution
+    from pserv_spark.plans import physical_plan
+
+    df = layout_partition_evolution(spark, sf_oracle)
+    rows = df.collect()
+    assert {r.spec for r in rows} == {"day", "month"}
+    days = sorted(r.day for r in rows)
+    assert days == list(range(days[0], days[0] + 20))
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(p_day" in plan or "p_day#" in plan
+    assert "p_month" in plan
