@@ -342,6 +342,79 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bfs_sql("STRING"))
 
 
+_KC_K = 8
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approx
+    farthest-point traversal) over the embedding table — the diverse-
+    subset selection step of a training-data pipeline (pick k points
+    maximally spread out; every point is within the selection radius
+    of some pick).
+
+    Per iteration: ONE scan computing each vector's distance to the
+    (broadcast) selected set, then a TakeOrdered(1) argmax under the
+    total order (round(d², 6) DESC, vec_id) — the kmeans determinism
+    discipline.  Driver state is k rows.  Returns the k picks with
+    their selection distance (the coreset radius sequence, which is
+    non-increasing — asserted in tests).
+    """
+    emb = catalog.v_emb(spark, sf_dir).select("vec_id", "emb")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, int(first.vec_id), list(first.emb), 0.0)]
+    schema = "cid int, cvec array<double>"
+    for step in range(1, _KC_K):
+        cdf = spark.createDataFrame(
+            [(p[0], p[2]) for p in picks], schema
+        )
+        dmin = (
+            emb.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", F.round(F.expr(_DIST2), 6))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"))
+        )
+        far = (
+            dmin.join(emb, "vec_id")
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((step, int(far.vec_id), list(far.emb), float(far.dmin)))
+    return spark.createDataFrame(
+        [(s, v, d) for s, v, _, d in picks],
+        "step int, vec_id bigint, sel_d2 double",
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy traversal; the fold in ``_duck_dist2`` mirrors
+    Spark's aggregate() order exactly (kmeans precedent)."""
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_DIM}), "
+        "i -> (e.emb[i] - s.emb[i]) * (e.emb[i] - s.emb[i]))), "
+        "(a, b) -> a + b)"
+    )
+    ctes = [
+        "p0 AS (SELECT 0 AS step, vec_id, emb, 0.0 AS sel_d2"
+        " FROM v_emb ORDER BY vec_id LIMIT 1)"
+    ]
+    for k in range(1, _KC_K):
+        prev = " UNION ALL ".join(f"SELECT * FROM p{j}" for j in range(k))
+        ctes.append(
+            f"p{k} AS (SELECT {k} AS step, e.vec_id, e.emb, dmin AS sel_d2 FROM ("
+            f"SELECT e.vec_id, MIN(ROUND({d2}, 6)) AS dmin"
+            f" FROM v_emb e CROSS JOIN ({prev}) s GROUP BY e.vec_id) q"
+            " JOIN v_emb e ON q.vec_id = e.vec_id"
+            " ORDER BY dmin DESC, e.vec_id LIMIT 1)"
+        )
+    allp = " UNION ALL ".join(f"SELECT * FROM p{j}" for j in range(_KC_K))
+    return inline_views(
+        "WITH " + ", ".join(ctes)
+        + f" SELECT step, vec_id, sel_d2 FROM ({allp}) f"
+    )
+
+
 def _linkpred_sql() -> str:
     """Common-neighbors / Jaccard link prediction on the bipartite
     part↔supplier graph: part pairs never directly connected but
@@ -387,6 +460,7 @@ QUERIES = {
     "vec_pca_power": vec_pca_power,
     "graph_bfs_frontier": graph_bfs_frontier,
     "graph_common_neighbors": graph_common_neighbors,
+    "sample_coreset_kcenter": sample_coreset_kcenter,
 }
 
 ORACLES = {
@@ -396,4 +470,5 @@ ORACLES = {
     "vec_pca_power": _pca_oracle(),
     "graph_bfs_frontier": _bfs_sql("VARCHAR"),
     "graph_common_neighbors": _linkpred_sql(),
+    "sample_coreset_kcenter": _kcenter_oracle(),
 }

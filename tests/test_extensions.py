@@ -838,3 +838,24 @@ def test_partition_evolution_prunes_per_spec(spark, sf_oracle):
     plan = physical_plan(df)
     assert "PartitionFilters: [isnotnull(p_day" in plan or "p_day#" in plan
     assert "p_month" in plan
+
+
+def test_kcenter_radius_non_increasing_and_diverse(spark, sf_oracle):
+    """Greedy farthest-point property: selection distances are
+    non-increasing; picks are distinct; every pick's selection
+    distance equals its true min distance to earlier picks (Python
+    recount)."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.iterative import sample_coreset_kcenter
+
+    rows = sorted(sample_coreset_kcenter(spark, sf_oracle).collect(), key=lambda r: r.step)
+    assert len(rows) == len({r.vec_id for r in rows}) == 8
+    d2s = [r.sel_d2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+    emb = {r.vec_id: list(r.emb)
+           for r in catalog.v_emb(spark, sf_oracle).select("vec_id", "emb").collect()}
+    for i, r in enumerate(rows[1:], start=1):
+        prior = [emb[p.vec_id] for p in rows[:i]]
+        v = emb[r.vec_id]
+        want = min(round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6) for c in prior)
+        assert abs(r.sel_d2 - want) < 1e-9, (r.step, r.sel_d2, want)
