@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -374,9 +374,74 @@ _PHASH_ORACLE = (
 )
 
 
+SCENE_CUT_THRESHOLD = 100  # |Δ frame luma| that counts as a cut
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the fake frame stream: a per-frame
+    intensity proxy ("luma" = byte sum) is extracted batch-wise in
+    Arrow, then cuts are |Δluma| > threshold between consecutive
+    frames — the LAG-over-(asset, frame) shape a real shot-boundary
+    detector has, with the decoder swapped for the byte proxy.
+    Output per asset: frame count + cut count (exact integers).
+
+    Scale: Python touches each payload once; the window partitions by
+    asset (frames of one asset are one partition's rows — no global
+    ordering anywhere)."""
+    assets = _assets(spark, sf_dir)
+
+    def lumas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            od, oi, ol = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = decode_stub(bytes(payload))
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(n_frames):
+                    od.append(doc_id)
+                    oi.append(i)
+                    ol.append(sum(data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+            yield pd.DataFrame({"doc_id": od, "frame_idx": oi, "luma": ol})
+
+    f = assets.mapInPandas(lumas, "doc_id long, frame_idx long, luma long")
+    win = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = f.withColumn("prev", F.lag("luma").over(win)).select(
+        "doc_id",
+        F.when(
+            F.col("prev").isNotNull()
+            & (F.abs(F.col("luma") - F.col("prev")) > SCENE_CUT_THRESHOLD),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    return cuts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_cuts"),
+    )
+
+
+_SCENE_CUT_ORACLE = (
+    "WITH idx AS (SELECT doc_id, text, "
+    f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
+    "AS frame_idx FROM documents), "
+    "f AS (SELECT doc_id, frame_idx, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "
+    f"j -> CAST(ascii(substr(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), j, 1)) AS BIGINT))), "
+    "(a, b) -> a + b) AS luma FROM idx), "
+    "lagd AS (SELECT doc_id, luma, "
+    "LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM f) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, "
+    "CAST(SUM(CASE WHEN prev IS NOT NULL AND ABS(luma - prev) > "
+    f"{SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts "
+    "FROM lagd GROUP BY doc_id"
+)
+
+
 QUERIES = {
     "mm_audio_resample_meta": mm_audio_resample_meta,
     "mm_phash_near_dup": mm_phash_near_dup,
+    "mm_scene_cuts": mm_scene_cuts,
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_embed": mm_feature_embed,
@@ -386,6 +451,7 @@ QUERIES = {
 ORACLES = {
     "mm_audio_resample_meta": _AUDIO_RESAMPLE_ORACLE,
     "mm_phash_near_dup": _PHASH_ORACLE,
+    "mm_scene_cuts": _SCENE_CUT_ORACLE,
     "mm_decode_meta": _DECODE_META_ORACLE,
     "mm_frame_sample": _FRAME_SAMPLE_ORACLE,
     "mm_feature_embed": _FEATURE_EMBED_ORACLE,

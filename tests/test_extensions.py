@@ -859,3 +859,18 @@ def test_kcenter_radius_non_increasing_and_diverse(spark, sf_oracle):
         v = emb[r.vec_id]
         want = min(round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6) for c in prior)
         assert abs(r.sel_d2 - want) < 1e-9, (r.step, r.sel_d2, want)
+
+
+def test_scene_cuts_match_python_recount(spark, sf_oracle):
+    from pserv_spark import catalog
+    from pserv_spark.operators.multimodal import FRAME_BYTES, SCENE_CUT_THRESHOLD, mm_scene_cuts
+
+    got = {r.doc_id: (r.n_frames, r.n_cuts) for r in mm_scene_cuts(spark, sf_oracle).collect()}
+    assert got and any(c for _, c in got.values())
+    for r in catalog.table(spark, sf_oracle, "documents").limit(50).collect():
+        data = r.text.encode()
+        lumas = [sum(data[i:i + FRAME_BYTES])
+                 for i in range(0, len(data), FRAME_BYTES)]
+        cuts = sum(1 for a, b in zip(lumas, lumas[1:])
+                   if abs(b - a) > SCENE_CUT_THRESHOLD)
+        assert got[r.doc_id] == (len(lumas), cuts), r.doc_id
