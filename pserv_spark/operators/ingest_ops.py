@@ -198,19 +198,9 @@ _PK_LAYOUT_ORACLE = (
 _FITS_REGISTERED: set[int] = set()
 
 
-def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end custom-connector ingest: events → FITS-style binary
-    table fixture → ``spark.read.format("fitslike")`` → aggregation.
-
-    This is the reference's actual ingest path (FITS binary table →
-    typed columns, NaN→NULL — public repo python/desc/pserv/Pserv.py,
-    ``create_csv_file_from_fits``) with the CSV hop deleted: the
-    Spark 4 Python DataSource decodes the binary rows executor-side in
-    row-block partitions.  NaNs are seeded into the fixture
-    (event_id % 101 == 0) to prove the NULL path; the DuckDB oracle
-    applies the same predicate to the original parquet, so a hash
-    match certifies the binary encode→decode round-trip is lossless.
-    """
+def _fitslike_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Register the datasource and materialize the deterministic
+    FITS-like fixture (purchases with seeded NaNs) once per sf_dir."""
     import hashlib as _hl
 
     from ..sources.fitslike import FitsLikeDataSource, write_fitslike
@@ -250,6 +240,23 @@ def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             [tuple(r) for r in src.collect()],
             sort_key="event_id",
         )
+    return path
+
+
+def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom-connector ingest: events → FITS-style binary
+    table fixture → ``spark.read.format("fitslike")`` → aggregation.
+
+    This is the reference's actual ingest path (FITS binary table →
+    typed columns, NaN→NULL — public repo python/desc/pserv/Pserv.py,
+    ``create_csv_file_from_fits``) with the CSV hop deleted: the
+    Spark 4 Python DataSource decodes the binary rows executor-side in
+    row-block partitions.  NaNs are seeded into the fixture
+    (event_id % 101 == 0) to prove the NULL path; the DuckDB oracle
+    applies the same predicate to the original parquet, so a hash
+    match certifies the binary encode→decode round-trip is lossless.
+    """
+    path = _fitslike_fixture(spark, sf_dir)
     loaded = (
         spark.read.format("fitslike")
         .option("path", path)
@@ -385,6 +392,50 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_fitslike_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the FITS-like binary table through the custom source's
+    ``SimpleDataSourceStreamReader`` — the incremental per-visit
+    ingest feed (row-offset checkpoints give exactly-once replay on
+    the immutable table; each micro-batch advances ≤ rowsPerBatch
+    rows).  The complete-mode aggregation must equal the batch scan's,
+    so the oracle is the same one ``source_fitslike_scan`` passes —
+    proving the streamed decode path is byte-equivalent to the batch
+    DataSourceReader."""
+    path = _fitslike_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.format("fitslike")
+        .option("path", path)
+        .option("rowsPerBatch", 1500)
+        .load()
+    )
+    agg = stream.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.max("event_type").alias("etype"),
+    )
+    sink = "stream_fitslike_tail_sink"
+    # NOT availableNow: with a SimpleDataSourceStreamReader the
+    # "available" offset is whatever the driver-side prefetch cache
+    # holds at query start (one rowsPerBatch batch) — the run would
+    # stop ~1 batch in.  processAllAvailable() drains the source to
+    # its true end across as many micro-batches as it takes.
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(sink)
+
+
 _SCHEMA_EVO_ORACLE = (
     "SELECT l_orderkey AS id, l_quantity AS qty, CAST(NULL AS DOUBLE) AS discount,"
     " 1 AS batch FROM lineitem WHERE l_orderkey < 200 AND l_linenumber = 1"
@@ -401,6 +452,7 @@ QUERIES = {
     "ingest_schema_evolution": ingest_schema_evolution,
     "ingest_registry_visits": ingest_registry_visits,
     "source_fitslike_scan": source_fitslike_scan,
+    "stream_fitslike_tail": stream_fitslike_tail,
 }
 ORACLES = {
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
@@ -409,4 +461,5 @@ ORACLES = {
     "ingest_schema_evolution": _SCHEMA_EVO_ORACLE,
     "ingest_registry_visits": _REGISTRY_ORACLE,
     "source_fitslike_scan": inline_views(_FITSLIKE_ORACLE),
+    "stream_fitslike_tail": inline_views(_FITSLIKE_ORACLE),
 }

@@ -243,7 +243,12 @@ def _pca_sql(dims_clause: str, elem: str) -> str:
         "mu AS (SELECT i,"
         " CAST(SUM(CAST(FLOOR(xi * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,"
         " CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY i)",
-        "cx AS (SELECT vec_id, x.i, xi - sq / (n * 1000000.0) AS c"
+        # CAST to DOUBLE before every division: a bare BIGINT /
+        # 1000000.0 literal is DECIMAL division in Spark (the literal
+        # parses as DECIMAL) with engine-specific rounding — observed
+        # to flip the sf0.001 result while sf0.01/0.1 happened to agree.
+        "cx AS (SELECT vec_id, x.i,"
+        " xi - CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c"
         " FROM x JOIN mu ON x.i = mu.i)",
         "m AS (SELECT a.i, b.i AS j,"
         " CAST(SUM(CAST(FLOOR(a.c * b.c * 1000000.0) AS BIGINT)) AS BIGINT) AS mq"
@@ -261,21 +266,21 @@ def _pca_sql(dims_clause: str, elem: str) -> str:
             f" FROM m JOIN v{k - 1} v ON m.j = v.i GROUP BY m.i)"
         )
         ctes.append(
-            f"n{k} AS (SELECT CAST(SUM(CAST(FLOOR((wq / 1000000000000.0)"
-            " * (wq / 1000000000000.0) * 1000.0) AS BIGINT)) AS BIGINT) AS n2q"
+            f"n{k} AS (SELECT CAST(SUM(CAST(FLOOR((CAST(wq AS DOUBLE) / 1000000000000.0)"
+            " * (CAST(wq AS DOUBLE) / 1000000000000.0) * 1000.0) AS BIGINT)) AS BIGINT) AS n2q"
             f" FROM w{k})"
         )
         # FLOOR-quantize back to 1e6-scale integers, never ROUND
         # (§4.5 rule 2); sqrt is IEEE-correctly-rounded in both engines.
         ctes.append(
-            f"v{k} AS (SELECT i, CAST(FLOOR(wq / 1000000000000.0"
-            f" / sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) AS vq"
+            f"v{k} AS (SELECT i, CAST(FLOOR(CAST(wq AS DOUBLE) / 1000000000000.0"
+            f" / sqrt(CAST(n2q AS DOUBLE) / 1000.0) * 1000000.0) AS BIGINT) AS vq"
             f" FROM w{k} CROSS JOIN n{k})"
         )
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT i AS dim_idx, CAST(vq AS DOUBLE) / 1000000.0 AS loading,"
-        f" CAST(CAST(FLOOR(sqrt(n2q / 1000.0) * 1000000.0) AS BIGINT) AS DOUBLE)"
+        f" CAST(CAST(FLOOR(sqrt(CAST(n2q AS DOUBLE) / 1000.0) * 1000000.0) AS BIGINT) AS DOUBLE)"
         " / 1000000.0 AS lambda1"
         f" FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}"
     )

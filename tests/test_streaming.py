@@ -40,3 +40,18 @@ def test_session_window_shape(spark, sf_smoke):
     # Append mode withholds windows newer than the final watermark, so
     # the count is ≤ the total session count but must be substantial.
     assert n > 100
+
+
+def test_fitslike_stream_multiple_batches(spark, sf_oracle):
+    """The simple stream reader must advance through >1 micro-batch
+    (rowsPerBatch=1500 < fixture rows) and its final aggregation must
+    equal the batch DataSourceReader's."""
+    from pserv_spark.operators.ingest_ops import source_fitslike_scan, stream_fitslike_tail
+    from pserv_spark.testing import compare_frames
+
+    streamed = stream_fitslike_tail(spark, sf_oracle)
+    batch = source_fitslike_scan(spark, sf_oracle)
+    res = compare_frames("fitslike_stream_vs_batch", streamed, batch)
+    assert res.ok, res.detail
+    total = sum(r.n for r in streamed.collect())
+    assert total > 1500  # guarantees >1 batch actually streamed
