@@ -429,6 +429,48 @@ def astro_xmatch_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DENS_K = 5
+_DENS_EPS = 10.0  # wider than the crossmatch: k=5 needs ~4 expected neighbors
+
+
+def astro_density_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local source density via the distance to the 5th-nearest
+    neighbor (the classic kNN density estimator; used for cluster /
+    overdensity finding in survey catalogs).  Same zoned candidate
+    generation as the crossmatch; sources with fewer than 5 neighbors
+    inside the 10° search radius are excluded (deterministically).
+    Rank order (round(sep,6), id2) is total — §4.5 rule 4."""
+    sky = _sky(spark, sf_dir)
+    zoned = sky.withColumn("zone", F.floor(F.col("dec") / _DENS_EPS))
+    a = zoned.select(
+        F.col("vec_id").alias("id1"),
+        F.col("ra").alias("ra1"),
+        F.col("dec").alias("dec1"),
+        F.explode(
+            F.array(F.col("zone") - 1, F.col("zone"), F.col("zone") + 1)
+        ).alias("zone"),
+    )
+    b = zoned.select(
+        F.col("vec_id").alias("id2"),
+        F.col("ra").alias("ra2"),
+        F.col("dec").alias("dec2"),
+        "zone",
+    )
+    sep = _ang_sep(F.col("ra1"), F.col("dec1"), F.col("ra2"), F.col("dec2"))
+    pairs = (
+        a.join(b, "zone")
+        .where(F.col("id1") != F.col("id2"))
+        .where(sep < _DENS_EPS)
+        .select("id1", F.round(sep, 6).alias("sep_deg"), "id2")
+    )
+    w = Window.partitionBy("id1").orderBy("sep_deg", "id2")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _DENS_K)
+        .select("id1", F.col("sep_deg").alias(f"d{_DENS_K}_deg"))
+    )
+
+
 def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Galactic (l, b) for every source (J2000 rotation)."""
     catalog.load_tables(spark, sf_dir)
@@ -449,6 +491,7 @@ QUERIES = {
     "astro_healpix_ring": astro_healpix_ring,
     "astro_galactic_coords": astro_galactic_coords,
     "astro_xmatch_best": astro_xmatch_best,
+    "astro_density_knn": astro_density_knn,
 }
 
 _SKY_CTE = (
@@ -519,6 +562,17 @@ ORACLES = {
     ),
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
     "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
+    "astro_density_knn": inline_views(
+        f"WITH {_SKY_CTE}, pairs AS ("
+        "SELECT a.vec_id AS id1, "
+        f"ROUND({_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')}, 6) AS sep_deg, "
+        "b.vec_id AS id2 "
+        "FROM sky a JOIN sky b ON a.vec_id <> b.vec_id "
+        f"WHERE {_duck_sep('a.ra', 'a.dec', 'b.ra', 'b.dec')} < {_DENS_EPS}) "
+        f"SELECT id1, sep_deg AS d{_DENS_K}_deg FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY sep_deg, id2) AS rn "
+        f"FROM pairs) t WHERE rn = {_DENS_K}"
+    ),
     "astro_xmatch_best": inline_views(
         f"WITH {_SKY_CTE}, pairs AS ("
         "SELECT a.vec_id AS id1, b.vec_id AS id2, "

@@ -685,6 +685,49 @@ _CONTAIN_ORACLE = (
 )
 
 
+def dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last mile: one canonical document per
+    near-dup cluster.  Composition of ``dedup_cluster_cc`` (transitive
+    components over the mined pair graph) with a keeper policy —
+    longest document wins, doc_id breaks ties (a total order, §4.5
+    rule 4).  Output: (component, keeper_doc, n_members, kept_chars) —
+    what a production run writes back as the survivor list.
+
+    Scale shape: the component relation is |dup-universe|-sized (tiny
+    relative to the corpus); the keeper pick is one window over it,
+    and joining ``n_chars`` is a broadcast against the doc dimension.
+    """
+    comps = dedup_cluster_cc(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = comps.join(docs, "doc_id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc"),
+            F.count("*").cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+_KEEPER_ORACLE = (
+    "WITH comp AS MATERIALIZED (SELECT * FROM (" + _CC_ORACLE + ") t), "
+    "ranked AS (SELECT c.component, c.doc_id, d.n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY c.component "
+    "ORDER BY d.n_chars DESC, c.doc_id) AS rn "
+    "FROM comp c JOIN documents d ON c.doc_id = d.doc_id) "
+    "SELECT component, CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc, "
+    "CAST(COUNT(*) AS BIGINT) AS n_members, "
+    "CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars "
+    "FROM ranked GROUP BY component"
+)
+
+
 QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -695,6 +738,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "er_fuzzy_blocked": er_fuzzy_blocked,
     "dedup_containment": dedup_containment,
+    "dedup_canonical_keeper": dedup_canonical_keeper,
 }
 
 ORACLES = {
@@ -707,4 +751,5 @@ ORACLES = {
     "dedup_substring_spans": _SPAN_ORACLE,
     "er_fuzzy_blocked": _ER_ORACLE,
     "dedup_containment": _CONTAIN_ORACLE,
+    "dedup_canonical_keeper": _KEEPER_ORACLE,
 }

@@ -284,14 +284,53 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bigram_lm_sql(_SPARK_POS_TOKS))
 
 
+def _composite_sql(splitfn: str, distinctfn: str, filterfn: str, lenfn: str) -> str:
+    """The filtering pipeline's verdict op: every quality signal in
+    ONE scan, folded into a keep/drop decision with an auditable
+    first-failing-rule reason (what a curation run logs per document).
+    Signals are exact-integer counts and exact quotients — no
+    rounding anywhere (§4.5 rule 2)."""
+    toks = f"{splitfn}(text, ' ')"
+    nt = f"{lenfn}({toks})"
+    nd = f"{lenfn}({distinctfn}({toks}))"
+    stop = f"{lenfn}({filterfn}({toks}, t -> t = 'the' OR t = 'a'))"
+    return (
+        "WITH s AS ("
+        f"  SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens,"
+        f"    CAST({nd} AS DOUBLE) / {nt} AS distinct_ratio,"
+        f"    CAST({stop} AS DOUBLE) / {nt} AS stop_ratio"
+        "  FROM documents"
+        ") SELECT doc_id, n_tokens, distinct_ratio, stop_ratio,"
+        "    CASE WHEN n_tokens < 15 THEN 'too_short'"
+        "         WHEN n_tokens > 500 THEN 'too_long'"
+        "         WHEN distinct_ratio < 0.35 THEN 'low_diversity'"
+        "         WHEN stop_ratio > 0.12 THEN 'stopword_heavy'"
+        "         ELSE 'ok' END AS reason,"
+        "    CASE WHEN n_tokens >= 15 AND n_tokens <= 500"
+        "         AND distinct_ratio >= 0.35 AND stop_ratio <= 0.12"
+        "         THEN TRUE ELSE FALSE END AS keep"
+        "  FROM s"
+    )
+
+
+def quality_composite_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per document with the first failing rule."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_composite_sql("split", "array_distinct", "filter", "size"))
+
+
 QUERIES = {
     "text_repetition_ratio": text_repetition_ratio,
     "decontaminate_ngram": decontaminate_ngram,
     "text_pii_redact": text_pii_redact,
     "text_bigram_logprob": text_bigram_logprob,
+    "quality_composite_filter": quality_composite_filter,
 }
 
 ORACLES = {
+    "quality_composite_filter": _composite_sql(
+        "string_split", "list_distinct", "list_filter", "len"
+    ),
     "text_repetition_ratio": _REPETITION_ORACLE,
     "decontaminate_ngram": _DECONTAM_ORACLE,
     "text_pii_redact": _PII_ORACLE,

@@ -874,3 +874,67 @@ def test_scene_cuts_match_python_recount(spark, sf_oracle):
         cuts = sum(1 for a, b in zip(lumas, lumas[1:])
                    if abs(b - a) > SCENE_CUT_THRESHOLD)
         assert got[r.doc_id] == (len(lumas), cuts), r.doc_id
+
+
+def test_canonical_keeper_covers_all_clusters(spark, sf_oracle):
+    """Every component from cluster_cc appears exactly once; the
+    keeper is a member and maximizes (n_chars, -doc_id)."""
+    from pserv_spark import catalog
+    from pserv_spark.operators.dedup import dedup_canonical_keeper, dedup_cluster_cc
+
+    comps: dict = {}
+    for r in dedup_cluster_cc(spark, sf_oracle).collect():
+        comps.setdefault(r.component, set()).add(r.doc_id)
+    keep = {r.component: r for r in dedup_canonical_keeper(spark, sf_oracle).collect()}
+    assert set(keep) == set(comps)
+    chars = {r.doc_id: r.n_chars
+             for r in catalog.table(spark, sf_oracle, "documents").collect()}
+    for comp, members in comps.items():
+        k = keep[comp]
+        assert k.keeper_doc in members and k.n_members == len(members)
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert k.keeper_doc == best and k.kept_chars == chars[best]
+
+
+def test_composite_filter_reasons_are_consistent(spark, sf_oracle):
+    from pserv_spark.operators.quality_ops import quality_composite_filter
+
+    rows = quality_composite_filter(spark, sf_oracle).collect()
+    assert len({r.reason for r in rows}) >= 2  # non-vacuous rules
+    for r in rows:
+        assert r.keep == (r.reason == "ok")
+        if r.reason == "too_short":
+            assert r.n_tokens < 15
+        elif r.reason == "low_diversity":
+            assert r.n_tokens >= 15 and r.distinct_ratio < 0.35
+        elif r.reason == "stopword_heavy":
+            assert r.distinct_ratio >= 0.35 and r.stop_ratio > 0.12
+        elif r.reason == "ok":
+            assert 15 <= r.n_tokens <= 500
+            assert r.distinct_ratio >= 0.35 and r.stop_ratio <= 0.12
+
+
+def test_density_knn_is_true_kth_distance(spark, sf_oracle):
+    """The reported d5 equals the true 5th-smallest haversine distance
+    (Python recount on a sample of sources)."""
+    import math
+
+    from pserv_spark.operators.astro_sph import _DENS_EPS, _DENS_K, _sky, astro_density_knn
+
+    got = {r.id1: r.d5_deg for r in astro_density_knn(spark, sf_oracle).collect()}
+    assert got
+    pts = {r.vec_id: (r.ra, r.dec) for r in _sky(spark, sf_oracle).collect()}
+
+    def sep(a, b):
+        (r1, d1), (r2, d2) = a, b
+        h = (math.sin(math.radians(d1 - d2) / 2) ** 2
+             + math.cos(math.radians(d1)) * math.cos(math.radians(d2))
+             * math.sin(math.radians(r1 - r2) / 2) ** 2)
+        return math.degrees(2 * math.asin(math.sqrt(h)))
+
+    for vid in list(got)[:25]:
+        ds = sorted(round(sep(pts[vid], p), 6)
+                    for k, p in pts.items()
+                    if k != vid and sep(pts[vid], p) < _DENS_EPS)
+        assert len(ds) >= _DENS_K
+        assert abs(ds[_DENS_K - 1] - got[vid]) < 1e-9, vid
