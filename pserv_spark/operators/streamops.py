@@ -1,9 +1,10 @@
 """Registry adapter for the streaming jobs (see streaming/jobs.py).
 
-``stream_session_window`` deliberately has no oracle entry — append
-mode withholds windows newer than the final watermark, which ANSI SQL
-cannot express portably; the driver records its weaker rows-only check
-(SURVEY §2.2 declares it rows-only).
+Every streaming op now carries an exact oracle: the append-mode
+watermark holdback and even actual late-data DROPPING proved fully
+deterministic for bounded replays (emitted set ≡ windows closed under
+the final watermark; a late row survives iff its window outlived the
+watermark its batch ran under), so ANSI SQL can replay the policy.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from ..streaming import (
     stream_cdc_apply,
     stream_rollup_upsert,
     stream_topk_maintain,
+    stream_late_drop_audit,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -34,6 +36,7 @@ QUERIES = {
     "stream_rollup_upsert": stream_rollup_upsert,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_topk_maintain": stream_topk_maintain,
+    "stream_late_drop_audit": stream_late_drop_audit,
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
 
@@ -48,6 +51,25 @@ ORACLES = {
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Late-data dropping, replayed exactly: on-time rows always count;
+    # a late row survives iff its window end exceeds the watermark in
+    # effect when its batch ran (= max on-time ts − 1h); emitted
+    # windows are those with end <= global max ts − 1h.
+    "stream_late_drop_audit": (
+        "WITH p AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        "CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d "
+        "FROM events WHERE event_type = 'purchase'), "
+        "b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p), "
+        "lab AS (SELECT p.*, ((d = lo OR d = hi) AND event_id % 2 = 1) AS late "
+        "FROM p CROSS JOIN b), "
+        "wm1 AS (SELECT MAX(ts_us) - 3600000000 AS w1 FROM lab WHERE NOT late), "
+        "wmf AS (SELECT MAX(ts_us) - 3600000000 AS wf FROM lab), "
+        "kept AS (SELECT * FROM lab CROSS JOIN wm1 "
+        "WHERE NOT late OR (d + 1) * 86400000000 > w1), "
+        "agg AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY d) "
+        "SELECT day, n FROM agg CROSS JOIN wmf "
+        "WHERE (day + 1) * 86400000000 <= wf"
+    ),
     # Append-mode holdback is DETERMINISTIC, not merely rows-only: a
     # bounded availableNow run emits exactly the windows whose end is
     # <= the final watermark (max event time − delay) — verified to

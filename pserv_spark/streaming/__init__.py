@@ -13,6 +13,7 @@ from .jobs import (
     stream_tumbling_watermark,
     stream_rollup_upsert,
     stream_topk_maintain,
+    stream_late_drop_audit,
     stream_cdc_apply,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "stream_tumbling_watermark",
     "stream_rollup_upsert",
     "stream_topk_maintain",
+    "stream_late_drop_audit",
     "stream_cdc_apply",
 ]

@@ -470,3 +470,84 @@ def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.read.parquet(out).select("user_id", "n")
+
+
+_LATE_US_PER_DAY = 86_400_000_000
+_LATE_WM_US = 3_600_000_000  # 1 hour
+
+
+def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC late-data dropping — watermark semantics made
+    exactly checkable instead of rows-only.
+
+    The purchase feed replays as three files under
+    ``maxFilesPerTrigger=1`` with controlled mtimes: f1 = on-time
+    history (days < hi), f2 = on-time head (day hi — this commit
+    establishes the high watermark), f3 = the LATE rows (odd-event-id
+    rows of the first and last days).  Empirically pinned Spark
+    semantics (see tests): a batch filters input with the watermark
+    committed after the PREVIOUS batch, dropping rows whose window end
+    ≤ that watermark — so f3's first-day rows are dropped (their
+    window emits with the on-time count only) while f3's last-day rows
+    land in the still-open head window; append mode finally emits
+    exactly the windows whose end ≤ global-max-ts − 1 h.  Every branch
+    is integer event-time arithmetic, so the DuckDB oracle replays the
+    policy exactly.
+    """
+    import hashlib as _hl
+    import shutil
+
+    ev = (
+        spark.read.schema(SCHEMAS["events"])
+        .parquet(_stream_source_dir(sf_dir))
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+    day = F.floor(F.col("ts_us") / F.lit(float(_LATE_US_PER_DAY))).cast("long")
+    b = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
+    is_late = ((day == b.lo) | (day == b.hi)) & (F.col("event_id") % 2 == 1)
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_late3_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    # Flat files (the file stream source does not recurse), mtime-ordered.
+    for name, pred, mtime in (
+        ("f1_history.parquet", (~is_late) & (day < b.hi), 1_000_000),
+        ("f2_head.parquet", (~is_late) & (day == b.hi), 2_000_000),
+        ("f3_late.parquet", is_late, 3_000_000),
+    ):
+        stage = os.path.join(src, f"_stage_{name}")
+        ev.where(pred).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = os.path.join(src, name)
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = agg.select(
+        F.floor(F.unix_micros(F.col("w.start")) / F.lit(float(_LATE_US_PER_DAY)))
+        .cast("long")
+        .alias("day"),
+        "n",
+    )
+    return run_to_memory(out, "append", "stream_late_drop")

@@ -55,3 +55,35 @@ def test_fitslike_stream_multiple_batches(spark, sf_oracle):
     assert res.ok, res.detail
     total = sum(r.n for r in streamed.collect())
     assert total > 1500  # guarantees >1 batch actually streamed
+
+
+def test_late_drop_actually_drops(spark, sf_oracle):
+    """The first day's late (odd-id) rows must be missing from its
+    emitted window, while the head day's late rows are accepted —
+    both compared against full batch counts."""
+    from pserv_spark.catalog import v_events
+    from pserv_spark.streaming import stream_late_drop_audit
+    from pyspark.sql import functions as F
+
+    got = {r.day: r.n for r in stream_late_drop_audit(spark, sf_oracle).collect()}
+    day = F.floor(F.col("ts_us") / F.lit(86400000000.0)).cast("long")
+    full = {
+        r.day: (r.n, r.n_odd)
+        for r in v_events(spark, sf_oracle)
+        .where("event_type = 'purchase'")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_id") % 2 == 1).cast("long")).alias("n_odd"),
+        )
+        .collect()
+    }
+    lo, hi = min(full), max(full)
+    # first day: emitted minus its dropped odd rows
+    assert got[lo] == full[lo][0] - full[lo][1]
+    assert full[lo][1] > 0, "vacuous: no late rows existed to drop"
+    # head day held back entirely (window still open at final watermark)
+    assert hi not in got
+    # every fully-on-time day emitted with its complete count
+    for d in range(lo + 1, hi):
+        assert got[d] == full[d][0], d
