@@ -496,6 +496,74 @@ def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ls_sql(f"{_LS_PERIODS} AS periods(p)"))
 
 
+
+
+def _snaive_sql() -> str:
+    """Seasonal-naive forecast evaluation (the standard forecasting
+    baseline): predict each of the final 7 days' purchase totals with
+    the same weekday one week earlier, and score MAE / bias on that
+    holdout.  Errors are exact integer cents; the MAE quotient is a
+    single exact-operand division (§4.5 rule 2).  Scale shape: the
+    stream collapses to one row per day first; everything after is
+    metadata-sized (a self-join at lag 7 on ~n_days rows)."""
+    return (
+        "WITH daily AS ("
+        f"  SELECT CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT) AS d,"
+        "    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM v_events WHERE event_type = 'purchase' GROUP BY 1"
+        "), b AS (SELECT MAX(d) AS hi FROM daily)"
+        ", holdout AS ("
+        "  SELECT a.d, a.cents AS actual, f.cents AS forecast,"
+        "    ABS(a.cents - f.cents) AS abs_err, a.cents - f.cents AS err"
+        "  FROM daily a JOIN daily f ON f.d = a.d - 7 CROSS JOIN b"
+        "  WHERE a.d > b.hi - 7"
+        ") SELECT CAST(COUNT(*) AS BIGINT) AS n_days,"
+        "    CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_cents,"
+        "    CAST(CAST(SUM(abs_err) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS mae,"
+        "    CAST(CAST(SUM(err) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS mean_bias"
+        "  FROM holdout"
+    )
+
+
+def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast MAE/bias on the last week."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_snaive_sql())
+
+
+def _drawdown_sql() -> str:
+    """Maximum drawdown of the daily revenue series per event type —
+    the running-peak-to-trough statistic (finance's risk metric; for a
+    light curve, the deepest dimming below the running maximum).
+    The raw stream collapses to one row per (type, day) first; the two
+    window passes (running max over time, then the max gap) run on
+    that metadata-sized series.  All integers until the final
+    cents→unit division."""
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return (
+        "WITH daily AS ("
+        "  SELECT event_type,"
+        f"    CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT) AS d,"
+        "    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM v_events WHERE event_type IN ('purchase', 'click')"
+        "  GROUP BY event_type, 2"
+        "), dd AS ("
+        "  SELECT event_type, cents,"
+        f"    CAST(MAX(cents) OVER (PARTITION BY event_type ORDER BY d {frame}) AS BIGINT) AS peak"
+        "  FROM daily"
+        ") SELECT event_type,"
+        "    CAST(CAST(MAX(peak - cents) AS BIGINT) AS DOUBLE) / 100.0 AS max_drawdown,"
+        "    CAST(CAST(MAX(peak) AS BIGINT) AS DOUBLE) / 100.0 AS peak_daily"
+        "  FROM dd GROUP BY event_type"
+    )
+
+
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of the daily revenue series per event type."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_drawdown_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -507,6 +575,8 @@ QUERIES = {
     "join_asof_nearest": join_asof_nearest,
     "ts_max_concurrency": ts_max_concurrency,
     "lightcurve_lomb_scargle": lightcurve_lomb_scargle,
+    "ts_forecast_snaive_eval": ts_forecast_snaive_eval,
+    "win_max_drawdown": win_max_drawdown,
 }
 
 ORACLES = {
@@ -520,4 +590,6 @@ ORACLES = {
     "join_asof_nearest": inline_views(_asof_nearest_sql()),
     "ts_max_concurrency": inline_views(_concurrency_sql()),
     "lightcurve_lomb_scargle": inline_views(_ls_sql(f"{_LS_PERIODS} periods(p)")),
+    "ts_forecast_snaive_eval": inline_views(_snaive_sql()),
+    "win_max_drawdown": inline_views(_drawdown_sql()),
 }

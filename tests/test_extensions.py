@@ -938,3 +938,42 @@ def test_density_knn_is_true_kth_distance(spark, sf_oracle):
                     if k != vid and sep(pts[vid], p) < _DENS_EPS)
         assert len(ds) >= _DENS_K
         assert abs(ds[_DENS_K - 1] - got[vid]) < 1e-9, vid
+
+
+def test_snaive_eval_matches_python(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import ts_forecast_snaive_eval
+
+    row = ts_forecast_snaive_eval(spark, sf_oracle).collect()[0]
+    ev = v_events(spark, sf_oracle).where("event_type = 'purchase'").collect()
+    daily: dict = {}
+    for e in ev:
+        d = e.ts_us // 86_400_000_000
+        daily[d] = daily.get(d, 0) + int(e.value * 100 + 0.5)
+    hi = max(daily)
+    errs = [daily[d] - daily[d - 7] for d in daily if d > hi - 7 and d - 7 in daily]
+    assert row.n_days == len(errs) == 7
+    assert row.sum_abs_err_cents == sum(abs(e) for e in errs)
+    assert abs(row.mae - sum(abs(e) for e in errs) / len(errs) / 100) < 1e-9
+    assert abs(row.mean_bias - sum(errs) / len(errs) / 100) < 1e-9
+
+
+def test_drawdown_matches_python(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import win_max_drawdown
+
+    got = {r.event_type: r.max_drawdown for r in win_max_drawdown(spark, sf_oracle).collect()}
+    assert set(got) == {"purchase", "click"}
+    ev = v_events(spark, sf_oracle).where("event_type IN ('purchase','click')").collect()
+    daily: dict = {}
+    for e in ev:
+        k = (e.event_type, e.ts_us // 86_400_000_000)
+        daily[k] = daily.get(k, 0) + int(e.value * 100 + 0.5)
+    for t in got:
+        series = [v for (tt, d), v in sorted(daily.items()) if tt == t]
+        peak, dd = 0, 0
+        for v in series:
+            peak = max(peak, v)
+            dd = max(dd, peak - v)
+        assert abs(got[t] - dd / 100) < 1e-9, t
+        assert got[t] > 0  # daily revenue genuinely fluctuates
