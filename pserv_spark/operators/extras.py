@@ -136,6 +136,69 @@ _SCD2_ORACLE = (
 )
 
 
+def _scd2_pit_sql() -> str:
+    """Point-in-time (AS OF) join of the purchase facts onto the SCD2
+    attribute history: each fact picks the dimension version whose
+    [eff_from, eff_to) interval covers the fact's event time — what a
+    warehouse query does instead of joining the mutable dimension
+    (which would leak future attribute values into past facts).
+
+    Scale shape: both sides hash-partition on the entity key (ONE
+    exchange pair); within a user the interval check is a residual on
+    the equi-join — never a cross join.  Output aggregates fact counts
+    per dimension version-attribute, all integers.
+    """
+    return (
+        "WITH dim AS ("
+        # attribute history = the NON-purchase events (a purchase must
+        # pick up the attribute in effect before it, never itself)
+        "  SELECT user_id, event_type AS attr, ts_us AS eff_from_us,"
+        "    LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "      AS eff_to_us"
+        "  FROM v_events WHERE user_id < 40 AND event_type <> 'purchase'"
+        "), fact AS ("
+        "  SELECT user_id, ts_us, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+        "  FROM v_events WHERE event_type = 'purchase' AND user_id < 40"
+        ") SELECT d.attr AS dim_attr_at_purchase,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_facts,"
+        "    CAST(SUM(f.cents) AS BIGINT) AS cents"
+        "  FROM fact f JOIN dim d ON f.user_id = d.user_id"
+        "  AND f.ts_us >= d.eff_from_us"
+        "  AND (d.eff_to_us IS NULL OR f.ts_us < d.eff_to_us)"
+        "  GROUP BY d.attr"
+    )
+
+
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join of purchases onto the SCD2 history."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_scd2_pit_sql())
+
+
+def _json_struct_sql(parse: str, field: str) -> str:
+    """Typed JSON parsing (``from_json`` to a declared struct — the
+    schema-on-read contract, vs the stringly get_json_object in the
+    corpus ``fn_json``): parse, extract the typed field, aggregate.
+    All integers."""
+    return (
+        f"WITH j AS (SELECT event_id, {parse} AS k FROM v_events)"
+        f" SELECT {field} % 10 AS k_bucket,"
+        "    CAST(COUNT(*) AS BIGINT) AS n,"
+        f"   CAST(SUM({field}) AS BIGINT) AS sum_k,"
+        f"   CAST(MIN({field}) AS BIGINT) AS min_k,"
+        f"   CAST(MAX({field}) AS BIGINT) AS max_k"
+        "  FROM j GROUP BY 1"
+    )
+
+
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared struct schema + typed aggregation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _json_struct_sql("from_json(props, 'k INT')", "k.k")
+    )
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO: apply a changelog to a snapshot with
     last-writer-wins upserts and delete markers.
@@ -378,6 +441,8 @@ QUERIES = {
     "agg_percentile_multi": agg_percentile_multi,
     "win_running_distinct": win_running_distinct,
     "fn_try_arith": fn_try_arith,
+    "join_scd2_pit": join_scd2_pit,
+    "fn_json_struct": fn_json_struct,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -394,4 +459,8 @@ ORACLES = {
     "agg_percentile_multi": inline_views(_pctl_multi_sql("quantile_cont")),
     "win_running_distinct": inline_views(_running_distinct_sql()),
     "fn_try_arith": _TRY_ARITH_ORACLE,
+    "join_scd2_pit": inline_views(_scd2_pit_sql()),
+    "fn_json_struct": inline_views(
+        _json_struct_sql("CAST(json_extract(props, '$.k') AS INT)", "k")
+    ),
 }

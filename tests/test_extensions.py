@@ -977,3 +977,43 @@ def test_drawdown_matches_python(spark, sf_oracle):
             dd = max(dd, peak - v)
         assert abs(got[t] - dd / 100) < 1e-9, t
         assert got[t] > 0  # daily revenue genuinely fluctuates
+
+
+def test_scd2_pit_never_leaks_future_attrs(spark, sf_oracle):
+    """Python recount: each purchase must be attributed to the LAST
+    non-purchase event at or before its timestamp; totals per
+    attribute match."""
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.extras import join_scd2_pit
+
+    got = {r.dim_attr_at_purchase: (r.n_facts, r.cents)
+           for r in join_scd2_pit(spark, sf_oracle).collect()}
+    ev = sorted(
+        v_events(spark, sf_oracle).where("user_id < 40").collect(),
+        key=lambda e: (e.user_id, e.ts_us, e.event_id),
+    )
+    state: dict = {}
+    want: dict = {}
+    for e in ev:
+        if e.event_type != "purchase":
+            state[e.user_id] = e.event_type
+        elif e.user_id in state:
+            a = state[e.user_id]
+            n, c = want.get(a, (0, 0))
+            want[a] = (n + 1, c + int(e.value * 100 + 0.5))
+    assert got == want
+    assert "purchase" not in got
+
+
+def test_json_struct_totals(spark, sf_oracle):
+    import json
+
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.extras import fn_json_struct
+
+    rows = fn_json_struct(spark, sf_oracle).collect()
+    ks = [json.loads(r.props)["k"] for r in v_events(spark, sf_oracle).collect()]
+    assert sum(r.n for r in rows) == len(ks)
+    assert sum(r.sum_k for r in rows) == sum(ks)
+    for r in rows:
+        assert r.min_k % 10 == r.k_bucket or r.min_k >= 0
