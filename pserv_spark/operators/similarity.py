@@ -271,14 +271,128 @@ _QUANT_ORACLE = (
 )
 
 
+PQ_SUBS = 2  # subspaces (32 dims each)
+PQ_K = 16  # centroids per subspace codebook
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (Jégou et al. 2011) — the
+    memory-bound ANN scale path: candidates compress to PQ_SUBS codes
+    (8 bytes → 2 bytes here), and each query scores them via a
+    K×SUBS lookup table of asymmetric distances (ADC) instead of full
+    vectors.
+
+    Codebooks are deterministic seed halves (vectors vec_id < PQ_K,
+    the IVF seed policy).  Encode = per-subspace argmin L2² under the
+    (round(d²,6), cent_id) total order; ADC = Σ_s LUT[q, s, code_s],
+    an exact sum of two 6-dp-rounded doubles; ranking follows §4.5
+    rule 4.  At 100 TB the codebooks and per-query LUTs broadcast;
+    the candidate side joins on (subspace, code) — the full vectors
+    never move after encoding.
+    """
+    emb = _emb(spark, sf_dir)
+    half = lambda s: F.slice("emb", 1 + 32 * s, 32)  # noqa: E731
+    d2 = (
+        "aggregate(zip_with(h, ch, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    books = None
+    for s in range(PQ_SUBS):
+        b = emb.where(F.col("vec_id") < PQ_K).select(
+            F.lit(s).alias("sub"),
+            F.col("vec_id").alias("code"),
+            half(s).alias("ch"),
+        )
+        books = b if books is None else books.unionByName(b)
+
+    def halves(df: DataFrame, idcol: str) -> DataFrame:
+        parts = None
+        for s in range(PQ_SUBS):
+            p = df.select(
+                F.col("vec_id").alias(idcol),
+                F.lit(s).alias("sub"),
+                half(s).alias("h"),
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        return parts
+
+    cand = halves(emb.where(F.col("vec_id") >= 10), "cid")
+    w_enc = Window.partitionBy("cid", "sub").orderBy("d2q", "code")
+    codes = (
+        cand.join(F.broadcast(books), "sub")
+        .withColumn("d2q", F.round(F.expr(d2), 6))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("cid", "sub", "code")
+    )
+    qs = halves(emb.where(F.col("vec_id") < 10), "qid")
+    lut = (
+        qs.join(F.broadcast(books), "sub")
+        .withColumn("d2q", F.round(F.expr(d2), 6))
+        .select("qid", "sub", "code", "d2q")
+    )
+    adc = (
+        codes.join(lut, ["sub", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.round("adc", 6), "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "cid", F.col("rk").cast("int").alias("rk"),
+                F.round("adc", 6).alias("adc"))
+    )
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(generate_series(1, 32), "
+        "j -> (h[j] - ch[j]) * (h[j] - ch[j]))), (a, b) -> a + b)"
+    )
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, emb[{1 + 32 * s}:{32 + 32 * s}] AS h FROM v_emb"
+        for s in range(PQ_SUBS)
+    )
+    booksubs = " UNION ALL ".join(
+        f"SELECT {s} AS sub, vec_id AS code, emb[{1 + 32 * s}:{32 + 32 * s}] AS ch"
+        f" FROM v_emb WHERE vec_id < {PQ_K}"
+        for s in range(PQ_SUBS)
+    )
+    return inline_views(
+        f"WITH hs AS ({subs}), books AS ({booksubs}),"
+        " codes AS (SELECT cid, sub, code FROM ("
+        "  SELECT h.vec_id AS cid, h.sub, b.code,"
+        f"   ROW_NUMBER() OVER (PARTITION BY h.vec_id, h.sub"
+        f"     ORDER BY ROUND({d2}, 6), b.code) AS rn"
+        "  FROM hs h JOIN books b ON h.sub = b.sub WHERE h.vec_id >= 10) t"
+        " WHERE rn = 1),"
+        " lut AS ("
+        "  SELECT h.vec_id AS qid, h.sub, b.code,"
+        f"   ROUND({d2}, 6) AS d2q"
+        "  FROM hs h JOIN books b ON h.sub = b.sub WHERE h.vec_id < 10),"
+        " adc AS ("
+        "  SELECT lut.qid, codes.cid, SUM(d2q) AS adc"
+        "  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code"
+        "  GROUP BY lut.qid, codes.cid)"
+        " SELECT qid, cid, CAST(rk AS INT) AS rk, ROUND(adc, 6) AS adc FROM ("
+        "  SELECT qid, cid, adc,"
+        "   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(adc, 6), cid) AS rk"
+        f"  FROM adc) t WHERE rk <= {TOP_K}"
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "vec_quantize_int8": vec_quantize_int8,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLES = {
     "ann_ivf_topk": inline_views(_ivf_oracle()),
     "ann_lsh_topk": inline_views(_lsh_oracle()),
     "vec_quantize_int8": inline_views(_QUANT_ORACLE),
+    "ann_pq_topk": _pq_oracle(),
 }

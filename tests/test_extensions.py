@@ -1017,3 +1017,24 @@ def test_json_struct_totals(spark, sf_oracle):
     assert sum(r.sum_k for r in rows) == sum(ks)
     for r in rows:
         assert r.min_k % 10 == r.k_bucket or r.min_k >= 0
+
+
+def test_pq_recall_beats_chance(spark, sf_oracle):
+    """PQ recall@5 vs exact L2: a 2×16 codebook on uniform random
+    vectors (PQ's adversarial case — no cluster structure) measured
+    0.32; assert ≥0.2 (chance is 5/490 ≈ 0.01)."""
+    import numpy as np
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.similarity import ann_pq_topk
+
+    approx = {(r.qid, r.cid) for r in ann_pq_topk(spark, sf_oracle).collect()}
+    embs = {r.vec_id: np.array(r.emb)
+            for r in catalog.v_emb(spark, sf_oracle).select("vec_id", "emb").collect()}
+    exact = set()
+    for q in range(10):
+        ds = sorted((float(np.sum((embs[q] - embs[c]) ** 2)), c)
+                    for c in embs if c >= 10)
+        exact |= {(q, c) for _, c in ds[:5]}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall
