@@ -299,3 +299,25 @@ def test_registry_dim_join_broadcasts(spark, sf_oracle):
     from pserv_spark.operators.ingest_ops import ingest_registry_visits
 
     assert "BroadcastHashJoin" in _plan(ingest_registry_visits(spark, sf_oracle))
+
+
+def test_pq_broadcasts_codebooks_no_nested_loop(spark, sf_oracle):
+    """PQ's codebook and LUT joins must broadcast (K×SUBS rows);
+    nothing in the plan may be a nested-loop/cartesian join."""
+    from pserv_spark.operators.similarity import ann_pq_topk
+
+    df = ann_pq_topk(spark, sf_oracle)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_nested_loop(df)
+
+
+def test_scd2_pit_is_single_key_equi_join(spark, sf_oracle):
+    """The AS-OF interval join must plan as an equi-join on user_id
+    with the interval predicate as a residual — never a cartesian."""
+    from pserv_spark.operators.extras import join_scd2_pit
+
+    df = join_scd2_pit(spark, sf_oracle)
+    assert not has_nested_loop(df)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
