@@ -307,12 +307,57 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_corr_matrix_sql())
 
 
+def _dq_sql(distinct_pair: str) -> str:
+    """Declarative data-quality gate (the Great-Expectations /
+    dbt-tests shape): a suite of named assertions evaluated from ONE
+    scan's aggregate moments, each emitting (check, observed,
+    threshold, passed).  At 100 TB this runs as a single
+    partial-aggregated pass regardless of how many checks share it.
+    All observed values are exact (counts or exact quotients).
+
+    NB the PK-uniqueness expectation legitimately FAILS on the driver
+    data (the synthetic lineitem has ~0.24% duplicate
+    (orderkey, linenumber) pairs) — which is the point of a gate;
+    tests assert it catches the defect."""
+    m = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,"
+        " CAST(MAX(l_discount) AS DOUBLE) AS max_disc,"
+        " CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,"
+        f" CAST({distinct_pair} AS BIGINT) AS n_pk"
+        " FROM lineitem"
+    )
+    checks = [
+        ("row_count_min", "CAST(n AS DOUBLE)", 1000.0, ">="),
+        ("quantity_null_rate_max", "CAST(q_nulls AS DOUBLE) / n", 0.001, "<="),
+        ("discount_max_bound", "max_disc", 0.5, "<="),
+        ("quantity_min_bound", "min_qty", 1.0, ">="),
+        ("pk_duplicate_rows_max", "CAST(n - n_pk AS DOUBLE)", 0.0, "<="),
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS check_name, {obs} AS observed,"
+        f" {thr} AS threshold,"
+        f" CASE WHEN ({obs}) {op} {thr} THEN TRUE ELSE FALSE END AS passed FROM m"
+        for name, obs, thr, op in checks
+    )
+    return f"WITH m AS ({m}) {rows}"
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named data-quality assertions over the fact table, one scan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _dq_sql("COUNT(DISTINCT l_orderkey, l_linenumber)")
+    )
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
     "profile_ks_drift": profile_ks_drift,
     "profile_entropy_gini": profile_entropy_gini,
     "profile_corr_matrix": profile_corr_matrix,
+    "dq_expectations": dq_expectations,
 }
 
 ORACLES = {
@@ -321,4 +366,5 @@ ORACLES = {
     "profile_ks_drift": _KS_ORACLE,
     "profile_entropy_gini": inline_views(_entropy_sql()),
     "profile_corr_matrix": _corr_matrix_sql(),
+    "dq_expectations": _dq_sql("COUNT(DISTINCT (l_orderkey, l_linenumber))"),
 }

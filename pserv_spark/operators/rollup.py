@@ -90,6 +90,51 @@ _SERVE_ORACLE = inline_views(
 )
 
 
+def serve_lambda_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture serving: the BATCH layer (materialized daily
+    rollup) answers every closed day, the SPEED layer (raw tail scan,
+    standing in for the streaming state) answers only the newest day —
+    and the union must equal the pure batch aggregation, which is the
+    oracle.
+
+    The serving query never touches raw history: the batch side reads
+    the rollup store with the tail day excluded, the speed side scans
+    only the tail-day slice of the stream (at 100 TB: one partition's
+    worth).  This is the read path that pairs with
+    ``stream_rollup_upsert``'s write path.
+    """
+    path = materialize_daily(spark, sf_dir)
+    ev = catalog.v_events(spark, sf_dir)
+    hi_day = ev.agg(F.max(F.col("ts").cast("date")).alias("d")).collect()[0].d
+    batch = (
+        spark.read.parquet(path)
+        .where(F.col("day") < F.lit(hi_day))
+        .select("day", "event_type", "n", "sum_value", F.lit("batch").alias("layer"))
+    )
+    speed = (
+        ev.where(F.col("ts").cast("date") == F.lit(hi_day))
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select("day", "event_type", "n", "sum_value", F.lit("speed").alias("layer"))
+    )
+    return batch.unionByName(speed)
+
+
+_LAMBDA_ORACLE = inline_views(
+    "WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS hi FROM v_events) "
+    "SELECT CAST(ts AS DATE) AS day, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "CASE WHEN CAST(ts AS DATE) = hi THEN 'speed' ELSE 'batch' END AS layer "
+    "FROM v_events CROSS JOIN b GROUP BY 1, 2, 5"
+)
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by signup week; for each
     (cohort, weeks-since) cell, how many distinct cohort members were
@@ -130,10 +175,12 @@ _COHORT_ORACLE = inline_views(
 
 QUERIES = {
     "rollup_serve_monthly": rollup_serve_monthly,
+    "serve_lambda_union": serve_lambda_union,
     "cohort_retention": cohort_retention,
 }
 
 ORACLES = {
     "rollup_serve_monthly": _SERVE_ORACLE,
+    "serve_lambda_union": _LAMBDA_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
 }

@@ -1038,3 +1038,35 @@ def test_pq_recall_beats_chance(spark, sf_oracle):
         exact |= {(q, c) for _, c in ds[:5]}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_dq_expectations_catch_the_real_defect(spark, sf_oracle):
+    """Four checks pass; the PK-uniqueness check must FAIL — the
+    driver's synthetic lineitem genuinely contains duplicate
+    (orderkey, linenumber) pairs, and a gate that can't catch a real
+    defect is vacuous."""
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.profiling_ops import dq_expectations
+
+    rows = {r.check_name: r for r in dq_expectations(spark, sf_oracle).collect()}
+    assert len(rows) == 5
+    n = load_tables(spark, sf_oracle)["lineitem"].count()
+    assert rows["row_count_min"].observed == n and rows["row_count_min"].passed
+    for name in ("quantity_null_rate_max", "discount_max_bound", "quantity_min_bound"):
+        assert rows[name].passed, name
+    pk = rows["pk_duplicate_rows_max"]
+    assert not pk.passed and pk.observed > 0
+
+
+def test_lambda_union_layers_partition_the_days(spark, sf_oracle):
+    """Exactly one day served by the speed layer (the newest), all
+    others by batch, with no overlap."""
+    from pserv_spark.operators.rollup import serve_lambda_union
+
+    rows = serve_lambda_union(spark, sf_oracle).collect()
+    by_layer: dict = {}
+    for r in rows:
+        by_layer.setdefault(r.layer, set()).add(r.day)
+    assert len(by_layer["speed"]) == 1
+    assert max(by_layer["batch"]) < next(iter(by_layer["speed"]))
+    assert not (by_layer["batch"] & by_layer["speed"])
