@@ -564,6 +564,83 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_drawdown_sql())
 
 
+_ABANDON_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def _abandon_sql() -> str:
+    """Abandonment screen (the funnel's negative pattern): a click is
+    ABANDONED when no purchase by the same user follows within 24 h.
+    The next-purchase timestamp comes from one conditional MIN over
+    the FOLLOWING frame of the per-user ordered stream — the
+    ``join_asof_nearest`` machinery pointed forward; no click×purchase
+    join exists.  All-integer decision; per-user rollup after."""
+    frame = "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    pt = "CASE WHEN event_type = 'purchase' THEN ts_us END"
+    return (
+        "WITH ev AS ("
+        "  SELECT user_id, event_id, ts_us, event_type FROM v_events"
+        "  WHERE event_type IN ('click', 'purchase')"
+        "), m AS ("
+        "  SELECT user_id, ts_us, event_type,"
+        f"    MIN({pt}) OVER (PARTITION BY user_id ORDER BY ts_us, event_id {frame})"
+        "      AS next_purchase_us"
+        "  FROM ev"
+        ") SELECT user_id,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_clicks,"
+        "    CAST(COUNT(CASE WHEN next_purchase_us IS NULL"
+        f"      OR next_purchase_us - ts_us > {_ABANDON_WINDOW_US}"
+        "      THEN 1 END) AS BIGINT) AS n_abandoned"
+        "  FROM m WHERE event_type = 'click' GROUP BY user_id"
+    )
+
+
+def seq_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks not followed by a purchase within 24 h, per user."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_abandon_sql())
+
+
+def _attribution_sql() -> str:
+    """First-touch attribution: each 30-minute-gap session's purchase
+    revenue is credited to the session's FIRST event type (the
+    marketing-attribution rollup).  Session assignment is the corpus
+    ``sessionize`` LAG+cumulative-flag pattern; the first touch is a
+    MIN over (ts_us, event_id, event_type) tuples encoded as a sortable
+    string — one user_id exchange end to end, exact integer cents."""
+    gap_us = 30 * 60 * 1_000_000
+    return (
+        "WITH ev AS ("
+        "  SELECT user_id, event_id, ts_us, event_type,"
+        "    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM v_events"
+        "), flagged AS ("
+        "  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL"
+        f"    OR ts_us - LAG(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_sess"
+        "  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "), sess AS ("
+        "  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id"
+        "    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid"
+        "  FROM flagged"
+        "), agg AS ("
+        "  SELECT user_id, sid,"
+        "    MIN(CONCAT(LPAD(CAST(ts_us AS STRING), 20, '0'), ':',"
+        "      LPAD(CAST(event_id AS STRING), 12, '0'), ':', event_type))"
+        "      AS first_key,"
+        "    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)"
+        "      AS BIGINT) AS sess_cents"
+        "  FROM sess GROUP BY user_id, sid"
+        ") SELECT SPLIT_PART(first_key, ':', 3) AS first_touch,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_sessions,"
+        "    CAST(SUM(sess_cents) AS BIGINT) AS attributed_cents"
+        "  FROM agg GROUP BY 1"
+    )
+
+
+def seq_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session revenue credited to the session's first event type."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_attribution_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -577,6 +654,8 @@ QUERIES = {
     "lightcurve_lomb_scargle": lightcurve_lomb_scargle,
     "ts_forecast_snaive_eval": ts_forecast_snaive_eval,
     "win_max_drawdown": win_max_drawdown,
+    "seq_abandoned_clicks": seq_abandoned_clicks,
+    "seq_first_touch_attribution": seq_first_touch_attribution,
 }
 
 ORACLES = {
@@ -592,4 +671,6 @@ ORACLES = {
     "lightcurve_lomb_scargle": inline_views(_ls_sql(f"{_LS_PERIODS} periods(p)")),
     "ts_forecast_snaive_eval": inline_views(_snaive_sql()),
     "win_max_drawdown": inline_views(_drawdown_sql()),
+    "seq_abandoned_clicks": inline_views(_abandon_sql()),
+    "seq_first_touch_attribution": inline_views(_attribution_sql()),
 }

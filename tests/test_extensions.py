@@ -1070,3 +1070,52 @@ def test_lambda_union_layers_partition_the_days(spark, sf_oracle):
     assert len(by_layer["speed"]) == 1
     assert max(by_layer["batch"]) < next(iter(by_layer["speed"]))
     assert not (by_layer["batch"] & by_layer["speed"])
+
+
+def test_abandoned_clicks_python_recount(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import _ABANDON_WINDOW_US, seq_abandoned_clicks
+
+    got = {r.user_id: (r.n_clicks, r.n_abandoned)
+           for r in seq_abandoned_clicks(spark, sf_oracle).collect()}
+    ev = sorted(
+        v_events(spark, sf_oracle)
+        .where("event_type IN ('click','purchase') AND user_id < 20")
+        .collect(),
+        key=lambda e: (e.user_id, e.ts_us, e.event_id),
+    )
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for uid, es in by_user.items():
+        clicks = abandoned = 0
+        for i, e in enumerate(es):
+            if e.event_type != "click":
+                continue
+            clicks += 1
+            nxt = next((x.ts_us for x in es[i + 1:] if x.event_type == "purchase"), None)
+            if nxt is None or nxt - e.ts_us > _ABANDON_WINDOW_US:
+                abandoned += 1
+        if clicks:
+            assert got[uid] == (clicks, abandoned), uid
+    total_clicks = sum(c for c, _ in got.values())
+    total_ab = sum(a for _, a in got.values())
+    assert 0 < total_ab < total_clicks  # non-vacuous both ways
+
+
+def test_attribution_conserves_revenue(spark, sf_oracle):
+    """Attributed cents across first-touch types must equal total
+    purchase revenue (every purchase lives in exactly one session)."""
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import seq_first_touch_attribution
+    from pyspark.sql import functions as F
+
+    rows = seq_first_touch_attribution(spark, sf_oracle).collect()
+    total = (
+        v_events(spark, sf_oracle)
+        .where("event_type = 'purchase'")
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")))
+        .collect()[0][0]
+    )
+    assert sum(r.attributed_cents for r in rows) == total
+    assert len({r.first_touch for r in rows}) >= 3
