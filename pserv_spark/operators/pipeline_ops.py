@@ -618,6 +618,93 @@ _SPECEVO_ORACLE = (
 )
 
 
+def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM: delete data files not referenced by the current
+    manifest (failed-commit debris, the other half of the
+    snapshot-manifest lifecycle from ``layout_snapshot_timetravel``).
+
+    Setup plants a deliberate orphan (a parquet file written next to
+    the committed ones but absent from every manifest — exactly what a
+    crashed writer leaves).  Vacuum = directory listing MINUS the
+    manifest union, then unlink; the audited result re-reads the v2
+    snapshot, so a hash match against the same oracle proves vacuum
+    touched ONLY the orphan.  At 100 TB both sides of the set
+    difference are file-listing-sized."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
+    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_vacuum_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    m1p, m2p = os.path.join(out, "_v1.json"), os.path.join(out, "_v2.json")
+    data = os.path.join(out, "data")
+    shutil.rmtree(out, ignore_errors=True)
+    ev.where(day < mid).write.parquet(data)
+    v1_files = sorted(
+        os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+    )
+    ev.where(day >= mid).write.mode("append").parquet(data)
+    all_files = sorted(
+        os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+    )
+    with open(m1p, "w") as fh:
+        json.dump(v1_files, fh)
+    with open(m2p, "w") as fh:
+        json.dump(all_files, fh)
+    # the crashed-writer debris: a valid parquet file no manifest knows
+    orphan_stage = os.path.join(out, "_orphan_stage")
+    ev.limit(100).coalesce(1).write.parquet(orphan_stage)
+    part = next(
+        f for f in os.listdir(orphan_stage)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    orphan = os.path.join(data, "part-orphan-uncommitted.snappy.parquet")
+    shutil.move(os.path.join(orphan_stage, part), orphan)
+    shutil.rmtree(orphan_stage)
+
+    referenced: set[str] = set()
+    for mp in (m1p, m2p):
+        with open(mp) as fh:
+            referenced.update(json.load(fh))
+    listed = {
+        os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
+    }
+    orphans = sorted(listed - referenced)
+    for f in orphans:
+        os.remove(f)
+    layout_vacuum_orphans.last_audit = {
+        "n_listed": len(listed),
+        "n_orphans_removed": len(orphans),
+        "orphans": orphans,
+    }
+    with open(m2p) as fh:
+        v2 = json.load(fh)
+    return spark.read.parquet(*v2).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_VACUUM_ORACLE = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    " CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,"
+    " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+    " FROM v_events WHERE event_type = 'purchase'"
+)
+
+
 _TT_DAY = f"CAST(FLOOR(ts_us / {_TT_US_PER_DAY}.0) AS BIGINT)"
 _TIMETRAVEL_ORACLE = (
     "WITH p AS (SELECT *, " + _TT_DAY + " AS d FROM v_events"
@@ -637,6 +724,7 @@ _TIMETRAVEL_ORACLE = (
 QUERIES = {
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_partition_evolution": layout_partition_evolution,
+    "layout_vacuum_orphans": layout_vacuum_orphans,
     "layout_zorder_keys": layout_zorder_keys,
     "text_chunk_sliding": text_chunk_sliding,
     "ts_resample_ohlc": ts_resample_ohlc,
@@ -651,6 +739,7 @@ QUERIES = {
 ORACLES = {
     "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
     "layout_partition_evolution": inline_views(_SPECEVO_ORACLE),
+    "layout_vacuum_orphans": inline_views(_VACUUM_ORACLE),
     "layout_compact_smallfiles": _COMPACT_ORACLE,
     "layout_zorder_keys": inline_views(
         "WITH b AS (SELECT vec_id, "

@@ -1119,3 +1119,13 @@ def test_attribution_conserves_revenue(spark, sf_oracle):
     )
     assert sum(r.attributed_cents for r in rows) == total
     assert len({r.first_touch for r in rows}) >= 3
+
+
+def test_vacuum_removes_exactly_the_orphan(spark, sf_oracle):
+    from pserv_spark.operators.pipeline_ops import layout_vacuum_orphans
+
+    layout_vacuum_orphans(spark, sf_oracle).collect()
+    audit = layout_vacuum_orphans.last_audit
+    assert audit["n_orphans_removed"] == 1
+    assert audit["orphans"][0].endswith("part-orphan-uncommitted.snappy.parquet")
+    assert audit["n_listed"] >= 3
