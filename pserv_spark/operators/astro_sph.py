@@ -471,6 +471,41 @@ def astro_density_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Convex polygon vertices (deg), counter-clockwise, centered near the
+#: (180, 0) tangent point like the ellipse search.
+_POLY = ((150.0, -20.0), (210.0, -25.0), (225.0, 5.0), (185.0, 30.0), (155.0, 15.0))
+
+
+def astro_poly_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex spherical-polygon membership (scisql_s2PtInCPoly,
+    small-angle tangent-plane form): a point is inside iff every edge's
+    2-D cross product has the same sign (CCW winding).  Pure per-row
+    arithmetic fused into the scan — at 100 TB the polygon's bounding
+    dec range prunes the zone layout and this test is the residual.
+    The sign tests are exact comparisons of identical double
+    expressions (no quantization needed — a point ON an edge is
+    measure-zero)."""
+    sky = _sky(spark, sf_dir)
+    conds = None
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+        cross = (F.lit(x2 - x1) * (F.col("dec") - F.lit(y1))) - (
+            F.lit(y2 - y1) * (F.col("ra") - F.lit(x1))
+        )
+        c = cross >= 0
+        conds = c if conds is None else (conds & c)
+    return sky.where(conds).select("vec_id", "ra", "dec")
+
+
+def _poly_oracle() -> str:
+    edges = " AND ".join(
+        f"(({x2 - x1}) * (dec - ({y1})) - ({y2 - y1}) * (ra - ({x1}))) >= 0"
+        for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+    )
+    return inline_views(
+        f"WITH {_SKY_CTE} SELECT vec_id, ra, dec FROM sky WHERE {edges}"
+    )
+
+
 def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Galactic (l, b) for every source (J2000 rotation)."""
     catalog.load_tables(spark, sf_dir)
@@ -492,6 +527,7 @@ QUERIES = {
     "astro_galactic_coords": astro_galactic_coords,
     "astro_xmatch_best": astro_xmatch_best,
     "astro_density_knn": astro_density_knn,
+    "astro_poly_search": astro_poly_search,
 }
 
 _SKY_CTE = (
@@ -562,6 +598,7 @@ ORACLES = {
     ),
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
     "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
+    "astro_poly_search": _poly_oracle(),
     "astro_density_knn": inline_views(
         f"WITH {_SKY_CTE}, pairs AS ("
         "SELECT a.vec_id AS id1, "

@@ -160,3 +160,27 @@ def test_healpix_ring_matches_independent_python(spark, sf_oracle):
     )
     got = {r.pix: r.n_src for r in astro_healpix_ring(spark, sf_oracle).collect()}
     assert got == dict(expected)
+
+
+def test_poly_search_matches_matplotlib_free_winding(spark, sf_oracle):
+    """Python point-in-convex-polygon recount (same CCW sign test) and
+    sanity: all members inside the polygon's bounding box."""
+    from pserv_spark.operators.astro_sph import _POLY, _sky, astro_poly_search
+
+    got = {r.vec_id for r in astro_poly_search(spark, sf_oracle).collect()}
+    assert got
+    ras = [x for x, _ in _POLY]
+    decs = [y for _, y in _POLY]
+    pts = {r.vec_id: (r.ra, r.dec) for r in _sky(spark, sf_oracle).collect()}
+    want = set()
+    for vid, (ra, dec) in pts.items():
+        inside = all(
+            (x2 - x1) * (dec - y1) - (y2 - y1) * (ra - x1) >= 0
+            for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+        )
+        if inside:
+            want.add(vid)
+    assert got == want
+    for vid in got:
+        ra, dec = pts[vid]
+        assert min(ras) <= ra <= max(ras) and min(decs) <= dec <= max(decs)
