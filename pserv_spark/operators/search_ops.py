@@ -132,12 +132,83 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_phrase_sql(_SPARK_POS))
 
 
+_RAKE_STOPS = ("the", "a")
+_RAKE_TOPK = 10
+
+
+def _rake_full(pos_clause: str, phrase_agg: str, resplit: str) -> str:
+    """Assembled RAKE query; ``resplit`` is a full SELECT expanding
+    each distinct phrase back to (phrase, n_occur, w) word rows."""
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return (
+        f"WITH toks AS ({pos_clause}),"
+        " flagged AS ("
+        "  SELECT doc_id, pos, token,"
+        f"   CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END AS is_stop,"
+        f"   CAST(SUM(CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END)"
+        "     OVER (PARTITION BY doc_id ORDER BY pos"
+        "       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id"
+        "  FROM toks"
+        "), occurrences AS ("
+        f"  SELECT doc_id, run_id, {phrase_agg} AS phrase,"
+        "    CAST(COUNT(*) AS BIGINT) AS plen"
+        "  FROM flagged WHERE is_stop = 0 GROUP BY doc_id, run_id"
+        "), pw AS ("
+        "  SELECT o.phrase, o.plen, w.token FROM occurrences o"
+        "  JOIN flagged w ON w.doc_id = o.doc_id AND w.run_id = o.run_id"
+        "  WHERE w.is_stop = 0"
+        "), wstat AS ("
+        "  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,"
+        "    CAST(SUM(plen) AS BIGINT) AS deg"
+        "  FROM pw GROUP BY token"
+        "), pocc AS ("
+        "  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur FROM occurrences"
+        "  GROUP BY phrase"
+        f"), pexp AS ({resplit}),"
+        " scored AS ("
+        "  SELECT pexp.phrase, pexp.n_occur,"
+        "    CAST(SUM(CAST(FLOOR(CAST(ws.deg AS DOUBLE) / ws.freq"
+        "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q"
+        "  FROM pexp JOIN wstat ws ON ws.token = pexp.w"
+        "  GROUP BY pexp.phrase, pexp.n_occur"
+        "), top AS ("
+        "  SELECT phrase, n_occur, score_q FROM scored"
+        f"  ORDER BY score_q DESC, phrase LIMIT {_RAKE_TOPK}"
+        ") SELECT phrase, n_occur,"
+        "    CAST(score_q AS DOUBLE) / 1000000000.0 AS rake_score"
+        "  FROM top"
+    )
+
+
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE top-10 keyphrases over the corpus."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _rake_full(
+            _SPARK_POS,
+            "array_join(transform(array_sort(collect_list(struct(pos, token))),"
+            " x -> x.token), ' ')",
+            "SELECT p.phrase, p.n_occur, w FROM pocc p"
+            " LATERAL VIEW explode(split(p.phrase, ' ')) t AS w",
+        )
+    )
+
+
 QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_phrase_search": text_phrase_search,
+    "text_rake_keyphrases": text_rake_keyphrases,
 }
 
 ORACLES = {
     "text_bm25_topk": inline_views(_bm25_sql(_DUCK_TOKS)),
     "text_phrase_search": inline_views(_phrase_sql(_DUCK_POS)),
+    "text_rake_keyphrases": inline_views(
+        _rake_full(
+            _DUCK_POS,
+            "string_agg(token, ' ' ORDER BY pos)",
+            "SELECT p.phrase, p.n_occur,"
+            " unnest(string_split(p.phrase, ' ')) AS w FROM pocc p",
+        )
+    ),
 }

@@ -1129,3 +1129,38 @@ def test_vacuum_removes_exactly_the_orphan(spark, sf_oracle):
     assert audit["n_orphans_removed"] == 1
     assert audit["orphans"][0].endswith("part-orphan-uncommitted.snappy.parquet")
     assert audit["n_listed"] >= 3
+
+
+def test_rake_matches_python_reimplementation(spark, sf_oracle):
+    """Full RAKE recount in Python: same runs, same deg/freq word
+    scores, same top-10 under (score DESC, phrase)."""
+    import math
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.search_ops import _RAKE_STOPS, _RAKE_TOPK, text_rake_keyphrases
+
+    got = [(r.phrase, r.n_occur, r.rake_score)
+           for r in text_rake_keyphrases(spark, sf_oracle).collect()]
+    freq: dict = {}
+    deg: dict = {}
+    occ: dict = {}
+    for r in catalog.table(spark, sf_oracle, "documents").collect():
+        run: list = []
+        for tok in r.text.split(" ") + [_RAKE_STOPS[0]]:
+            if tok in _RAKE_STOPS:
+                if run:
+                    phrase = " ".join(run)
+                    occ[phrase] = occ.get(phrase, 0) + 1
+                    for w in run:
+                        freq[w] = freq.get(w, 0) + 1
+                        deg[w] = deg.get(w, 0) + len(run)
+                run = []
+            else:
+                run.append(tok)
+    scored = []
+    for phrase, n in occ.items():
+        q = sum(math.floor(deg[w] / freq[w] * 1e9) for w in phrase.split(" "))
+        scored.append((phrase, n, q))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    want = [(p, n, q / 1e9) for p, n, q in scored[:_RAKE_TOPK]]
+    assert got == want
