@@ -436,6 +436,68 @@ def stream_fitslike_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def ingest_badrows_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue ingest: a CSV feed with deliberately
+    corrupted rows loads in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` — valid rows land typed, malformed
+    rows are captured verbatim for quarantine instead of failing the
+    load (the production alternative to the reference's all-or-nothing
+    ``LOAD DATA``).  Corruption is deterministic (every 13th order id
+    gets a non-numeric total), so the oracle knows exactly which rows
+    quarantine.  Output: per-disposition counts + recoverable id sums,
+    all integers."""
+    import csv
+    import hashlib as _hl
+
+    src = (
+        catalog.table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 400)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_dlq_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}.csv",
+    )
+    with open(path, "w", newline="") as fh:
+        wcsv = csv.writer(fh)
+        for r in src:
+            if r.o_orderkey % 13 == 0:
+                wcsv.writerow([r.o_orderkey, r.o_custkey, "CORRUPT#%d" % r.o_orderkey])
+            else:
+                wcsv.writerow([r.o_orderkey, r.o_custkey, r.o_totalprice])
+
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,"
+        " _corrupt STRING"
+    )
+    loaded = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).cache()  # Spark requires caching before referencing _corrupt alone
+    return loaded.select(
+        F.when(F.col("_corrupt").isNull(), "loaded")
+        .otherwise("quarantined")
+        .alias("disposition"),
+        "o_orderkey",
+    ).groupBy("disposition").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+    )
+
+
+_DLQ_ORACLE = (
+    "SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'quarantined' ELSE 'loaded' END"
+    " AS disposition,"
+    " CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    " CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys"
+    " FROM orders WHERE o_orderkey < 400 GROUP BY 1"
+)
+
+
 _SCHEMA_EVO_ORACLE = (
     "SELECT l_orderkey AS id, l_quantity AS qty, CAST(NULL AS DOUBLE) AS discount,"
     " 1 AS batch FROM lineitem WHERE l_orderkey < 200 AND l_linenumber = 1"
@@ -451,6 +513,7 @@ QUERIES = {
     "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
     "ingest_schema_evolution": ingest_schema_evolution,
     "ingest_registry_visits": ingest_registry_visits,
+    "ingest_badrows_quarantine": ingest_badrows_quarantine,
     "source_fitslike_scan": source_fitslike_scan,
     "stream_fitslike_tail": stream_fitslike_tail,
 }
@@ -460,6 +523,7 @@ ORACLES = {
     "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),
     "ingest_schema_evolution": _SCHEMA_EVO_ORACLE,
     "ingest_registry_visits": _REGISTRY_ORACLE,
+    "ingest_badrows_quarantine": _DLQ_ORACLE,
     "source_fitslike_scan": inline_views(_FITSLIKE_ORACLE),
     "stream_fitslike_tail": inline_views(_FITSLIKE_ORACLE),
 }

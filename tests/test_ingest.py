@@ -215,3 +215,14 @@ def test_fitslike_filter_pushdown_prunes_blocks(spark, tmp_path):
     empty = base.where("k > 5000")
     assert empty.rdd.getNumPartitions() == 1  # the sentinel empty range
     assert empty.count() == 0
+
+
+def test_quarantine_captures_raw_corrupt_lines(spark, sf_oracle):
+    """Both dispositions non-empty; quarantined = exactly the seeded
+    corruption pattern."""
+    from pserv_spark.operators.ingest_ops import ingest_badrows_quarantine
+
+    rows = {r.disposition: r for r in ingest_badrows_quarantine(spark, sf_oracle).collect()}
+    assert set(rows) == {"loaded", "quarantined"}
+    assert rows["quarantined"].n_rows > 0
+    assert rows["loaded"].n_rows > 10 * rows["quarantined"].n_rows
