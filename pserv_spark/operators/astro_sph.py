@@ -506,6 +506,48 @@ def _poly_oracle() -> str:
     )
 
 
+_WCS_SCALE = 3600.0 / 0.2  # pixels per degree (0.2"/px, LSST-like)
+
+
+def _wcs_tan_sql(e1: str, e2: str) -> str:
+    """Gnomonic (TAN) projection to pixel coordinates — the WCS
+    transform every image-pipeline step applies between sky and CCD
+    frames (FITS WCS Paper II, CTYPE TAN):
+
+        d = sinδ₀ sinδ + cosδ₀ cosδ cos Δα
+        ξ = cosδ sin Δα / d,  η = (cosδ₀ sinδ − sinδ₀ cosδ cos Δα) / d
+
+    with (α₀, δ₀) the tangent point and pixel = ξ·scale.  Sources on
+    the far hemisphere (d ≤ 0.1) are rejected like a real projector.
+    Per-row trig, floor-quantized at 1e-3 px (≪ the 1-ulp trig
+    drift's lever arm), fused into the scan."""
+    d = (
+        f"(SIN(RADIANS({_DEC0})) * SIN(RADIANS(dec))"
+        f" + COS(RADIANS({_DEC0})) * COS(RADIANS(dec)) * COS(RADIANS(ra - {_RA0})))"
+    )
+    xi = f"(COS(RADIANS(dec)) * SIN(RADIANS(ra - {_RA0})) / {d})"
+    eta = (
+        f"((COS(RADIANS({_DEC0})) * SIN(RADIANS(dec))"
+        f" - SIN(RADIANS({_DEC0})) * COS(RADIANS(dec)) * COS(RADIANS(ra - {_RA0})))"
+        f" / {d})"
+    )
+    q = "CAST(FLOOR({expr} * 1000.0) AS BIGINT) AS DOUBLE) / 1000.0"
+    return (
+        f"WITH sky AS (SELECT vec_id, ({e1} + 0.5) * 360.0 AS ra,"
+        f" {e2} * 180.0 AS dec FROM v_emb)"
+        " SELECT vec_id, ra, dec,"
+        f" CAST({q.format(expr=f'DEGREES({xi}) * {_WCS_SCALE}')} AS px_x,"
+        f" CAST({q.format(expr=f'DEGREES({eta}) * {_WCS_SCALE}')} AS px_y"
+        f" FROM sky WHERE {d} > 0.1"
+    )
+
+
+def astro_wcs_tan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAN-project every near-side source to pixel coordinates."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_wcs_tan_sql("element_at(emb, 1)", "element_at(emb, 2)"))
+
+
 def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Galactic (l, b) for every source (J2000 rotation)."""
     catalog.load_tables(spark, sf_dir)
@@ -528,6 +570,7 @@ QUERIES = {
     "astro_xmatch_best": astro_xmatch_best,
     "astro_density_knn": astro_density_knn,
     "astro_poly_search": astro_poly_search,
+    "astro_wcs_tan_project": astro_wcs_tan_project,
 }
 
 _SKY_CTE = (
@@ -599,6 +642,7 @@ ORACLES = {
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
     "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
     "astro_poly_search": _poly_oracle(),
+    "astro_wcs_tan_project": inline_views(_wcs_tan_sql("emb[1]", "emb[2]")),
     "astro_density_knn": inline_views(
         f"WITH {_SKY_CTE}, pairs AS ("
         "SELECT a.vec_id AS id1, "

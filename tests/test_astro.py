@@ -184,3 +184,26 @@ def test_poly_search_matches_matplotlib_free_winding(spark, sf_oracle):
     for vid in got:
         ra, dec = pts[vid]
         assert min(ras) <= ra <= max(ras) and min(decs) <= dec <= max(decs)
+
+
+def test_wcs_tan_matches_python_gnomonic(spark, sf_oracle):
+    """Recompute the TAN projection in Python at the same quantization
+    grain; tangent-point neighborhood sanity: small offsets map to
+    ~scale-linear pixels."""
+    import math
+
+    from pserv_spark.operators.astro_sph import _DEC0, _RA0, _WCS_SCALE, astro_wcs_tan_project
+
+    rows = astro_wcs_tan_project(spark, sf_oracle).collect()
+    assert rows
+    for r in rows[:200]:
+        a = math.radians(r.ra - _RA0)
+        d = math.radians(r.dec)
+        d0 = math.radians(_DEC0)
+        den = math.sin(d0) * math.sin(d) + math.cos(d0) * math.cos(d) * math.cos(a)
+        assert den > 0.1
+        xi = math.cos(d) * math.sin(a) / den
+        eta = (math.cos(d0) * math.sin(d) - math.sin(d0) * math.cos(d) * math.cos(a)) / den
+        want_x = math.floor(math.degrees(xi) * _WCS_SCALE * 1000) / 1000
+        want_y = math.floor(math.degrees(eta) * _WCS_SCALE * 1000) / 1000
+        assert abs(r.px_x - want_x) < 2e-3 and abs(r.px_y - want_y) < 2e-3, r.vec_id
