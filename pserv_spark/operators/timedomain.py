@@ -641,6 +641,44 @@ def seq_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_attribution_sql())
 
 
+def _islands_sql() -> str:
+    """Gaps-and-islands: contiguous runs of purchase-active days per
+    user (the classic sequence-reconstruction op — streaks, uptime
+    stretches, observing runs).  The per-user day set is the first
+    rollup, so the LAG + cumulative-flag island assignment runs on a
+    collapsed relation; output one row per island with
+    start/end/length and the gap that preceded it.  All-integer."""
+    return (
+        "WITH daily AS ("
+        f"  SELECT user_id, CAST(FLOOR(ts_us / {_US_PER_DAY}.0) AS BIGINT) AS d"
+        "  FROM v_events WHERE event_type = 'purchase' AND user_id < 30"
+        "  GROUP BY user_id, 2"
+        "), flagged AS ("
+        "  SELECT user_id, d,"
+        "    CASE WHEN LAG(d) OVER w IS NULL OR d - LAG(d) OVER w > 1"
+        "      THEN 1 ELSE 0 END AS new_island,"
+        "    d - COALESCE(LAG(d) OVER w, d) AS gap"
+        "  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)"
+        "), isl AS ("
+        "  SELECT user_id, d, gap, CAST(SUM(new_island) OVER ("
+        "    PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING)"
+        "    AS BIGINT) AS island_id"
+        "  FROM flagged"
+        ") SELECT user_id, island_id,"
+        "    CAST(MIN(d) AS BIGINT) AS start_day,"
+        "    CAST(MAX(d) AS BIGINT) AS end_day,"
+        "    CAST(COUNT(*) AS BIGINT) AS length_days,"
+        "    CAST(MAX(gap) AS BIGINT) AS entry_gap"
+        "  FROM isl GROUP BY user_id, island_id"
+    )
+
+
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous purchase-day runs (islands) per user."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_islands_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -656,6 +694,7 @@ QUERIES = {
     "win_max_drawdown": win_max_drawdown,
     "seq_abandoned_clicks": seq_abandoned_clicks,
     "seq_first_touch_attribution": seq_first_touch_attribution,
+    "win_gap_islands": win_gap_islands,
 }
 
 ORACLES = {
@@ -673,4 +712,5 @@ ORACLES = {
     "win_max_drawdown": inline_views(_drawdown_sql()),
     "seq_abandoned_clicks": inline_views(_abandon_sql()),
     "seq_first_touch_attribution": inline_views(_attribution_sql()),
+    "win_gap_islands": inline_views(_islands_sql()),
 }

@@ -1164,3 +1164,37 @@ def test_rake_matches_python_reimplementation(spark, sf_oracle):
     scored.sort(key=lambda x: (-x[2], x[0]))
     want = [(p, n, q / 1e9) for p, n, q in scored[:_RAKE_TOPK]]
     assert got == want
+
+
+def test_gap_islands_tile_each_users_days(spark, sf_oracle):
+    """Islands per user are disjoint, ordered, maximal (separated by
+    real gaps), and cover exactly the user's purchase-day set."""
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import win_gap_islands
+
+    rows = win_gap_islands(spark, sf_oracle).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    days = {}
+    for e in (
+        v_events(spark, sf_oracle)
+        .where("event_type = 'purchase' AND user_id < 30")
+        .collect()
+    ):
+        days.setdefault(e.user_id, set()).add(e.ts_us // 86_400_000_000)
+    assert set(by_user) == set(days)
+    for uid, isls in by_user.items():
+        isls.sort(key=lambda r: r.start_day)
+        covered = set()
+        for i, r in enumerate(isls):
+            assert r.end_day - r.start_day + 1 == r.length_days  # contiguous
+            run = set(range(r.start_day, r.end_day + 1))
+            assert run <= days[uid]
+            covered |= run
+            if i > 0:
+                assert r.start_day - isls[i - 1].end_day > 1  # maximal
+                assert r.entry_gap == r.start_day - isls[i - 1].end_day
+        assert covered == days[uid]
+    assert any(len(v) > 1 for v in by_user.values())  # real gaps exist
