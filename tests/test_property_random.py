@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2 strategy 4, beyond
+the fixed-constant eps sweep: randomized parameters must preserve the
+zone/banding invariants and spherical-geometry semantics.
+
+Each example runs a Spark job, so example counts are small and
+deadlines disabled; shrinking still gives minimal counterexamples.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic CI: same examples every run
+)
+
+
+@given(eps=st.floats(min_value=0.004, max_value=0.08))
+@settings(**_SETTINGS)
+def test_zoned_crossmatch_equals_naive_for_random_eps(spark, sf_oracle, eps):
+    """The zone prefilter is lossless for ANY radius, not just the
+    validated constants."""
+    from pserv_spark.operators.zonematch import _points, vec_crossmatch_zoned
+    from pserv_spark.testing import compare_frames
+
+    zoned = vec_crossmatch_zoned(spark, sf_oracle, eps=eps)
+    pts = _points(spark, sf_oracle)
+    dist = F.sqrt(
+        F.pow(F.col("a.x") - F.col("b.x"), 2)
+        + F.pow(F.col("a.y") - F.col("b.y"), 2)
+    )
+    naive = (
+        pts.alias("a")
+        .join(pts.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(dist < eps)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(dist, 6).alias("dist"),
+        )
+    )
+    res = compare_frames(f"zoned_eps_{eps}", zoned, naive)
+    assert res.ok, f"eps={eps}: {res.detail}"
+
+
+@given(
+    ra0=st.floats(min_value=5.0, max_value=355.0),
+    dec0=st.floats(min_value=-60.0, max_value=60.0),
+    radius=st.floats(min_value=2.0, max_value=25.0),
+)
+@settings(**_SETTINGS)
+def test_cone_search_matches_python_for_random_cones(
+    spark, sf_oracle, ra0, dec0, radius
+):
+    """Haversine cone membership agrees with a Python recount for
+    arbitrary centers/radii (not just the fixed operator constants)."""
+    from pserv_spark.operators.astro_sph import _ang_sep, _sky
+
+    sky = _sky(spark, sf_oracle)
+    sep = _ang_sep(F.col("ra"), F.col("dec"), F.lit(ra0), F.lit(dec0))
+    got = {r.vec_id for r in sky.where(sep < radius).collect()}
+
+    def hav(ra, dec):
+        h = (
+            math.sin(math.radians(dec - dec0) / 2) ** 2
+            + math.cos(math.radians(dec))
+            * math.cos(math.radians(dec0))
+            * math.sin(math.radians(ra - ra0) / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(h)))
+
+    want = {
+        r.vec_id for r in sky.collect() if hav(r.ra, r.dec) < radius
+    }
+    assert got == want
+
+
+@given(t=st.floats(min_value=0.55, max_value=0.95))
+@settings(**_SETTINGS)
+def test_containment_prefix_filter_lossless_for_random_threshold(
+    spark, sf_oracle, t
+):
+    """The one-sided ppjoin prefix filter stays lossless for any
+    threshold: engine pairs == Python all-pairs recount."""
+    from pserv_spark import catalog
+    from pserv_spark.functions.text import char_shingles
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_oracle, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    sh = docs.select(
+        "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
+    dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
+    ordered = (
+        exploded.join(dfreq, "w")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).cast("int")
+    probe = ordered.select(
+        F.col("doc_id").alias("d_small"),
+        F.explode(
+            F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
+        ).alias("w"),
+    )
+    build = exploded.select(F.col("doc_id").alias("d_big"), "w")
+    cand = (
+        probe.join(build, "w")
+        .where(F.col("d_small") != F.col("d_big"))
+        .select("d_small", "d_big")
+        .distinct()
+    )
+    ic = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    cont = ic.cast("double") / F.col("a.n_sh")
+    got = {
+        (r.d_small, r.d_big)
+        for r in cand.join(sh.alias("a"), cand.d_small == F.col("a.doc_id"))
+        .join(sh.alias("b"), cand.d_big == F.col("b.doc_id"))
+        .where(F.col("a.n_sh") < F.col("b.n_sh"))
+        .where(cont >= t)
+        .collect()
+    }
+
+    def shingles(text):
+        return {text[i : i + 5] for i in range(max(len(text) - 4, 1))}
+
+    ds = {r.doc_id: shingles(r.text) for r in docs.collect()}
+    want = {
+        (a, b)
+        for a, sa in ds.items()
+        for b, sb in ds.items()
+        if a != b and len(sa) < len(sb) and len(sa & sb) / len(sa) >= t
+    }
+    assert got == want, f"t={t}"
