@@ -199,6 +199,116 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collation_mixed(vchar: str) -> str:
+    """Deterministic case-diversified lang column."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN UPPER(lang)"
+        " WHEN doc_id % 3 = 1 THEN CONCAT(UPPER(SUBSTR(lang, 1, 1)),"
+        f" CAST(SUBSTR(lang, 2) AS {vchar}))"
+        " ELSE lang END"
+    )
+
+
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` (the ANSI collation surface MySQL gives the
+    reference via ci collations).  The group representative is the
+    plain-binary MIN of the group's members — deterministic; the
+    oracle reproduces the grouping with lower()."""
+    load_tables(spark, sf_dir)
+    mixed = _collation_mixed("STRING")
+    return spark.sql(
+        f"WITH d AS (SELECT doc_id, {mixed} AS mixed_lang FROM documents)"
+        " SELECT MIN(mixed_lang) AS rep, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM d GROUP BY mixed_lang COLLATE UTF8_LCASE"
+    )
+
+
+def _collation_oracle() -> str:
+    mixed = _collation_mixed("VARCHAR")
+    return (
+        f"WITH d AS (SELECT doc_id, {mixed} AS mixed_lang FROM documents)"
+        " SELECT MIN(mixed_lang) AS rep, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM d GROUP BY lower(mixed_lang)"
+    )
+
+
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` into the open VARIANT
+    encoding, typed extraction via ``variant_get`` — the semi-
+    structured path that replaces stringly JSON at scale (binary
+    encoding, no re-parse per access).  Oracle: DuckDB's typed
+    json_extract produces the same values."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "WITH j AS (SELECT event_id,"
+        " variant_get(parse_json(props), '$.k', 'int') AS k FROM v_events)"
+        " SELECT k % 7 AS k_mod7, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(k) AS BIGINT) AS sum_k"
+        " FROM j GROUP BY 1"
+    )
+
+
+_VARIANT_ORACLE = (
+    "WITH j AS (SELECT event_id,"
+    " CAST(json_extract(props, '$.k') AS INT) AS k FROM v_events)"
+    " SELECT k % 7 AS k_mod7, CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(k) AS BIGINT) AS sum_k"
+    " FROM j GROUP BY 1"
+)
+
+
+def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE — the warehouse's dimension-history
+    WRITE path: given the materialized history (built from the early
+    half of the attribute stream) and a late change batch, close each
+    entity's open row at its first new observation and append the new
+    versions.  Closed history rows pass through UNTOUCHED (the
+    incremental property); only open rows and changes are recomputed.
+    The oracle rebuilds ranges from the full stream, so a hash match
+    proves incremental == rebuild."""
+    from pyspark.sql import Window
+
+    from .. import catalog
+
+    ev = (
+        catalog.v_events(spark, sf_dir)
+        .where((F.col("user_id") < 40) & (F.col("event_type") != "purchase"))
+        .select("user_id", F.col("event_type").alias("attr"), "ts_us", "event_id")
+    )
+    bounds = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid")
+    ).collect()[0]
+    early = ev.where(F.col("ts_us") <= bounds.mid)
+    late = ev.where(F.col("ts_us") > bounds.mid)
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hist = early.select(
+        "user_id", "attr", "ts_us", "event_id",
+        F.lead("ts_us").over(w).alias("eff_to_us"),
+    )
+    closed = hist.where(F.col("eff_to_us").isNotNull()).select(
+        "user_id", "attr", F.col("ts_us").alias("eff_from_us"), "eff_to_us"
+    )
+    open_rows = hist.where(F.col("eff_to_us").isNull()).select(
+        "user_id", "attr", "ts_us", "event_id"
+    )
+    merged = open_rows.unionByName(late).select(
+        "user_id", "attr", "ts_us", "event_id",
+        F.lead("ts_us").over(w).alias("eff_to_us"),
+    ).select(
+        "user_id", "attr", F.col("ts_us").alias("eff_from_us"), "eff_to_us"
+    )
+    return closed.unionByName(merged)
+
+
+_SCD2_APPLY_ORACLE = (
+    "SELECT user_id, event_type AS attr, ts_us AS eff_from_us, "
+    "LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS eff_to_us "
+    "FROM v_events WHERE user_id < 40 AND event_type <> 'purchase'"
+)
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO: apply a changelog to a snapshot with
     last-writer-wins upserts and delete markers.
@@ -443,6 +553,9 @@ QUERIES = {
     "fn_try_arith": fn_try_arith,
     "join_scd2_pit": join_scd2_pit,
     "fn_json_struct": fn_json_struct,
+    "fn_collation_ci": fn_collation_ci,
+    "fn_variant_json": fn_variant_json,
+    "merge_scd2_apply": merge_scd2_apply,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -460,6 +573,9 @@ ORACLES = {
     "win_running_distinct": inline_views(_running_distinct_sql()),
     "fn_try_arith": _TRY_ARITH_ORACLE,
     "join_scd2_pit": inline_views(_scd2_pit_sql()),
+    "fn_collation_ci": _collation_oracle(),
+    "fn_variant_json": inline_views(_VARIANT_ORACLE),
+    "merge_scd2_apply": inline_views(_SCD2_APPLY_ORACLE),
     "fn_json_struct": inline_views(
         _json_struct_sql("CAST(json_extract(props, '$.k') AS INT)", "k")
     ),

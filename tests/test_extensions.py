@@ -1198,3 +1198,34 @@ def test_gap_islands_tile_each_users_days(spark, sf_oracle):
                 assert r.entry_gap == r.start_day - isls[i - 1].end_day
         assert covered == days[uid]
     assert any(len(v) > 1 for v in by_user.values())  # real gaps exist
+
+
+def test_collation_groups_case_variants_together(spark, sf_oracle):
+    from pserv_spark.operators.extras import fn_collation_ci
+
+    rows = fn_collation_ci(spark, sf_oracle).collect()
+    reps = [r.rep for r in rows]
+    assert len(reps) == len({r.lower() for r in reps})  # one group per ci-class
+    assert any(r != r.lower() for r in reps)  # case diversity actually present
+
+
+def test_scd2_incremental_apply_preserves_closed_rows(spark, sf_oracle):
+    """The incremental merge's closed-history subset must be byte-
+    identical to the same rows in a full rebuild (the whole point of
+    incremental SCD2), and every user has exactly one open row."""
+    from pserv_spark.operators.extras import merge_scd2_apply
+
+    rows = merge_scd2_apply(spark, sf_oracle).collect()
+    open_per_user: dict = {}
+    for r in rows:
+        if r.eff_to_us is None:
+            open_per_user[r.user_id] = open_per_user.get(r.user_id, 0) + 1
+    assert open_per_user and all(v == 1 for v in open_per_user.values())
+    # intervals chain per user: each close == next open
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.eff_from_us)
+        for a, b in zip(rs, rs[1:]):
+            assert a.eff_to_us == b.eff_from_us, uid
