@@ -135,6 +135,47 @@ _LAMBDA_ORACLE = inline_views(
 )
 
 
+
+
+def report_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth of daily purchase revenue — the BI
+    reporting staple, served from the daily rollup (never raw events):
+    lag-7 window over the day series, growth as an exact-operand
+    quotient (unrounded, §4.5 rule 2).  Days without a lag-7
+    comparison emit NULL growth."""
+    path = materialize_daily(spark, sf_dir)
+    daily = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .select("day", "n", "sum_value")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    prev = F.lag("sum_value", 7).over(w)
+    return daily.select(
+        "day",
+        "n",
+        F.col("sum_value").cast("decimal(18,2)").alias("revenue"),
+        (
+            (F.col("sum_value").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("wow_growth"),
+    )
+
+
+_GROWTH_ORACLE = inline_views(
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS revenue "
+    "FROM v_events WHERE event_type = 'purchase' GROUP BY 1) "
+    "SELECT day, n, revenue, "
+    "(CAST(revenue AS DOUBLE) - CAST(LAG(revenue, 7) OVER (ORDER BY day) AS DOUBLE)) "
+    "/ CAST(LAG(revenue, 7) OVER (ORDER BY day) AS DOUBLE) AS wow_growth "
+    "FROM daily"
+)
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by signup week; for each
     (cohort, weeks-since) cell, how many distinct cohort members were
@@ -177,10 +218,12 @@ QUERIES = {
     "rollup_serve_monthly": rollup_serve_monthly,
     "serve_lambda_union": serve_lambda_union,
     "cohort_retention": cohort_retention,
+    "report_growth_rates": report_growth_rates,
 }
 
 ORACLES = {
     "rollup_serve_monthly": _SERVE_ORACLE,
     "serve_lambda_union": _LAMBDA_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
+    "report_growth_rates": _GROWTH_ORACLE,
 }

@@ -146,14 +146,44 @@ _UDTF_ORACLE = (
 )
 
 
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``useArrow=True`` — Spark
+    3.5+'s third lane between row-pickled UDFs and pandas UDFs:
+    per-row Python semantics, Arrow-batch transport).  The body is
+    integer checksum arithmetic, so the oracle is plain SQL and the
+    match is exact — what's under test is the Arrow UDF plumbing."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    @udf(returnType=LongType(), useArrow=True)
+    def key_checksum(orderkey, linenumber):
+        return (orderkey * 31 + linenumber * 7) % 1_000_003
+
+    li = catalog.table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key_checksum("l_orderkey", "l_linenumber").alias("checksum"),
+    )
+
+
+_ARROW_UDF_ORACLE = (
+    "SELECT l_orderkey, l_linenumber,"
+    " (l_orderkey * 31 + l_linenumber * 7) % 1000003 AS checksum"
+    " FROM lineitem WHERE l_orderkey < 200"
+)
+
+
 QUERIES = {
     "udf_zscore_pandas": udf_zscore_pandas,
     "udf_weighted_mean_pandas": udf_weighted_mean_pandas,
     "udf_scalar_magcal_pandas": udf_scalar_magcal_pandas,
     "udtf_word_expand": udtf_word_expand,
+    "udf_arrow_scalar": udf_arrow_scalar,
 }
 
 ORACLES = {
+    "udf_arrow_scalar": _ARROW_UDF_ORACLE,
     "udf_zscore_pandas": inline_views(_ZSCORE_ORACLE),
     "udf_weighted_mean_pandas": inline_views(_WMEAN_ORACLE),
     "udf_scalar_magcal_pandas": inline_views(_MAGCAL_ORACLE),
