@@ -458,6 +458,30 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_linkpred_sql())
 
 
+def _degree_dist_sql(vchar: str) -> str:
+    """Degree distribution of the part↔supplier graph in log₂ bins —
+    the first profiling pass on any production graph (skew tells you
+    whether PageRank/CC need salting).  Two keyed aggregations, all
+    integers."""
+    return (
+        f"WITH half AS (SELECT DISTINCT 'p' || CAST(l_partkey AS {vchar}) AS src,"
+        f" 's' || CAST(l_suppkey AS {vchar}) AS dst FROM lineitem),"
+        " edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),"
+        " deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)"
+        " SELECT CAST(FLOOR(ln(CAST(d AS DOUBLE)) / ln(2.0)) AS BIGINT) AS log2_bin,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        "  CAST(MIN(d) AS BIGINT) AS min_deg,"
+        "  CAST(MAX(d) AS BIGINT) AS max_deg"
+        " FROM deg GROUP BY 1"
+    )
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of the co-purchase graph."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_degree_dist_sql("STRING"))
+
+
 QUERIES = {
     "cluster_kmeans_lloyd": cluster_kmeans_lloyd,
     "graph_triangle_count": graph_triangle_count,
@@ -466,6 +490,7 @@ QUERIES = {
     "graph_bfs_frontier": graph_bfs_frontier,
     "graph_common_neighbors": graph_common_neighbors,
     "sample_coreset_kcenter": sample_coreset_kcenter,
+    "graph_degree_distribution": graph_degree_distribution,
 }
 
 ORACLES = {
@@ -476,4 +501,5 @@ ORACLES = {
     "graph_bfs_frontier": _bfs_sql("VARCHAR"),
     "graph_common_neighbors": _linkpred_sql(),
     "sample_coreset_kcenter": _kcenter_oracle(),
+    "graph_degree_distribution": _degree_dist_sql("VARCHAR"),
 }

@@ -337,6 +337,48 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_url_sql("STRING"))
 
 
+def _zipf_sql(toks: str) -> str:
+    """Zipf-law fit of the corpus rank-frequency curve: OLS slope of
+    ln f vs ln r (natural text ≈ −1; the synthetic near-uniform vocab
+    fits much flatter — which is itself the diagnostic: Zipf-slope
+    drift flags generated/templated text in a crawl).
+
+    One count aggregation → a vocab-sized rank window → quantized
+    log-log moment sums → closed-form slope/intercept from exact
+    integers (the OLS-moments pattern of ``ml_ols_normal_eq``)."""
+    return (
+        f"WITH tok AS ({toks}),"
+        " freq AS ("
+        "  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token"
+        "), ranked AS ("
+        "  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS BIGINT) AS r"
+        "  FROM freq"
+        "), m AS ("
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(SUM(CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sx,"
+        "    CAST(SUM(CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sy,"
+        "    CAST(SUM(CAST(FLOOR(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sxx,"
+        "    CAST(SUM(CAST(FLOOR(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sxy"
+        "  FROM ranked"
+        ") SELECT n AS n_vocab,"
+        "    CAST(CAST(FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)"
+        "      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0)"
+        "      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS zipf_slope"
+        "  FROM m"
+    )
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf slope of the corpus token rank-frequency curve."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(
+        _zipf_sql(
+            "SELECT token FROM documents"
+            " LATERAL VIEW explode(split(text, ' ')) t AS token"
+        )
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
@@ -345,10 +387,14 @@ QUERIES = {
     "text_ngram_freq": text_ngram_freq,
     "text_cooccur_pmi": text_cooccur_pmi,
     "text_url_normalize": text_url_normalize,
+    "text_zipf_slope": text_zipf_slope,
 }
 
 ORACLES = {
     "text_url_normalize": _url_sql("VARCHAR"),
+    "text_zipf_slope": _zipf_sql(
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+    ),
     "text_langid": _langid_oracle(),
     "text_quality_score": _QUALITY_ORACLE,
     "text_token_count": _TOKEN_COUNT_ORACLE,

@@ -1229,3 +1229,40 @@ def test_scd2_incremental_apply_preserves_closed_rows(spark, sf_oracle):
         rs.sort(key=lambda r: r.eff_from_us)
         for a, b in zip(rs, rs[1:]):
             assert a.eff_to_us == b.eff_from_us, uid
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark, sf_oracle):
+    import numpy as np
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.textanalysis import text_zipf_slope
+
+    row = text_zipf_slope(spark, sf_oracle).collect()[0]
+    counts: dict = {}
+    for r in catalog.table(spark, sf_oracle, "documents").collect():
+        for t in r.text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+    assert row.n_vocab == len(counts)
+    fs = sorted(counts.values(), reverse=True)
+    x = np.log(np.arange(1, len(fs) + 1))
+    y = np.log(np.array(fs, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(row.zipf_slope - slope) < 1e-3
+    assert row.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_degree_distribution_covers_all_nodes(spark, sf_oracle):
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.iterative import graph_degree_distribution
+    from pyspark.sql import functions as F
+
+    rows = graph_degree_distribution(spark, sf_oracle).collect()
+    t = load_tables(spark, sf_oracle)["lineitem"]
+    half = t.select("l_partkey", "l_suppkey").distinct()
+    n_nodes = (
+        half.select(F.col("l_partkey").alias("k")).distinct().count()
+        + half.select(F.col("l_suppkey").alias("k")).distinct().count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    for r in rows:
+        assert 2 ** r.log2_bin <= r.min_deg <= r.max_deg < 2 ** (r.log2_bin + 1)
