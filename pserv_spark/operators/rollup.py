@@ -137,6 +137,60 @@ _LAMBDA_ORACLE = inline_views(
 
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort — the revenue
+    companion of ``cohort_retention``: for each (cohort_week,
+    weeks_since) cell, the cohort's cumulative purchase cents through
+    that week.  Broadcast cohort dim, one keyed aggregation, then a
+    running sum over the (tiny) cohort × week matrix.  All-integer."""
+    from pyspark.sql import Window
+
+    ev = catalog.v_events(spark, sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cells = (
+        purchases.join(F.broadcast(signup), "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .agg(F.sum("cents").cast("long").alias("week_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+    return cells.select(
+        "cohort_week",
+        "weeks_since",
+        "week_cents",
+        F.sum("week_cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+_LTV_ORACLE = inline_views(
+    "WITH signup AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week "
+    "FROM v_events WHERE event_type = 'signup' GROUP BY user_id), "
+    "p AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, "
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
+    "FROM v_events WHERE event_type = 'purchase'), "
+    "cells AS (SELECT s.cohort_week, "
+    "CAST(datediff('day', s.cohort_week, p.week) / 7 AS INT) AS weeks_since, "
+    "CAST(SUM(p.cents) AS BIGINT) AS week_cents "
+    "FROM p JOIN signup s USING (user_id) WHERE p.week >= s.cohort_week "
+    "GROUP BY 1, 2) "
+    "SELECT cohort_week, weeks_since, week_cents, "
+    "CAST(SUM(week_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM cells"
+)
+
+
 def report_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week growth of daily purchase revenue — the BI
     reporting staple, served from the daily rollup (never raw events):
@@ -219,6 +273,7 @@ QUERIES = {
     "serve_lambda_union": serve_lambda_union,
     "cohort_retention": cohort_retention,
     "report_growth_rates": report_growth_rates,
+    "cohort_ltv_curve": cohort_ltv_curve,
 }
 
 ORACLES = {
@@ -226,4 +281,5 @@ ORACLES = {
     "serve_lambda_union": _LAMBDA_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
     "report_growth_rates": _GROWTH_ORACLE,
+    "cohort_ltv_curve": _LTV_ORACLE,
 }

@@ -383,11 +383,54 @@ def _pq_oracle() -> str:
     )
 
 
+
+
+def vec_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health profile: L2-norm distribution per label —
+    the collapsed/degenerate-embedding check run before any ANN build
+    (norms near 0 or a single spike mean the encoder failed).  Norm is
+    the deterministic left-fold dot product; percentiles use the
+    validated interpolated-percentile equivalence; one keyed agg."""
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(F.expr(
+        "aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    ))
+    return (
+        emb.select("label", F.round(norm, 6).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.expr("percentile(nrm, 0.05)"), 6).alias("p05"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(nrm, 0.95)"), 6).alias("p95"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+_NORM_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), i -> emb[i] * emb[i])), "
+    "(a, b) -> a + b)"
+)
+_NORM_ORACLE = inline_views(
+    "WITH n AS (SELECT label, ROUND(sqrt(" + _NORM_FOLD + "), 6) AS nrm FROM v_emb) "
+    "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(quantile_cont(nrm, 0.05), 6) AS p05, "
+    "ROUND(quantile_cont(nrm, 0.5), 6) AS p50, "
+    "ROUND(quantile_cont(nrm, 0.95), 6) AS p95, "
+    "MIN(nrm) AS min_norm, MAX(nrm) AS max_norm "
+    "FROM n GROUP BY label"
+)
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "vec_quantize_int8": vec_quantize_int8,
     "ann_pq_topk": ann_pq_topk,
+    "vec_norm_stats": vec_norm_stats,
 }
 
 ORACLES = {
@@ -395,4 +438,5 @@ ORACLES = {
     "ann_lsh_topk": inline_views(_lsh_oracle()),
     "vec_quantize_int8": inline_views(_QUANT_ORACLE),
     "ann_pq_topk": _pq_oracle(),
+    "vec_norm_stats": _NORM_ORACLE,
 }

@@ -1266,3 +1266,43 @@ def test_degree_distribution_covers_all_nodes(spark, sf_oracle):
     assert sum(r.n_nodes for r in rows) == n_nodes
     for r in rows:
         assert 2 ** r.log2_bin <= r.min_deg <= r.max_deg < 2 ** (r.log2_bin + 1)
+
+
+def test_ltv_curve_is_cumulative_and_conserves_revenue(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.rollup import cohort_ltv_curve
+    from pyspark.sql import functions as F
+
+    rows = cohort_ltv_curve(spark, sf_oracle).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.weeks_since)
+        run = 0
+        for r in rs:
+            run += r.week_cents
+            assert r.cum_cents == run
+    total = sum(r.week_cents for r in rows)
+    signup_users = {
+        r.user_id
+        for r in v_events(spark, sf_oracle).where("event_type = 'signup'").collect()
+    }
+    truth = (
+        v_events(spark, sf_oracle)
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("user_id").isin(list(signup_users)))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")))
+        .collect()[0][0]
+    )
+    # attributed weeks only cover purchases at/after signup week
+    assert total <= truth
+
+
+def test_norm_stats_bounds(spark, sf_oracle):
+    from pserv_spark.operators.similarity import vec_norm_stats
+
+    rows = vec_norm_stats(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.min_norm <= r.p05 <= r.p50 <= r.p95 <= r.max_norm
