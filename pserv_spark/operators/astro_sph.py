@@ -548,6 +548,30 @@ def astro_wcs_tan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_wcs_tan_sql("element_at(emb, 1)", "element_at(emb, 2)"))
 
 
+
+
+def _depth_map_sql(e1: str, e2: str) -> str:
+    """Survey-depth QA map: per-HEALPix-pixel source counts plus the
+    coadd depth GAIN (Δmag = 1.25·log₁₀ n — stacking n exposures
+    pushes the 5σ limit deeper by that much).  Composition of the
+    ring-scheme pixelization with a quantized log — the coverage/depth
+    product LSST-era pipelines publish per data release."""
+    base = _healpix_sql(e1, e2)
+    return (
+        f"WITH hp AS ({base})"
+        " SELECT pix, n_src,"
+        "  CAST(CAST(FLOOR(1.25 * ln(CAST(n_src AS DOUBLE)) / ln(10.0)"
+        "    * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS depth_gain_mag"
+        " FROM hp"
+    )
+
+
+def astro_depth_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel visit counts + coadd depth gain (mag)."""
+    catalog.load_tables(spark, sf_dir)
+    return spark.sql(_depth_map_sql("element_at(emb, 1)", "element_at(emb, 2)"))
+
+
 def astro_galactic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Galactic (l, b) for every source (J2000 rotation)."""
     catalog.load_tables(spark, sf_dir)
@@ -571,6 +595,7 @@ QUERIES = {
     "astro_density_knn": astro_density_knn,
     "astro_poly_search": astro_poly_search,
     "astro_wcs_tan_project": astro_wcs_tan_project,
+    "astro_depth_map": astro_depth_map,
 }
 
 _SKY_CTE = (
@@ -642,6 +667,7 @@ ORACLES = {
     "astro_healpix_ring": inline_views(_healpix_sql("emb[1]", "emb[2]")),
     "astro_galactic_coords": inline_views(_galactic_sql("emb[1]", "emb[2]")),
     "astro_poly_search": _poly_oracle(),
+    "astro_depth_map": inline_views(_depth_map_sql("emb[1]", "emb[2]")),
     "astro_wcs_tan_project": inline_views(_wcs_tan_sql("emb[1]", "emb[2]")),
     "astro_density_knn": inline_views(
         f"WITH {_SKY_CTE}, pairs AS ("

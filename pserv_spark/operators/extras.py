@@ -309,6 +309,30 @@ _SCD2_APPLY_ORACLE = (
 )
 
 
+
+
+def _nullsafe_sql(op: str) -> str:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — the semantics an equi-join silently drops.
+    Keys are NULLIF-seeded so genuine NULLs exist on both sides; the
+    output proves the NULL-key group joins (its pair count is the
+    product of the two sides' NULL counts)."""
+    return (
+        "WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k,"
+        "  CAST(COUNT(*) AS BIGINT) AS na FROM orders WHERE o_orderkey < 500 GROUP BY 1),"
+        " b AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k,"
+        "  CAST(COUNT(*) AS BIGINT) AS nb FROM orders"
+        "  WHERE o_orderkey >= 500 AND o_orderkey < 1000 GROUP BY 1)"
+        f" SELECT a.k AS key, a.na, b.nb FROM a JOIN b ON a.k {op} b.k"
+    )
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join via Spark's <=> operator."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_nullsafe_sql("<=>"))
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO: apply a changelog to a snapshot with
     last-writer-wins upserts and delete markers.
@@ -556,6 +580,7 @@ QUERIES = {
     "fn_collation_ci": fn_collation_ci,
     "fn_variant_json": fn_variant_json,
     "merge_scd2_apply": merge_scd2_apply,
+    "join_null_safe": join_null_safe,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -576,6 +601,7 @@ ORACLES = {
     "fn_collation_ci": _collation_oracle(),
     "fn_variant_json": inline_views(_VARIANT_ORACLE),
     "merge_scd2_apply": inline_views(_SCD2_APPLY_ORACLE),
+    "join_null_safe": _nullsafe_sql("IS NOT DISTINCT FROM"),
     "fn_json_struct": inline_views(
         _json_struct_sql("CAST(json_extract(props, '$.k') AS INT)", "k")
     ),

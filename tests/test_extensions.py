@@ -1306,3 +1306,25 @@ def test_norm_stats_bounds(spark, sf_oracle):
     assert rows
     for r in rows:
         assert 0 < r.min_norm <= r.p05 <= r.p50 <= r.p95 <= r.max_norm
+
+
+def test_null_safe_join_matches_null_keys(spark, sf_oracle):
+    from pserv_spark.operators.extras import join_null_safe
+
+    rows = join_null_safe(spark, sf_oracle).collect()
+    keys = [r.key for r in rows]
+    assert None in keys  # the NULL group joined — the point of <=>
+    assert len(keys) == len(set(keys))
+
+
+def test_depth_map_gain_formula(spark, sf_oracle):
+    import math
+
+    from pserv_spark.operators.astro_sph import astro_depth_map, astro_healpix_ring
+
+    depth = {r.pix: (r.n_src, r.depth_gain_mag)
+             for r in astro_depth_map(spark, sf_oracle).collect()}
+    base = {r.pix: r.n_src for r in astro_healpix_ring(spark, sf_oracle).collect()}
+    assert {p: n for p, (n, _) in depth.items()} == base
+    for _, (n, g) in depth.items():
+        assert abs(g - math.floor(1.25 * math.log10(n) * 1e6) / 1e6) < 1e-9
