@@ -21,6 +21,7 @@ from ..streaming import (
     stream_rollup_upsert,
     stream_topk_maintain,
     stream_late_drop_audit,
+    stream_checkpoint_resume,
     stream_tumbling_complete,
     stream_tumbling_watermark,
 )
@@ -37,6 +38,7 @@ QUERIES = {
     "stream_cdc_apply": stream_cdc_apply,
     "stream_topk_maintain": stream_topk_maintain,
     "stream_late_drop_audit": stream_late_drop_audit,
+    "stream_checkpoint_resume": stream_checkpoint_resume,
     "stream_tumbling_watermark": stream_tumbling_watermark,
 }
 
@@ -51,6 +53,12 @@ ORACLES = {
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    # Two checkpointed runs with no double-processing == one batch agg.
+    "stream_checkpoint_resume": (
+        "SELECT user_id % 10 AS cohort, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1"
+    ),
     # Late-data dropping, replayed exactly: on-time rows always count;
     # a late row survives iff its window end exceeds the watermark in
     # effect when its batch ran (= max on-time ts − 1h); emitted

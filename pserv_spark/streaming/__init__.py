@@ -14,6 +14,7 @@ from .jobs import (
     stream_rollup_upsert,
     stream_topk_maintain,
     stream_late_drop_audit,
+    stream_checkpoint_resume,
     stream_cdc_apply,
 )
 
@@ -31,5 +32,6 @@ __all__ = [
     "stream_rollup_upsert",
     "stream_topk_maintain",
     "stream_late_drop_audit",
+    "stream_checkpoint_resume",
     "stream_cdc_apply",
 ]

@@ -551,3 +551,88 @@ def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return run_to_memory(out, "append", "stream_late_drop")
+
+
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart recovery — exactly-once across TWO runs of
+    the same query: run 1 sees only half the feed and commits its
+    offsets/state to the checkpoint; more data lands; run 2 starts
+    from the SAME checkpoint, resumes at the committed offset, and
+    processes only the new file.  The foreachBatch sink appends one
+    parquet slice per (run, batch), so double-processing would show up
+    as duplicated rows — the exact batch-aggregation oracle proves
+    none occurred.  This is the restart contract a production stream
+    relies on (state store + offset log both recovered)."""
+    import hashlib as _hl
+    import shutil
+
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"pserv_ckpt_src_{key}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"pserv_ckpt_log_{key}")
+    sink = os.path.join(tempfile.gettempdir(), f"pserv_ckpt_sink_{key}")
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = (
+        spark.read.schema(SCHEMAS["events"])
+        .parquet(_stream_source_dir(sf_dir))
+        .select("event_id", "user_id", "event_type", "value")
+        .where(F.col("event_type") == "purchase")
+    )
+
+    def land(name: str, pred) -> None:
+        stage = os.path.join(src, f"_stage_{name}")
+        ev.where(pred).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        shutil.move(os.path.join(stage, part), os.path.join(src, name))
+        shutil.rmtree(stage)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = stream.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+
+        def publish(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink)
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    land("f1.parquet", F.col("event_id") % 2 == 0)
+    run_once()  # run 1: commits offsets for f1
+    land("f2.parquet", F.col("event_id") % 2 == 1)
+    run_once()  # run 2: resumes from the checkpoint, reads only f2
+
+    # Latest update per cohort = final state; max batch picks it.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort").orderBy(
+        F.col("batch_id").desc(), F.col("n").desc()
+    )
+    out = spark.read.parquet(sink)
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cohort", "n", "cents")
+    )

@@ -87,3 +87,21 @@ def test_late_drop_actually_drops(spark, sf_oracle):
     # every fully-on-time day emitted with its complete count
     for d in range(lo + 1, hi):
         assert got[d] == full[d][0], d
+
+
+def test_checkpoint_resume_processes_each_file_once(spark, sf_oracle):
+    """Run 2 must resume, not reprocess: the sink shows two distinct
+    non-overlapping batch generations whose final state equals batch."""
+    import os
+    import tempfile
+    import hashlib
+
+    from pserv_spark.streaming import stream_checkpoint_resume
+
+    stream_checkpoint_resume(spark, sf_oracle).collect()
+    key = hashlib.md5(sf_oracle.encode()).hexdigest()[:8]
+    sink = os.path.join(tempfile.gettempdir(), f"pserv_ckpt_sink_{key}")
+    slices = spark.read.parquet(sink)
+    batch_ids = sorted(r.batch_id for r in slices.select("batch_id").distinct().collect())
+    assert len(batch_ids) >= 2  # one commit per run, monotone batch ids
+    assert batch_ids == sorted(set(batch_ids))
