@@ -458,6 +458,84 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_linkpred_sql())
 
 
+SEMDEDUP_TAU = 0.3
+
+
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embeddings first (k-means — reused from ``cluster_kmeans_lloyd``),
+    then mine near-duplicate pairs ONLY within clusters and drop the
+    higher-id member of each qualifying pair.
+
+    The clustering is the scale move: the quadratic pair search runs
+    on N²/k cluster-local blocks instead of the full N² (and a real
+    run shards each cluster further).  Output: one row per dropped
+    vector with its cluster, duplicate-pair count, and max similarity.
+    Cosines are ROUND(·, 6) (the validated ``dedup_embedding_cosine``
+    equivalence); the oracle replays the full pipeline including the
+    unrolled k-means fixpoint.
+    """
+    clusters = cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    emb = catalog.v_emb(spark, sf_dir).select("vec_id", "emb").join(
+        clusters, "vec_id"
+    )
+    a = emb.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id1"),
+        F.col("emb").alias("e1"),
+    )
+    b = emb.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id2"),
+        F.col("emb").alias("e2"),
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        )
+        / (
+            F.sqrt(F.expr("aggregate(zip_with(e1, e1, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+            * F.sqrt(F.expr("aggregate(zip_with(e2, e2, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cos6", cos)
+        .where(F.col("cos6") >= SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("cluster", F.col("id2").alias("dropped_id")).agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.max("cos6").alias("max_cos"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb) / "
+        "(SQRT(list_dot_product(a.emb, a.emb)) * "
+        "SQRT(list_dot_product(b.emb, b.emb))), 6)"
+    )
+    kmeans = _kmeans_oracle()  # already inline_views-wrapped
+    # reuse its full CTE chain (incl. the v_emb prelude); afinal holds
+    # (vec_id, cid) — swap the final SELECT for the pair mining.
+    body = kmeans[: kmeans.rindex(" SELECT vec_id")]
+    return (
+        body
+        + ", pairs AS (SELECT fa.cid AS cluster, a.vec_id AS id1, b.vec_id AS id2, "
+        + cos
+        + " AS cos6 FROM afinal fa JOIN afinal fb ON fa.cid = fb.cid"
+        " AND fa.vec_id < fb.vec_id"
+        " JOIN v_emb a ON a.vec_id = fa.vec_id"
+        " JOIN v_emb b ON b.vec_id = fb.vec_id"
+        f" WHERE {cos} >= {SEMDEDUP_TAU})"
+        " SELECT cluster, id2 AS dropped_id,"
+        " CAST(COUNT(*) AS BIGINT) AS n_dup_pairs, MAX(cos6) AS max_cos"
+        " FROM pairs GROUP BY cluster, id2"
+    )
+
+
 def _degree_dist_sql(vchar: str) -> str:
     """Degree distribution of the part↔supplier graph in log₂ bins —
     the first profiling pass on any production graph (skew tells you
@@ -491,6 +569,7 @@ QUERIES = {
     "graph_common_neighbors": graph_common_neighbors,
     "sample_coreset_kcenter": sample_coreset_kcenter,
     "graph_degree_distribution": graph_degree_distribution,
+    "dedup_semantic_clustered": dedup_semantic_clustered,
 }
 
 ORACLES = {
@@ -502,4 +581,5 @@ ORACLES = {
     "graph_common_neighbors": _linkpred_sql(),
     "sample_coreset_kcenter": _kcenter_oracle(),
     "graph_degree_distribution": _degree_dist_sql("VARCHAR"),
+    "dedup_semantic_clustered": _semdedup_oracle(),
 }

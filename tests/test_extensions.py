@@ -1328,3 +1328,38 @@ def test_depth_map_gain_formula(spark, sf_oracle):
     assert {p: n for p, (n, _) in depth.items()} == base
     for _, (n, g) in depth.items():
         assert abs(g - math.floor(1.25 * math.log10(n) * 1e6) / 1e6) < 1e-9
+
+
+def test_semdedup_drops_only_within_cluster_pairs(spark, sf_oracle):
+    """Every dropped vector has >= 1 same-cluster partner at cos >= τ
+    with a LOWER id (Python recount on a sample), and dropped sets
+    never include a cluster's lowest-id member unless a lower-id
+    same-cluster partner exists (it can't)."""
+    import numpy as np
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.iterative import (
+        SEMDEDUP_TAU,
+        cluster_kmeans_lloyd,
+        dedup_semantic_clustered,
+    )
+
+    dropped = {(r.cluster, r.dropped_id): (r.n_dup_pairs, r.max_cos)
+               for r in dedup_semantic_clustered(spark, sf_oracle).collect()}
+    assert dropped
+    clusters: dict = {}
+    for r in cluster_kmeans_lloyd(spark, sf_oracle).collect():
+        clusters.setdefault(r.cluster, []).append(r.vec_id)
+    embs = {r.vec_id: np.array(r.emb)
+            for r in catalog.v_emb(spark, sf_oracle).select("vec_id", "emb").collect()}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for (cl, did), (n_pairs, max_cos) in list(dropped.items())[:40]:
+        partners = [v for v in clusters[cl]
+                    if v < did and cos(embs[v], embs[did]) >= SEMDEDUP_TAU]
+        assert len(partners) == n_pairs, (cl, did)
+        assert abs(max(cos(embs[v], embs[did]) for v in partners) - max_cos) < 2e-6
+    for cl, members in clusters.items():
+        assert (cl, min(members)) not in dropped
