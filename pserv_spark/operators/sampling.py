@@ -361,6 +361,46 @@ def sample_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBARGO_ORACLE = inline_views(_embargo_sql())
 
 
+
+
+#: Target corpus mixture, per-mille by language code (sums to 1000).
+_MIX_TARGET = (("de", 300), ("en", 250), ("es", 200), ("fr", 150), ("zh", 100))
+
+
+def _mixture_sql(values_clause: str) -> str:
+    """Importance weights that reshape the observed language mixture
+    into a declared target mixture — the data-mixing step before
+    training (upweight underrepresented strata, downweight the rest).
+
+    weight(lang) = target_share / source_share, computed as one exact
+    quotient of integers (target per-mille × corpus size) / (1000 ×
+    stratum count); the weighted counts re-sum to the corpus size by
+    construction (asserted in tests).  One count aggregation + a
+    broadcast of the 5-row target."""
+    return (
+        "WITH src AS ("
+        "  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang"
+        "), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM src)"
+        f" SELECT src.lang, src.c AS n_docs,"
+        "    CAST(src.c AS DOUBLE) / n AS p_source,"
+        "    CAST(t.pm AS DOUBLE) / 1000.0 AS p_target,"
+        "    (CAST(t.pm AS DOUBLE) * n) / (1000.0 * src.c) AS weight"
+        f" FROM src JOIN {values_clause} ON src.lang = t.lang CROSS JOIN tot"
+    )
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language importance weights toward the target mixture."""
+    load_tables(spark, sf_dir)
+    rows = ", ".join(f"('{l}', {pm})" for l, pm in _MIX_TARGET)
+    return spark.sql(_mixture_sql(f"(VALUES {rows}) AS t(lang, pm)"))
+
+
+def _mixture_oracle() -> str:
+    rows = ", ".join(f"('{l}', {pm})" for l, pm in _MIX_TARGET)
+    return _mixture_sql(f"(VALUES {rows}) t(lang, pm)")
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
@@ -371,6 +411,7 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "sample_weighted_priority": sample_weighted_priority,
     "sample_time_embargo_split": sample_time_embargo_split,
+    "sample_mixture_weights": sample_mixture_weights,
 }
 
 ORACLES = {
@@ -383,4 +424,5 @@ ORACLES = {
     "agg_histogram_bins": _HIST_ORACLE,
     "sample_weighted_priority": _WPS_ORACLE,
     "sample_time_embargo_split": _EMBARGO_ORACLE,
+    "sample_mixture_weights": _mixture_oracle(),
 }

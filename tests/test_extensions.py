@@ -1363,3 +1363,17 @@ def test_semdedup_drops_only_within_cluster_pairs(spark, sf_oracle):
         assert abs(max(cos(embs[v], embs[did]) for v in partners) - max_cos) < 2e-6
     for cl, members in clusters.items():
         assert (cl, min(members)) not in dropped
+
+
+def test_mixture_weights_reshape_to_target(spark, sf_oracle):
+    """Weighted counts reproduce the target mixture exactly and the
+    total mass is conserved."""
+    from pserv_spark.operators.sampling import _MIX_TARGET, sample_mixture_weights
+
+    rows = sample_mixture_weights(spark, sf_oracle).collect()
+    target = dict(_MIX_TARGET)
+    n = sum(r.n_docs for r in rows)
+    assert abs(sum(r.n_docs * r.weight for r in rows) - n) < 1e-6
+    for r in rows:
+        assert abs(r.n_docs * r.weight / n - target[r.lang] / 1000) < 1e-12
+        assert abs(r.p_source * n - r.n_docs) < 1e-6
