@@ -351,6 +351,40 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _benford_sql(vchar: str) -> str:
+    """Benford's-law screen on order totals: observed leading-digit
+    frequencies vs the log₁₀(1+1/d) expectation, with the per-digit
+    deviation — the classic forensic/data-quality test for fabricated
+    or truncated numeric columns.  Counts exact; expected shares and
+    deviations are fixed double expressions; one scan."""
+    return (
+        "WITH d AS ("
+        # FLOOR explicitly: CAST(double AS BIGINT) truncates in Spark
+        # but ROUNDS in DuckDB (observed ±1 leading-digit flips).
+        f"  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS {vchar}), 1, 1)"
+        "    AS BIGINT) AS digit"
+        "  FROM orders WHERE o_totalprice >= 1"
+        "), c AS ("
+        "  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit"
+        "), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)"
+        " SELECT digit, n,"
+        "  CAST(n AS DOUBLE) / nt AS p_observed,"
+        "  ln(1.0 + 1.0 / digit) / ln(10.0) AS p_benford,"
+        "  CAST(CAST(FLOOR(ABS(CAST(n AS DOUBLE) / nt"
+        "    - ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000.0) AS BIGINT) AS DOUBLE)"
+        "    / 1000000.0 AS abs_dev"
+        " FROM c CROSS JOIN tot"
+    )
+
+
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution vs Benford expectation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_benford_sql("STRING"))
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
@@ -358,6 +392,7 @@ QUERIES = {
     "profile_entropy_gini": profile_entropy_gini,
     "profile_corr_matrix": profile_corr_matrix,
     "dq_expectations": dq_expectations,
+    "profile_benford_digits": profile_benford_digits,
 }
 
 ORACLES = {
@@ -367,4 +402,5 @@ ORACLES = {
     "profile_entropy_gini": inline_views(_entropy_sql()),
     "profile_corr_matrix": _corr_matrix_sql(),
     "dq_expectations": _dq_sql("COUNT(DISTINCT (l_orderkey, l_linenumber))"),
+    "profile_benford_digits": _benford_sql("VARCHAR"),
 }

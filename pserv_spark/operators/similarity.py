@@ -425,12 +425,43 @@ _NORM_ORACLE = inline_views(
 )
 
 
+
+
+JL_DIM = 16
+
+
+def vec_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with the
+    md5-anchored ±1 matrix (Achlioptas 2003 database-friendly form,
+    scale 1/√k) — the cheap dimensionality reduction before ANN
+    indexing.  Deterministic matrix ⇒ the oracle replays the same
+    projection; per-component ROUND(·, 6).  tests bound the pairwise
+    distance distortion (the JL guarantee)."""
+    emb = _emb(spark, sf_dir)
+    comps = []
+    for j in range(JL_DIM):
+        plane_arr = F.array(*[F.lit(v) for v in HYPERPLANES[j]])
+        comps.append(F.round(dot(F.col("emb"), plane_arr) / 4.0, 6))
+    return emb.select("vec_id", F.array(*comps).alias("y"))
+
+
+def _jl_oracle() -> str:
+    comps = []
+    for j in range(JL_DIM):
+        arr = "[" + ", ".join(f"{v:.1f}" for v in HYPERPLANES[j]) + "]"
+        comps.append(f"ROUND(list_dot_product(emb, {arr}) / 4.0, 6)")
+    return inline_views(
+        f"SELECT vec_id, [{', '.join(comps)}] AS y FROM v_emb"
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "vec_quantize_int8": vec_quantize_int8,
     "ann_pq_topk": ann_pq_topk,
     "vec_norm_stats": vec_norm_stats,
+    "vec_project_jl": vec_project_jl,
 }
 
 ORACLES = {
@@ -439,4 +470,5 @@ ORACLES = {
     "vec_quantize_int8": inline_views(_QUANT_ORACLE),
     "ann_pq_topk": _pq_oracle(),
     "vec_norm_stats": _NORM_ORACLE,
+    "vec_project_jl": _jl_oracle(),
 }

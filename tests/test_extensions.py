@@ -1377,3 +1377,40 @@ def test_mixture_weights_reshape_to_target(spark, sf_oracle):
     for r in rows:
         assert abs(r.n_docs * r.weight / n - target[r.lang] / 1000) < 1e-12
         assert abs(r.p_source * n - r.n_docs) < 1e-6
+
+
+def test_benford_deviation_is_meaningful(spark, sf_oracle):
+    """Digits 1..9 all present, probabilities sum to 1; the synthetic
+    uniform-ish totals deviate from Benford (flat ≠ logarithmic), so
+    the screen actually flags something."""
+    from pserv_spark.operators.profiling_ops import profile_benford_digits
+
+    rows = profile_benford_digits(spark, sf_oracle).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.p_observed for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.p_benford for r in rows) - 1.0) < 1e-9
+    assert max(r.abs_dev for r in rows) > 0.02  # non-Benford data flagged
+
+
+def test_jl_projection_preserves_distances_roughly(spark, sf_oracle):
+    """JL guarantee at k=16 (loose): squared-distance ratios for
+    sampled pairs stay within a wide but non-vacuous band."""
+    import numpy as np
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.similarity import vec_project_jl
+
+    proj = {r.vec_id: np.array(r.y) for r in vec_project_jl(spark, sf_oracle).collect()}
+    orig = {r.vec_id: np.array(r.emb)
+            for r in catalog.v_emb(spark, sf_oracle).select("vec_id", "emb").collect()}
+    ids = sorted(orig)[:40]
+    ratios = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d_o = float(np.sum((orig[a] - orig[b]) ** 2))
+            d_p = float(np.sum((proj[a] - proj[b]) ** 2))
+            if d_o > 0:
+                ratios.append(d_p / d_o)
+    ratios = np.array(ratios)
+    assert 0.15 < ratios.min() and ratios.max() < 3.0, (ratios.min(), ratios.max())
+    assert abs(float(np.median(ratios)) - 1.0) < 0.35
