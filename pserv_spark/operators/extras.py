@@ -333,6 +333,38 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_nullsafe_sql("<=>"))
 
 
+
+
+def _skyline_sql() -> str:
+    """2-D skyline (SKYLINE OF price MIN, quantity MIN): the Pareto
+    front of order lines — no other point is ≤ in both coordinates
+    with one strict.  The O(N log N) sweep form: sort by (price, qty)
+    and keep a point iff every preceding point has strictly larger
+    qty (a running MIN over the sorted prefix) — the self-join
+    dominance test never materializes.  Bounded input slice (the
+    production form range-partitions the sort and merges per-partition
+    fronts).  All-integer after dollar-flooring."""
+    return (
+        "WITH pts AS ("
+        "  SELECT DISTINCT CAST(FLOOR(l_extendedprice) AS BIGINT) AS px,"
+        "    CAST(FLOOR(l_quantity) AS BIGINT) AS qty"
+        "  FROM lineitem WHERE l_orderkey < 2000"
+        "), swept AS ("
+        "  SELECT px, qty,"
+        "    MIN(qty) OVER (ORDER BY px, qty"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev"
+        "  FROM pts"
+        ") SELECT px, qty FROM swept"
+        " WHERE best_prev IS NULL OR qty < best_prev"
+    )
+
+
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front (minimize price AND quantity) of order lines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_skyline_sql())
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO: apply a changelog to a snapshot with
     last-writer-wins upserts and delete markers.
@@ -581,6 +613,7 @@ QUERIES = {
     "fn_variant_json": fn_variant_json,
     "merge_scd2_apply": merge_scd2_apply,
     "join_null_safe": join_null_safe,
+    "win_skyline_2d": win_skyline_2d,
 }
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
@@ -602,6 +635,7 @@ ORACLES = {
     "fn_variant_json": inline_views(_VARIANT_ORACLE),
     "merge_scd2_apply": inline_views(_SCD2_APPLY_ORACLE),
     "join_null_safe": _nullsafe_sql("IS NOT DISTINCT FROM"),
+    "win_skyline_2d": _skyline_sql(),
     "fn_json_struct": inline_views(
         _json_struct_sql("CAST(json_extract(props, '$.k') AS INT)", "k")
     ),

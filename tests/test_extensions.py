@@ -1414,3 +1414,31 @@ def test_jl_projection_preserves_distances_roughly(spark, sf_oracle):
     ratios = np.array(ratios)
     assert 0.15 < ratios.min() and ratios.max() < 3.0, (ratios.min(), ratios.max())
     assert abs(float(np.median(ratios)) - 1.0) < 0.35
+
+
+def test_skyline_is_exactly_the_pareto_front(spark, sf_oracle):
+    """Brute-force dominance recount: the returned set equals the
+    true non-dominated set of the binned points."""
+    from pserv_spark.catalog import load_tables
+    from pserv_spark.operators.extras import win_skyline_2d
+    from pyspark.sql import functions as F
+
+    got = {(r.px, r.qty) for r in win_skyline_2d(spark, sf_oracle).collect()}
+    pts = {
+        (r.px, r.qty)
+        for r in load_tables(spark, sf_oracle)["lineitem"]
+        .where("l_orderkey < 2000")
+        .select(
+            F.floor("l_extendedprice").cast("long").alias("px"),
+            F.floor("l_quantity").cast("long").alias("qty"),
+        )
+        .distinct()
+        .collect()
+    }
+    front = {
+        p for p in pts
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in pts
+        )
+    }
+    assert got == front and got
