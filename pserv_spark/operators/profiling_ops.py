@@ -385,6 +385,38 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_benford_sql("STRING"))
 
 
+
+
+def _winsor_sql(pctl: str) -> str:
+    """Winsorized statistics per event type: clip values at the
+    p05/p95 fences, then report the robust mean — the outlier
+    treatment between dropping (MAD screen) and keeping.  Fences use
+    the validated interpolated-percentile parity; clipped values are
+    floor-quantized to cents before the SUM so the robust mean is an
+    exact-integer quotient.  Two passes over one keyed exchange."""
+    return (
+        "WITH fences AS ("
+        f"  SELECT event_type, {pctl}(value, 0.05) AS lo, {pctl}(value, 0.95) AS hi"
+        "  FROM v_events GROUP BY event_type"
+        "), clipped AS ("
+        "  SELECT e.event_type,"
+        "    CAST(FLOOR(GREATEST(f.lo, LEAST(f.hi, e.value)) * 100.0) AS BIGINT)"
+        "      AS cents"
+        "  FROM v_events e JOIN fences f ON e.event_type = f.event_type"
+        ") SELECT event_type,"
+        "    CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0"
+        "      AS winsor_mean"
+        "  FROM clipped GROUP BY event_type"
+    )
+
+
+def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p05/p95-winsorized robust mean per event type."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_winsor_sql("percentile"))
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
@@ -393,6 +425,7 @@ QUERIES = {
     "profile_corr_matrix": profile_corr_matrix,
     "dq_expectations": dq_expectations,
     "profile_benford_digits": profile_benford_digits,
+    "ts_winsorized_mean": ts_winsorized_mean,
 }
 
 ORACLES = {
@@ -403,4 +436,5 @@ ORACLES = {
     "profile_corr_matrix": _corr_matrix_sql(),
     "dq_expectations": _dq_sql("COUNT(DISTINCT (l_orderkey, l_linenumber))"),
     "profile_benford_digits": _benford_sql("VARCHAR"),
+    "ts_winsorized_mean": inline_views(_winsor_sql("quantile_cont")),
 }

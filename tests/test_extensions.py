@@ -1442,3 +1442,22 @@ def test_skyline_is_exactly_the_pareto_front(spark, sf_oracle):
         )
     }
     assert got == front and got
+
+
+def test_winsorized_mean_between_fences(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.profiling_ops import ts_winsorized_mean
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in ts_winsorized_mean(spark, sf_oracle).collect()}
+    fences = {
+        r.event_type: (r.lo, r.hi)
+        for r in v_events(spark, sf_oracle)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.05)").alias("lo"),
+             F.expr("percentile(value, 0.95)").alias("hi"))
+        .collect()
+    }
+    for t, r in rows.items():
+        lo, hi = fences[t]
+        assert lo - 0.01 <= r.winsor_mean <= hi + 0.01, t
