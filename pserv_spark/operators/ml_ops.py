@@ -155,12 +155,58 @@ def ml_nb_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_nb_sql(_SPARK_NB_TOKS))
 
 
+
+
+def _did_sql() -> str:
+    """Difference-in-differences estimator — the workhorse of
+    observational causal inference on event streams: treatment group
+    (even user_id — scale-independent) vs control, pre/post the time
+    midpoint; the
+    effect is (T_post − T_pre) − (C_post − C_pre) on mean purchase
+    value.  All four cell means are exact cents-sum / count quotients;
+    the DiD is a fixed double expression over them (no rounding,
+    §4.5 rule 2).  One scan, one 4-group aggregation."""
+    return (
+        "WITH b AS ("
+        "  SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS mid"
+        "  FROM v_events WHERE event_type = 'purchase'"
+        "), cells AS ("
+        "  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,"
+        "    CASE WHEN ts_us > mid THEN 1 ELSE 0 END AS post,"
+        "    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,"
+        "    CAST(COUNT(*) AS BIGINT) AS n"
+        "  FROM v_events CROSS JOIN b WHERE event_type = 'purchase'"
+        "  GROUP BY 1, 2"
+        "), m AS ("
+        "  SELECT"
+        "    MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(cents AS DOUBLE) / n END) AS t1,"
+        "    MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(cents AS DOUBLE) / n END) AS t0,"
+        "    MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(cents AS DOUBLE) / n END) AS c1,"
+        "    MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(cents AS DOUBLE) / n END) AS c0,"
+        "    CAST(SUM(n) AS BIGINT) AS n_total"
+        "  FROM cells"
+        ") SELECT n_total,"
+        "    (t1 - t0) / 100.0 AS treated_delta,"
+        "    (c1 - c0) / 100.0 AS control_delta,"
+        "    ((t1 - t0) - (c1 - c0)) / 100.0 AS did_estimate"
+        "  FROM m"
+    )
+
+
+def causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD effect estimate on mean purchase value."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_did_sql())
+
+
 QUERIES = {
     "ml_ols_normal_eq": ml_ols_normal_eq,
     "ml_nb_train_classify": ml_nb_train_classify,
+    "causal_diff_in_diff": causal_diff_in_diff,
 }
 
 ORACLES = {
     "ml_ols_normal_eq": _ols_sql(),
     "ml_nb_train_classify": inline_views(_nb_sql(_DUCK_NB_TOKS)),
+    "causal_diff_in_diff": inline_views(_did_sql()),
 }

@@ -1461,3 +1461,27 @@ def test_winsorized_mean_between_fences(spark, sf_oracle):
     for t, r in rows.items():
         lo, hi = fences[t]
         assert lo - 0.01 <= r.winsor_mean <= hi + 0.01, t
+
+
+def test_did_matches_python_cell_means(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.ml_ops import causal_diff_in_diff
+
+    row = causal_diff_in_diff(spark, sf_oracle).collect()[0]
+    ev = v_events(spark, sf_oracle).where("event_type = 'purchase'").collect()
+    mid = (min(e.ts_us for e in ev) + max(e.ts_us for e in ev)) // 2
+    cells: dict = {}
+    for e in ev:
+        k = (e.user_id % 2 == 0, e.ts_us > mid)
+        c, n = cells.get(k, (0, 0))
+        cells[k] = (c + int(e.value * 100 + 0.5), n + 1)
+
+    def mean(k):
+        c, n = cells[k]
+        return c / n / 100
+
+    did = (mean((True, True)) - mean((True, False))) - (
+        mean((False, True)) - mean((False, False))
+    )
+    assert abs(row.did_estimate - did) < 1e-9
+    assert row.n_total == len(ev)
