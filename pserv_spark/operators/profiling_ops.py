@@ -417,6 +417,46 @@ def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_winsor_sql("percentile"))
 
 
+
+
+def _chi2_sql() -> str:
+    """Chi-square test of independence between event type and weekday
+    (joins KS/Benford in the statistical-testing family): observed
+    cell counts are exact; expected counts are exact-integer-product
+    quotients; the χ² statistic sums per-cell terms floor-quantized at
+    1e-6 (the DFT pattern).  dof = (r−1)(c−1) from exact cardinalities.
+    One scan, one cell aggregation, metadata-sized algebra after."""
+    return (
+        "WITH obs AS ("
+        "  SELECT event_type,"
+        f"    CAST(FLOOR(ts_us / {86_400_000_000}.0) AS BIGINT) % 7 AS dow,"
+        "    CAST(COUNT(*) AS BIGINT) AS o"
+        "  FROM v_events GROUP BY 1, 2"
+        "), rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),"
+        " ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),"
+        " n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),"
+        " cells AS ("
+        "  SELECT obs.o, CAST(rt.r AS DOUBLE) * ct.c / nt AS e"
+        "  FROM obs JOIN rt ON obs.event_type = rt.event_type"
+        "  JOIN ct ON obs.dow = ct.dow CROSS JOIN n"
+        "), dims AS ("
+        "  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,"
+        "    CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc FROM obs"
+        ") SELECT"
+        "  CAST(CAST(SUM(CAST(FLOOR((o - e) * (o - e) / e * 1000000.0) AS BIGINT))"
+        "    AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2,"
+        "  CAST((SELECT (nr - 1) * (nc - 1) FROM dims) AS BIGINT) AS dof,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_cells"
+        " FROM cells"
+    )
+
+
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test: event type × weekday."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_chi2_sql())
+
+
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "profile_value_counts": profile_value_counts,
@@ -426,6 +466,7 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "profile_benford_digits": profile_benford_digits,
     "ts_winsorized_mean": ts_winsorized_mean,
+    "profile_chi2_independence": profile_chi2_independence,
 }
 
 ORACLES = {
@@ -437,4 +478,5 @@ ORACLES = {
     "dq_expectations": _dq_sql("COUNT(DISTINCT (l_orderkey, l_linenumber))"),
     "profile_benford_digits": _benford_sql("VARCHAR"),
     "ts_winsorized_mean": inline_views(_winsor_sql("quantile_cont")),
+    "profile_chi2_independence": inline_views(_chi2_sql()),
 }

@@ -1485,3 +1485,29 @@ def test_did_matches_python_cell_means(spark, sf_oracle):
     )
     assert abs(row.did_estimate - did) < 1e-9
     assert row.n_total == len(ev)
+
+
+def test_chi2_matches_scipy_free_recount(spark, sf_oracle):
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.profiling_ops import profile_chi2_independence
+
+    row = profile_chi2_independence(spark, sf_oracle).collect()[0]
+    obs: dict = {}
+    for e in v_events(spark, sf_oracle).collect():
+        k = (e.event_type, (e.ts_us // 86_400_000_000) % 7)
+        obs[k] = obs.get(k, 0) + 1
+    import math
+
+    rt: dict = {}
+    ct: dict = {}
+    for (t, d), o in obs.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[d] = ct.get(d, 0) + o
+    n = sum(obs.values())
+    chi2_q = 0
+    for (t, d), o in obs.items():
+        e_ = rt[t] * ct[d] / n
+        chi2_q += math.floor((o - e_) ** 2 / e_ * 1e6)
+    assert abs(row.chi2 - chi2_q / 1e6) < 1e-9
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert row.n_cells == len(obs)
