@@ -679,6 +679,54 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_islands_sql())
 
 
+def _runs_test_sql() -> str:
+    """Wald–Wolfowitz runs test per user: is the purchase series'
+    above/below-median sign sequence random, or does it trend/cluster?
+    (The residual-randomness screen after any fit.)  Signs from the
+    exact interpolated median (equal-to-median points excluded); run
+    count via LAG sign changes on one user_id exchange; the z-score is
+    a fixed double expression over exact integers (n₁, n₂, runs),
+    floor-quantized at 1e-6."""
+    mu = "2.0 * n1 * n2 / (n1 + n2) + 1.0"
+    sg2 = (
+        "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))"
+        " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))"
+    )
+    return (
+        "WITH p AS ("
+        "  SELECT user_id, ts_us, event_id, value FROM v_events"
+        "  WHERE event_type = 'purchase' AND user_id < 60"
+        "), med AS ("
+        "  SELECT user_id AS mu_uid, percentile(value, 0.5) AS med"
+        "  FROM p GROUP BY user_id"
+        "), signed AS ("
+        "  SELECT p.user_id, ts_us, event_id,"
+        "    CASE WHEN value > med THEN 1 ELSE 0 END AS s"
+        "  FROM p JOIN med ON p.user_id = med.mu_uid WHERE value <> med"
+        "), runs AS ("
+        "  SELECT user_id, s,"
+        "    CASE WHEN LAG(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "      IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run"
+        "  FROM signed"
+        "), agg AS ("
+        "  SELECT user_id,"
+        "    CAST(SUM(s) AS BIGINT) AS n1,"
+        "    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,"
+        "    CAST(SUM(new_run) AS BIGINT) AS n_runs"
+        "  FROM runs GROUP BY user_id"
+        ") SELECT user_id, n1, n2, n_runs,"
+        f"   CAST(CAST(FLOOR((n_runs - ({mu})) / sqrt({sg2}) * 1000000.0) AS BIGINT)"
+        "      AS DOUBLE) / 1000000.0 AS z"
+        "  FROM agg WHERE n1 >= 5 AND n2 >= 5"
+    )
+
+
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-test z-scores for per-user purchase sign sequences."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_runs_test_sql())
+
+
 QUERIES = {
     "lightcurve_dft_power": lightcurve_dft_power,
     "lightcurve_dcf_lag": lightcurve_dcf_lag,
@@ -695,6 +743,7 @@ QUERIES = {
     "seq_abandoned_clicks": seq_abandoned_clicks,
     "seq_first_touch_attribution": seq_first_touch_attribution,
     "win_gap_islands": win_gap_islands,
+    "ts_runs_test": ts_runs_test,
 }
 
 ORACLES = {
@@ -713,4 +762,5 @@ ORACLES = {
     "seq_abandoned_clicks": inline_views(_abandon_sql()),
     "seq_first_touch_attribution": inline_views(_attribution_sql()),
     "win_gap_islands": inline_views(_islands_sql()),
+    "ts_runs_test": inline_views(_runs_test_sql().replace("percentile(", "quantile_cont(")),
 }

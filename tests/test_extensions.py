@@ -1511,3 +1511,38 @@ def test_chi2_matches_scipy_free_recount(spark, sf_oracle):
     assert abs(row.chi2 - chi2_q / 1e6) < 1e-9
     assert row.dof == (len(rt) - 1) * (len(ct) - 1)
     assert row.n_cells == len(obs)
+
+
+def test_runs_test_matches_python(spark, sf_oracle):
+    import math
+    import statistics
+
+    from pserv_spark.catalog import v_events
+    from pserv_spark.operators.timedomain import ts_runs_test
+
+    got = {r.user_id: (r.n1, r.n2, r.n_runs, r.z)
+           for r in ts_runs_test(spark, sf_oracle).collect()}
+    assert got
+    ev = sorted(
+        v_events(spark, sf_oracle)
+        .where("event_type = 'purchase' AND user_id < 60")
+        .collect(),
+        key=lambda e: (e.user_id, e.ts_us, e.event_id),
+    )
+    series: dict = {}
+    for e in ev:
+        series.setdefault(e.user_id, []).append(e.value)
+    for uid, vals in series.items():
+        med = statistics.median(vals)
+        signs = [1 if v > med else 0 for v in vals if v != med]
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        if n1 < 5 or n2 < 5:
+            assert uid not in got
+            continue
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        sg2 = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) / (
+            (n1 + n2) ** 2 * (n1 + n2 - 1)
+        )
+        z = math.floor((runs - mu) / math.sqrt(sg2) * 1e6) / 1e6
+        assert got[uid] == (n1, n2, runs, z), uid
