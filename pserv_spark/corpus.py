@@ -78,11 +78,11 @@ _q('join_inner',
    "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey < 50")
 _q('join_broadcast_dim',
    "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n, "
-   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total "
+   "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand")
 _q('join_multiway_q5',
    "SELECT n.n_name, "
-   "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue "
+   "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
@@ -134,21 +134,21 @@ _q('join_self_lineitem',
 # ---------- C. aggregation ----------
 _q('agg_global',
    "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders, "
-   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
    "MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship, "
    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty FROM lineitem")
 _q('agg_groupby_q1',
    "SELECT l_returnflag, l_linestatus, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
-   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price, "
-   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price, "
-   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, "
    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
    "CAST(COUNT(*) AS BIGINT) AS count_order "
    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus")
 _q('agg_distinct',
    "SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp, "
-   "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_dist_qty FROM lineitem GROUP BY l_returnflag")
+   "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty FROM lineitem GROUP BY l_returnflag")
 _q('agg_having',
    "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15")
 _q('agg_grouping_sets',
@@ -264,14 +264,14 @@ _q('fn_math',
    "GREATEST(l_tax, l_discount) AS gr, LEAST(l_tax, l_discount) AS ls "
    "FROM lineitem WHERE l_orderkey < 100")
 _q('fn_date',
-   spark="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, "
+   spark="SELECT o_orderkey, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, "
          "EXTRACT(MONTH FROM o_orderdate) AS mo, EXTRACT(DAY FROM o_orderdate) AS dd, "
-         "CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, o_orderdate + INTERVAL 30 DAY AS due, "
+         "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, o_orderdate + INTERVAL 30 DAY AS due, "
          "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS age_days "
          "FROM orders WHERE o_orderkey < 300",
-   duck="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, "
+   duck="SELECT o_orderkey, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, EXTRACT(YEAR FROM o_orderdate) AS y, "
         "EXTRACT(MONTH FROM o_orderdate) AS mo, EXTRACT(DAY FROM o_orderdate) AS dd, "
-        "CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, o_orderdate + INTERVAL 30 DAY AS due, "
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, o_orderdate + INTERVAL 30 DAY AS due, "
         "datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS age_days "
         "FROM orders WHERE o_orderkey < 300")
 _q('fn_cast_try',
@@ -407,7 +407,7 @@ _q('sessionize',
    "CAST((MAX(ts_us) - MIN(ts_us)) AS BIGINT) AS duration_us "
    "FROM sess GROUP BY user_id, sess_id")
 _q('window_tumbling',
-   "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+   "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
    "ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_value "
    "FROM v_events GROUP BY date_trunc('day', ts), event_type")
 _q('window_hopping',

@@ -23,6 +23,7 @@ def _load() -> None:
         "udfs",
         "streamops",
         "ingest_ops",
+        "jdbc_ops",
         "extras",
         "sampling",
         "bucketing",

@@ -70,7 +70,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = spark.table("pserv_bkt_ord")
     revenue = F.sum(
         F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
-    ).cast("decimal(18,4)")
+    ).cast("double")
     return (
         li.hint("merge")
         .join(od, li.l_orderkey == od.o_orderkey)
@@ -82,7 +82,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_ORACLE = (
     "SELECT o_orderpriority, "
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
-    "AS DECIMAL(18,4)) AS revenue "
+    "AS DOUBLE) AS revenue "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY o_orderpriority"
 )

@@ -517,7 +517,7 @@ def _pctl_multi_sql(fn: str) -> str:
         f"{fn}(value, {p}) AS q{int(p * 100)}" for p in _MULTI_PS
     )
     stacked = " UNION ALL ".join(
-        f"SELECT event_type, {p} AS p, q{int(p * 100)} AS v FROM a"
+        f"SELECT event_type, CAST({p} AS DOUBLE) AS p, q{int(p * 100)} AS v FROM a"
         for p in _MULTI_PS
     )
     return (

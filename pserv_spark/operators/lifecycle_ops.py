@@ -157,16 +157,20 @@ def purge_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("value").cast("decimal(14,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n", "sum_value", "n_users",
         )
     )
 
 
 _PURGE_ORACLE = inline_views(
-    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value, "
     "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
     f"FROM v_events WHERE CAST(ts AS DATE) >= DATE '{_CUTOFF}' "
     f"AND user_id % {_ERASE_MOD} != 0 GROUP BY 1"

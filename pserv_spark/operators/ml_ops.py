@@ -89,8 +89,8 @@ def _ols_sql() -> str:
 
 
 def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLS fit of extendedprice ~ quantity + discount via exact
-    normal-equation moments."""
+    """OLS fit of revenue (qty·price) ~ quantity + extendedprice via
+    exact normal-equation moments (see module header)."""
     load_tables(spark, sf_dir)
     return spark.sql(_ols_sql())
 
@@ -168,7 +168,7 @@ def _did_sql() -> str:
     §4.5 rule 2).  One scan, one 4-group aggregation."""
     return (
         "WITH b AS ("
-        "  SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS mid"
+        "  SELECT CAST(FLOOR((MIN(ts_us) + MAX(ts_us)) / 2) AS BIGINT) AS mid"
         "  FROM v_events WHERE event_type = 'purchase'"
         "), cells AS ("
         "  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,"

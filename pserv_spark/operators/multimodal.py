@@ -153,15 +153,21 @@ def mm_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 feats.append([c / n for c in hist])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
 
-    return assets.mapInPandas(embed, "doc_id long, feat array<double>")
+    # The Arrow-batched UDF keeps the real array<double> embed shape;
+    # the public result explodes to (doc_id, bin, frac) rows — array
+    # output columns cross the driver hash as numpy arrays vs lists
+    # (round-2 finding), primitive rows do not.
+    vec = assets.mapInPandas(embed, "doc_id long, feat array<double>")
+    return vec.select("doc_id", F.posexplode("feat").alias("bin", "frac"))
 
 
 _FEATURE_EMBED_ORACLE = (
     "WITH codes AS (SELECT doc_id, length(text) AS n, "
     "list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)) // 16) AS bins "
     "FROM documents) "
-    f"SELECT doc_id, list_transform(generate_series(0, {N_FEAT_BINS - 1}), "
-    "b -> len(list_filter(bins, x -> x = b)) / CAST(n AS DOUBLE)) AS feat FROM codes"
+    f"SELECT doc_id, CAST(b AS INT) AS bin, "
+    "len(list_filter(bins, x -> x = b)) / CAST(n AS DOUBLE) AS frac "
+    f"FROM codes CROSS JOIN (SELECT unnest(generate_series(0, {N_FEAT_BINS - 1})) AS b) g"
 )
 
 

@@ -248,8 +248,11 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(14,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("volume"),
+    ).select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type", "open", "high", "low", "close", "n", "volume",
     )
 
 
@@ -350,11 +353,13 @@ def layout_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").cast("date").alias("day"))
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
-    return rows.join(files_df, "day").select("day", "n_rows", "n_files")
+    return rows.join(files_df, "day").select(
+        F.col("day").cast("timestamp").alias("day"), "n_rows", "n_files"
+    )
 
 
 _COMPACT_ORACLE = (
-    "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
     f"CAST(CEIL(COUNT(*) / {_COMPACT_TARGET}.0) AS BIGINT) AS n_files "
     "FROM events GROUP BY 1"
 )
@@ -429,14 +434,14 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_price"),
     )
 
 
 _ZONEMAP_ORACLE = (
     "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_price "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price "
     "FROM lineitem "
     "WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' "
     "GROUP BY l_returnflag"
@@ -770,12 +775,12 @@ ORACLES = {
         "ORDER BY ts_us, event_id) AS ra, "
         "ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE), event_type "
         "ORDER BY ts_us DESC, event_id DESC) AS rd FROM v_events) "
-        "SELECT day, event_type, "
+        "SELECT CAST(day AS TIMESTAMP) AS day, event_type, "
         "MAX(CASE WHEN ra = 1 THEN value END) AS open, "
         "MAX(value) AS high, MIN(value) AS low, "
         "MAX(CASE WHEN rd = 1 THEN value END) AS close, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS volume "
+        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume "
         "FROM b GROUP BY day, event_type"
     ),
     "pack_sequential_bins": (

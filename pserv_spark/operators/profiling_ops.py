@@ -336,7 +336,7 @@ def _dq_sql(distinct_pair: str) -> str:
     ]
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS check_name, {obs} AS observed,"
-        f" {thr} AS threshold,"
+        f" CAST({thr} AS DOUBLE) AS threshold,"
         f" CASE WHEN ({obs}) {op} {thr} THEN TRUE ELSE FALSE END AS passed FROM m"
         for name, obs, thr, op in checks
     )

@@ -66,7 +66,7 @@ _LATERAL_SQL = """
 _Q17_SQL = """
   SELECT l_returnflag,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
   FROM lineitem l
   WHERE CAST(2*l.l_quantity AS DECIMAL(18,2)) *
         (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -118,7 +118,7 @@ def join_q3_toprevenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     rev = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("decimal(18,4)")
+    ).cast("double")
     return (
         t["orders"]
         .where(F.col("o_orderstatus") != "F")
@@ -258,12 +258,12 @@ def fn_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return o.where(F.col("o_orderkey") < 200).select(
         "o_orderkey",
-        d.alias("d"),
+        d.cast("timestamp").alias("d"),
         F.quarter(d).alias("qtr"),
-        F.last_day(d).alias("eom"),
+        F.last_day(d).cast("timestamp").alias("eom"),
         F.weekofyear(d).alias("wk"),
         F.dayofyear(d).alias("doy"),
-        F.add_months(d, 3).alias("plus3m"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
     )
 
 
@@ -351,7 +351,7 @@ ORACLES = {
     "join_q3_toprevenue": (
         "SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, "
         "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) "
-        "AS DECIMAL(18,4)) AS revenue "
+        "AS DOUBLE) AS revenue "
         "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
         "WHERE o.o_orderstatus <> 'F' AND l.l_shipdate > o.o_orderdate "
         "GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority "
@@ -402,12 +402,12 @@ ORACLES = {
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "fn_datetime_extras": (
-        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, "
+        "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d, "
         "CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr, "
-        "last_day(CAST(o_orderdate AS DATE)) AS eom, "
+        "CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom, "
         "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk, "
         "CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy, "
-        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m "
+        "CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m "
         "FROM orders WHERE o_orderkey < 200"
     ),
     "agg_count_distribution": (

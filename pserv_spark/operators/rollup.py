@@ -73,7 +73,7 @@ def rollup_serve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("month", "event_type")
         .agg(
             F.sum("n").cast("long").alias("n"),
-            F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
             (
                 F.sum("sum_value").cast("double") / F.sum("n")
             ).alias("avg_value"),
@@ -84,7 +84,7 @@ def rollup_serve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERVE_ORACLE = inline_views(
     "SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month, event_type, "
     "CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value, "
     "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value "
     "FROM v_events GROUP BY 1, 2"
 )
@@ -122,14 +122,20 @@ def serve_lambda_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "event_type", "n", "sum_value", F.lit("speed").alias("layer"))
     )
-    return batch.unionByName(speed)
+    return batch.unionByName(speed).select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "layer",
+    )
 
 
 _LAMBDA_ORACLE = inline_views(
     "WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS hi FROM v_events) "
-    "SELECT CAST(ts AS DATE) AS day, event_type, "
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
     "CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value, "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value, "
     "CASE WHEN CAST(ts AS DATE) = hi THEN 'speed' ELSE 'batch' END AS layer "
     "FROM v_events CROSS JOIN b GROUP BY 1, 2, 5"
 )
@@ -167,7 +173,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("cohort_week").orderBy("weeks_since")
     return cells.select(
-        "cohort_week",
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
         "weeks_since",
         "week_cents",
         F.sum("week_cents").over(w).cast("long").alias("cum_cents"),
@@ -185,7 +191,7 @@ _LTV_ORACLE = inline_views(
     "CAST(SUM(p.cents) AS BIGINT) AS week_cents "
     "FROM p JOIN signup s USING (user_id) WHERE p.week >= s.cohort_week "
     "GROUP BY 1, 2) "
-    "SELECT cohort_week, weeks_since, week_cents, "
+    "SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, weeks_since, week_cents, "
     "CAST(SUM(week_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since "
     "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM cells"
 )
@@ -208,9 +214,9 @@ def report_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     prev = F.lag("sum_value", 7).over(w)
     return daily.select(
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         "n",
-        F.col("sum_value").cast("decimal(18,2)").alias("revenue"),
+        F.col("sum_value").cast("double").alias("revenue"),
         (
             (F.col("sum_value").cast("double") - prev.cast("double"))
             / prev.cast("double")
@@ -221,9 +227,9 @@ def report_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROWTH_ORACLE = inline_views(
     "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS revenue "
+    "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue "
     "FROM v_events WHERE event_type = 'purchase' GROUP BY 1) "
-    "SELECT day, n, revenue, "
+    "SELECT CAST(day AS TIMESTAMP) AS day, n, revenue, "
     "(CAST(revenue AS DOUBLE) - CAST(LAG(revenue, 7) OVER (ORDER BY day) AS DOUBLE)) "
     "/ CAST(LAG(revenue, 7) OVER (ORDER BY day) AS DOUBLE) AS wow_growth "
     "FROM daily"
@@ -253,6 +259,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+        )
     )
 
 
@@ -260,7 +271,7 @@ _COHORT_ORACLE = inline_views(
     "WITH signup AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week "
     "FROM v_events WHERE event_type = 'signup' GROUP BY user_id), "
     "activity AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM v_events) "
-    "SELECT s.cohort_week, "
+    "SELECT CAST(s.cohort_week AS TIMESTAMP) AS cohort_week, "
     "CAST(datediff('day', s.cohort_week, a.week) / 7 AS INT) AS weeks_since, "
     "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active "
     "FROM activity a JOIN signup s USING (user_id) "

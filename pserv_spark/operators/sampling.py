@@ -107,7 +107,8 @@ def gapfill_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("d"))
     )
     return spine.join(daily, "d", "left").select(
-        "d", F.coalesce("n", F.lit(0)).alias("n_orders")
+        F.col("d").cast("timestamp").alias("d"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
     )
 
 
@@ -116,7 +117,7 @@ _GAPFILL_ORACLE = (
     "FROM orders WHERE o_custkey < 50 GROUP BY 1), "
     "spine AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS d "
     "FROM (SELECT MIN(d) AS min_d, MAX(d) AS max_d FROM daily)) "
-    "SELECT spine.d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders "
+    "SELECT CAST(spine.d AS TIMESTAMP) AS d, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders "
     "FROM spine LEFT JOIN daily USING (d)"
 )
 
@@ -156,7 +157,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spine.join(daily, "d", "left")
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return joined.select(
-        "d",
+        F.col("d").cast("timestamp").alias("d"),
         F.last("avg_price", ignorenulls=True).over(w).alias("avg_price_filled"),
         F.col("avg_price").isNotNull().alias("observed"),
     )
@@ -174,7 +175,7 @@ _LOCF_ORACLE = (
     "j AS (SELECT spine.d, daily.avg_price FROM spine LEFT JOIN daily USING (d)), "
     "g AS (SELECT d, avg_price, COUNT(avg_price) OVER "
     "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j) "
-    "SELECT d, MAX(avg_price) OVER (PARTITION BY grp) AS avg_price_filled, "
+    "SELECT CAST(d AS TIMESTAMP) AS d, MAX(avg_price) OVER (PARTITION BY grp) AS avg_price_filled, "
     "avg_price IS NOT NULL AS observed FROM g"
 )
 
@@ -196,14 +197,14 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qty").alias("pq"), F.count("*").alias("pn"))
     )
     return partial.groupBy("l_returnflag").agg(
-        F.sum("pq").cast("decimal(18,2)").alias("sum_qty"),
+        F.sum("pq").cast("double").alias("sum_qty"),
         F.sum("pn").cast("long").alias("n_rows"),
     )
 
 
 _SALTED_ORACLE = (
     "SELECT l_returnflag, "
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
     "COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
 )
 
@@ -257,14 +258,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("s_name").agg(
         F.count("*").cast("long").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
 
 _SALTED_JOIN_ORACLE = (
     "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items, "
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name"
 )
 

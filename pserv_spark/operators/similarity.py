@@ -442,16 +442,19 @@ def vec_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(JL_DIM):
         plane_arr = F.array(*[F.lit(v) for v in HYPERPLANES[j]])
         comps.append(F.round(dot(F.col("emb"), plane_arr) / 4.0, 6))
-    return emb.select("vec_id", F.array(*comps).alias("y"))
+    # flat y0..y15 columns, not array<double>: array outputs cross the
+    # driver hash as numpy arrays vs lists (round-2 finding) — primitive
+    # doubles are the portable projection.
+    return emb.select("vec_id", *[c.alias(f"y{j}") for j, c in enumerate(comps)])
 
 
 def _jl_oracle() -> str:
     comps = []
     for j in range(JL_DIM):
         arr = "[" + ", ".join(f"{v:.1f}" for v in HYPERPLANES[j]) + "]"
-        comps.append(f"ROUND(list_dot_product(emb, {arr}) / 4.0, 6)")
+        comps.append(f"ROUND(list_dot_product(emb, {arr}) / 4.0, 6) AS y{j}")
     return inline_views(
-        f"SELECT vec_id, [{', '.join(comps)}] AS y FROM v_emb"
+        f"SELECT vec_id, {', '.join(comps)} FROM v_emb"
     )
 
 

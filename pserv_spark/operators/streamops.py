@@ -47,9 +47,9 @@ ORACLES = {
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
     # foreachBatch upsert: final store state == batch daily aggregation.
     "stream_rollup_upsert": (
-        "SELECT CAST(ts AS DATE) AS day, event_type, "
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_value "
+        "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
     "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
@@ -84,7 +84,7 @@ ORACLES = {
     # reproduce the engine output bit-for-bit at sf0.001/0.01/0.1.
     "stream_tumbling_watermark": (
         "WITH m AS (SELECT MAX(ts) AS mt FROM events), "
-        "w AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+        "w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
         "SELECT day, event_type, n FROM w CROSS JOIN m "
         "WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mt - INTERVAL 1 HOUR"

@@ -74,7 +74,7 @@ def _dft_sql(values_clause: str) -> str:
         f"   CAST(SUM({_QC}) AS BIGINT) AS c,"
         f"   CAST(SUM({_QS}) AS BIGINT) AS s"
         "  FROM ex GROUP BY user_id, p"
-        ") SELECT user_id, p AS period_days, n_obs, "
+        ") SELECT user_id, CAST(p AS DOUBLE) AS period_days, n_obs, "
         f"{_POWER} AS power FROM parts"
     )
 
@@ -455,7 +455,10 @@ def _ls_sql(values_clause: str) -> str:
         "    CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY user_id"
         "), ex AS ("
         "  SELECT b.user_id, b.ts_us,"
-        "    b.value - mu.sq / (mu.n * 1000000.0) AS cv, p"
+        # §4.5 rule 6: BIGINT / computed-DECIMAL divisor is DECIMAL
+        # division in Spark (precision-loss quantized) but double
+        # division in DuckDB — force double explicitly (ADVICE r1).
+        "    b.value - CAST(mu.sq AS DOUBLE) / (CAST(mu.n AS DOUBLE) * 1000000.0) AS cv, p"
         "  FROM base b JOIN mu ON b.user_id = mu.user_id"
         "  CROSS JOIN " + values_clause + ""
         "), p1 AS ("
@@ -477,7 +480,7 @@ def _ls_sql(values_clause: str) -> str:
         "    CAST(SUM(CAST(FLOOR(pow(sin((2 * pi() / (ex.p * 86400000000.0)) * (ex.ts_us - tau.t0)), 2) * 1000000.0) AS BIGINT)) AS BIGINT) AS ss"
         "  FROM ex JOIN tau ON ex.user_id = tau.user_id AND ex.p = tau.p"
         "  GROUP BY ex.user_id, ex.p"
-        ") SELECT user_id, p AS period_days, n_obs,"
+        ") SELECT user_id, CAST(p AS DOUBLE) AS period_days, n_obs,"
         "    CAST(CAST(FLOOR(0.5 * ((CAST(a AS DOUBLE) / 1000000.0) * (CAST(a AS DOUBLE) / 1000000.0)"
         "      / (CAST(cc AS DOUBLE) / 1000000.0)"
         "      + (CAST(b AS DOUBLE) / 1000000.0) * (CAST(b AS DOUBLE) / 1000000.0)"

@@ -54,7 +54,7 @@ def agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_D184))
-            .cast(_D184)
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -113,7 +113,7 @@ def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _revenue().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast(_D184).alias("revenue"))
+        .agg(F.sum("volume").cast("double").alias("revenue"))
     )
 
 
@@ -199,7 +199,7 @@ def join_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return profit.groupBy("nation", "o_year").agg(
-        F.sum("amount").cast(_D184).alias("sum_profit")
+        F.sum("amount").cast("double").alias("sum_profit")
     )
 
 
@@ -221,7 +221,7 @@ def join_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue()).cast(_D184).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -238,7 +238,7 @@ def agg_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         t["lineitem"]
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast(_D182)).cast(_D182).alias("value"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_D182)).cast("double").alias("value"))
     )
     total = per_part.agg(
         (F.sum("value").cast("double") / F.count("*") * F.lit(1.2)).alias("threshold")
@@ -317,7 +317,7 @@ def join_q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_revenue()).cast(_D184).alias("total_revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
     )
     best = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -374,7 +374,7 @@ def join_q19_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity").between(20, 35))
     )
     return j.where(branch1 | branch2 | branch3).agg(
-        F.sum(_revenue()).cast(_D184).alias("revenue")
+        F.sum(_revenue()).cast("double").alias("revenue")
     )
 
 
@@ -423,7 +423,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_q6_forecast": (
-        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue "
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
     ),
@@ -436,7 +436,7 @@ ORACLES = {
     ),
     "join_q7_volume": (
         "SELECT supp_nation, cust_nation, l_year, "
-        "CAST(SUM(volume) AS DECIMAL(18,4)) AS revenue FROM ("
+        "CAST(SUM(volume) AS DOUBLE) AS revenue FROM ("
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
         "CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year, "
         "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume "
@@ -466,7 +466,7 @@ ORACLES = {
         "GROUP BY o_year"
     ),
     "join_q9_profit": (
-        "SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(18,4)) AS sum_profit FROM ("
+        "SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM ("
         "SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, "
         "CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
@@ -478,7 +478,7 @@ ORACLES = {
     ),
     "join_q10_returned": (
         "SELECT c_custkey, c_name, c_acctbal, n_name, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
@@ -489,7 +489,7 @@ ORACLES = {
     ),
     "agg_q11_important": (
         "WITH per_part AS (SELECT l_partkey, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value "
         "FROM lineitem GROUP BY l_partkey) "
         "SELECT l_partkey, value FROM per_part "
         "WHERE CAST(value AS DOUBLE) > "
@@ -515,7 +515,7 @@ ORACLES = {
     ),
     "join_q15_topsupplier": (
         "WITH rev AS (SELECT l_suppkey, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_revenue "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
         "GROUP BY l_suppkey) "
         "SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier "
@@ -531,7 +531,7 @@ ORACLES = {
         "GROUP BY p_brand, p_type, p_size"
     ),
     "join_q19_disc_revenue": (
-        "SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue "
+        "SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15) "
         "OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25) "

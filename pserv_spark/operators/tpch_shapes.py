@@ -48,7 +48,7 @@ def join_q18_bigqty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_qty")
         )
     )
@@ -123,7 +123,7 @@ def subquery_q22_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("totacctbal"),
         )
     )
@@ -168,7 +168,7 @@ QUERIES = {
 ORACLES = {
     "join_q18_bigqty": (
         "SELECT c_name, o_orderkey, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
         "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
         "WHERE o.o_orderkey IN "
@@ -188,7 +188,7 @@ ORACLES = {
     ),
     "subquery_q22_balance": (
         "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
-        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
         "FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal "
         "FROM customer c "
         "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "

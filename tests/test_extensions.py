@@ -1400,7 +1400,10 @@ def test_jl_projection_preserves_distances_roughly(spark, sf_oracle):
     from pserv_spark import catalog
     from pserv_spark.operators.similarity import vec_project_jl
 
-    proj = {r.vec_id: np.array(r.y) for r in vec_project_jl(spark, sf_oracle).collect()}
+    rows = vec_project_jl(spark, sf_oracle).collect()
+    ycols = [c for c in rows[0].asDict() if c.startswith("y")]
+    ycols.sort(key=lambda c: int(c[1:]))
+    proj = {r.vec_id: np.array([r[c] for c in ycols]) for r in rows}
     orig = {r.vec_id: np.array(r.emb)
             for r in catalog.v_emb(spark, sf_oracle).select("vec_id", "emb").collect()}
     ids = sorted(orig)[:40]

@@ -1,0 +1,55 @@
+"""Output-type policy (SURVEY §4.5 rule 7): public result columns are
+primitives only — no DECIMAL, DATE, or ARRAY/STRUCT/MAP in a final
+projection.
+
+Root cause (round 2, empirically proven): the driver's value-hash runs
+one side through a pandas-style conversion, so output cells whose
+Python object differs between Spark ``collect()`` and a pandas frame
+flip the hash even when raw values are identical (trailing-zero
+decimals predicted the round-1 driver 47/3 split exactly).
+
+The corpus is linted here at schema level (cheap — analysis only, no
+execution).  The full registry surface, including operators whose
+callables do eager fixture/streaming work, is swept by
+``scripts/audit_output_types.py`` and by ``testing.scan_hazards``
+inside every ``compare_df_to_duckdb`` call.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+
+from pserv_spark import corpus
+from pserv_spark.registry import build_queries
+from pserv_spark.testing import scan_hazards
+
+BANNED_PREFIXES = ("decimal", "date", "array", "struct", "map")
+
+
+@pytest.mark.parametrize("name", list(corpus.QUERY_NAMES))
+def test_corpus_output_schema_is_primitive(spark, sf_smoke, name):
+    df = build_queries()[name](spark, sf_smoke)
+    bad = [
+        (col, dt)
+        for col, dt in df.dtypes
+        if dt.split("(")[0] in ("decimal",) or dt == "date"
+        or dt.split("<")[0] in ("array", "struct", "map")
+    ]
+    assert not bad, f"{name}: non-primitive output columns {bad}"
+
+
+def test_scan_hazards_flags_each_class():
+    rows = [(decimal.Decimal("1.00"), datetime.date(2024, 1, 1), [1, 2], 5)]
+    out = scan_hazards(["d", "dt", "arr", "ok"], rows)
+    assert len(out) == 3
+    assert any(h.startswith("arr:") for h in out)
+    assert any(h.startswith("d:") for h in out)
+    assert any(h.startswith("dt:") for h in out)
+
+
+def test_scan_hazards_allows_primitives():
+    rows = [(1, 2.5, "x", True, datetime.datetime(2024, 1, 1), None)]
+    assert scan_hazards(list("abcdef"), rows) == []
