@@ -226,3 +226,81 @@ def test_quarantine_captures_raw_corrupt_lines(spark, sf_oracle):
     assert set(rows) == {"loaded", "quarantined"}
     assert rows["quarantined"].n_rows > 0
     assert rows["loaded"].n_rows > 10 * rows["quarantined"].n_rows
+
+
+def test_fits_container_is_strictly_compliant(tmp_path):
+    """Pin the real-FITS container grammar (FITS Standard 4.0): a
+    dataless primary HDU, fixed-format cards, mandatory BINTABLE
+    keywords in standard order, 2880-byte records throughout — so any
+    conforming reader (astropy/cfitsio) can open the file."""
+    from pserv_spark.sources.fitslike import _BLOCK, read_header, write_fitslike
+
+    path = str(tmp_path / "t.fits")
+    rows = [(i, float(i) / 7.0, f"s{i}") for i in range(5)]
+    write_fitslike(path, [("k", "K"), ("v", "D"), ("tag", "4A")], rows, sort_key="k")
+    raw = open(path, "rb").read()
+
+    assert len(raw) % _BLOCK == 0
+    # primary HDU: SIMPLE=T with the logical at byte 30 (fixed format)
+    assert raw[:30] == b"SIMPLE  = " + b" " * 19 + b"T"
+    prim = raw[:_BLOCK].decode("ascii")
+    prim_keys = [prim[i : i + 8].strip() for i in range(0, _BLOCK, 80)]
+    assert prim_keys[:4] == ["SIMPLE", "BITPIX", "NAXIS", "END"]
+    # extension HDU: mandatory keywords in standard order (§7.3.1)
+    ext = raw[_BLOCK : 2 * _BLOCK].decode("ascii")
+    ext_keys = [ext[i : i + 8].strip() for i in range(0, _BLOCK, 80)]
+    assert ext_keys[:8] == [
+        "XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2",
+        "PCOUNT", "GCOUNT", "TFIELDS",
+    ]
+    assert ext[:20] == "XTENSION= 'BINTABLE'"
+    # every integer card is right-justified to byte 30
+    for key, want in [("BITPIX", 8), ("NAXIS", 2), ("NAXIS1", 20),
+                      ("NAXIS2", 5), ("PCOUNT", 0), ("GCOUNT", 1),
+                      ("TFIELDS", 3)]:
+        card = next(ext[i : i + 80] for i in range(0, _BLOCK, 80)
+                    if ext[i : i + 8].strip() == key)
+        assert card[:30] == f"{key:<8}= {want:>20}", card[:30]
+    # data begins at the third record and the header walk agrees
+    colspec, n, rb, off, _sk = read_header(path)
+    assert off == 2 * _BLOCK and (n, rb) == (5, 20)
+    assert colspec == [("k", "K"), ("v", "D"), ("tag", "4A")]
+
+
+def test_fits_reader_skips_foreign_hdus(tmp_path):
+    """A conforming file may carry a non-table extension (e.g. an
+    image HDU) before the table — the header walk must skip its data
+    area using the §4.4.1 size rule, not assume HDU #2 is the table."""
+    from pserv_spark.sources.fitslike import (
+        _BLOCK,
+        _card_int,
+        _card_str,
+        _pack_cards,
+        primary_hdu,
+        read_header,
+        write_fitslike,
+    )
+
+    table = str(tmp_path / "table_only.fits")
+    write_fitslike(table, [("k", "K")], [(7,), (8,)])
+    table_raw = open(table, "rb").read()[_BLOCK:]  # ext header + data
+
+    # splice an 1x100-byte IMAGE extension between primary and table
+    image_hdr = _pack_cards([
+        _card_str("XTENSION", "IMAGE"),
+        _card_int("BITPIX", 8),
+        _card_int("NAXIS", 2),
+        _card_int("NAXIS1", 10),
+        _card_int("NAXIS2", 10),
+        _card_int("PCOUNT", 0),
+        _card_int("GCOUNT", 1),
+        "END",
+    ])
+    image_data = bytes(100) + b"\x00" * ((-100) % _BLOCK)
+    spliced = str(tmp_path / "spliced.fits")
+    with open(spliced, "wb") as f:
+        f.write(primary_hdu() + image_hdr + image_data + table_raw)
+
+    colspec, n, rb, off, _sk = read_header(spliced)
+    assert colspec == [("k", "K")] and n == 2 and rb == 8
+    assert off == 4 * _BLOCK  # primary + image hdr + image data + table hdr
