@@ -40,6 +40,7 @@ def _load() -> None:
         "timedomain",
         "lifecycle_ops",
         "search_ops",
+        "tokenize_ops",
         "ml_ops",
     ):
         try:

@@ -77,6 +77,8 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "rollup_serve_monthly",
     "udf_zscore_pandas",
     "decontaminate_ngram",
+    "text_bpe_train",
+    "text_bpe_apply",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

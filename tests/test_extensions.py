@@ -1549,3 +1549,51 @@ def test_runs_test_matches_python(spark, sf_oracle):
         )
         z = math.floor((runs - mu) / math.sqrt(sg2) * 1e6) / 1e6
         assert got[uid] == (n1, n2, runs, z), uid
+
+
+def test_bpe_train_matches_hand_computed_merges(spark, sf_oracle):
+    """Independent replay: rebuild the dictionary with plain Python
+    over the raw parquet (pyarrow, no Spark/DuckDB) and run a separate
+    straightforward BPE implementation; the op's merge table must match
+    exactly."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pserv_spark.operators.tokenize_ops import (
+        K_MERGES,
+        VOCAB,
+        text_bpe_train,
+    )
+
+    texts = pq.read_table(f"{sf_oracle}/documents.parquet", columns=["text"])
+    freq: dict[str, int] = {}
+    for t in texts.column("text").to_pylist():
+        for w in (t or "").lower().split(" "):
+            if re.fullmatch("[a-z]+", w) and 2 <= len(w) <= 12:
+                freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB]
+
+    seqs = {w: [*w, "_"] for w, _f in top}
+    expected = []
+    for k in range(1, K_MERGES + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, f in top:
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + f
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        expected.append((k, f"{a} {b}", a + b, c))
+
+    got = sorted(tuple(r) for r in text_bpe_train(spark, sf_oracle).collect())
+    assert got == sorted(expected)
