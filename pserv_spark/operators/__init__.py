@@ -43,10 +43,15 @@ def _load() -> None:
         "tokenize_ops",
         "ml_ops",
     ):
+        # Import errors must be LOUD: a silently-skipped module shrinks
+        # the registry and the driver would simply test fewer queries.
         try:
             mod = importlib.import_module(f".{modname}", __package__)
-        except ImportError:
-            continue
+        except ImportError as e:
+            raise ImportError(
+                f"extension module {modname!r} failed to import — "
+                f"registry surface would silently shrink: {e}"
+            ) from e
         EXTENSION_QUERIES.update(getattr(mod, "QUERIES", {}))
         EXTENSION_ORACLES.update(getattr(mod, "ORACLES", {}))
 

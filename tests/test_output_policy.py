@@ -53,3 +53,18 @@ def test_scan_hazards_flags_each_class():
 def test_scan_hazards_allows_primitives():
     rows = [(1, 2.5, "x", True, datetime.datetime(2024, 1, 1), None)]
     assert scan_hazards(list("abcdef"), rows) == []
+
+
+def test_registry_size_and_order_are_pinned():
+    """The driver walks the registry in insertion order and checks a
+    bounded prefix (SURVEY §2.3 driver-window ranking): the corpus must
+    come first, then RANKED_EXTENSIONS, and the total must match the
+    declared surface — accidental shrinkage (e.g. an operator module
+    failing to register) must fail loudly here, not at judge time."""
+    from pserv_spark.registry import RANKED_EXTENSIONS, build_queries
+
+    names = list(build_queries())
+    assert len(names) == 280, len(names)
+    assert names[: len(corpus.QUERY_NAMES)] == list(corpus.QUERY_NAMES)
+    n_corpus = len(corpus.QUERY_NAMES)
+    assert tuple(names[n_corpus : n_corpus + len(RANKED_EXTENSIONS)]) == RANKED_EXTENSIONS

@@ -321,3 +321,26 @@ def test_scd2_pit_is_single_key_equi_join(spark, sf_oracle):
     assert not has_nested_loop(df)
     plan = _plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_jdbc_registry_read_is_range_partitioned(spark, sf_oracle):
+    """The JDBC source must split the table into the declared number of
+    key-range partitions (parallel cursors — the scale shape), and the
+    dim join onto visits must broadcast."""
+    from pserv_spark.operators.jdbc_ops import source_jdbc_registry
+
+    df = source_jdbc_registry(spark, sf_oracle)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "JDBCRelation(registry) [numPartitions=4]" in plan
+
+
+def test_bpe_apply_broadcasts_the_dictionary(spark, sf_oracle):
+    """The learned-segmentation dict (VOCAB rows) must broadcast onto
+    the exploded corpus words; the corpus side is scanned once."""
+    from pserv_spark.operators.tokenize_ops import text_bpe_apply
+
+    df = text_bpe_apply(spark, sf_oracle)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert not has_nested_loop(df)
