@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions import tokens
+from ._oracle import inline_views
 
 #: Word-n-gram order for the decontamination pass (13 in the published
 #: recipes; 5 here so the ~25-token synthetic docs can overlap at all).
@@ -336,3 +337,76 @@ ORACLES = {
     "text_pii_redact": _PII_ORACLE,
     "text_bigram_logprob": _bigram_lm_sql(_DUCK_POS_TOKS),
 }
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (round 2)
+# ---------------------------------------------------------------------------
+
+#: Benchmark membership rule (deterministic, scale-free) and the
+#: similarity threshold for the contamination flag.
+_EDECON_MOD = 11
+_EDECON_TAU = 0.25
+
+
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in embedding space — the semantic
+    complement of ``decontaminate_ngram`` (paraphrased benchmark items
+    share no 5-grams but sit close in embedding space; this is the
+    screen modern pipelines run alongside the n-gram one).
+
+    Benchmark set = vectors with ``vec_id % 11 == 0`` (a fixed
+    evaluation suite — always tiny next to the corpus).  Every corpus
+    vector scores its nearest benchmark item by cosine; rows with
+    similarity ≥ τ are flagged.  The winner is chosen under the §4.5
+    total order (ROUND(cos, 6) DESC, bench_id ASC).
+
+    Scale shape: broadcast(benchmark) × corpus is a LINEAR scan of the
+    corpus with a constant-size inner loop — the correct 100 TB plan
+    (the benchmark side never grows with the data); per-vector norms
+    are hoisted out of the pair loop exactly like ``vec_knn``.
+    """
+    from ..functions.vector import dot, l2_norm
+    from pyspark.sql import Window
+
+    emb = catalog.v_emb(spark, sf_dir).withColumn("nrm", l2_norm(F.col("emb")))
+    bench = emb.where(F.col("vec_id") % _EDECON_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    corp = emb.where(F.col("vec_id") % _EDECON_MOD != 0)
+    cos = F.round(
+        dot(F.col("emb"), F.col("bemb")) / (F.col("nrm") * F.col("bnrm")), 6
+    )
+    scored = corp.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bench_id", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "bench_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench_id"),
+            F.col("cos_sim").alias("max_cos"),
+            (F.col("cos_sim") >= _EDECON_TAU).alias("contaminated"),
+        )
+    )
+
+
+_EDECON_ORACLE = inline_views(
+    "WITH bench AS (SELECT vec_id AS bench_id, emb AS bemb FROM v_emb "
+    f"WHERE vec_id % {_EDECON_MOD} = 0), "
+    "scored AS (SELECT c.vec_id, b.bench_id, "
+    "ROUND(list_dot_product(c.emb, b.bemb) / "
+    "(SQRT(list_dot_product(c.emb, c.emb)) * SQRT(list_dot_product(b.bemb, b.bemb))), 6) AS cos_sim "
+    f"FROM v_emb c CROSS JOIN bench b WHERE c.vec_id % {_EDECON_MOD} != 0), "
+    "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY cos_sim DESC, bench_id) AS rn FROM scored) "
+    "SELECT vec_id, bench_id AS nearest_bench_id, cos_sim AS max_cos, "
+    f"cos_sim >= {_EDECON_TAU} AS contaminated FROM ranked WHERE rn = 1"
+)
+
+QUERIES["decontaminate_embedding"] = decontaminate_embedding
+ORACLES["decontaminate_embedding"] = _EDECON_ORACLE

@@ -79,6 +79,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "decontaminate_ngram",
     "text_bpe_train",
     "text_bpe_apply",
+    "decontaminate_embedding",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
