@@ -199,14 +199,162 @@ def causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_did_sql())
 
 
+
+
+def _ab_ztest_sql() -> str:
+    """Welch two-sample z-test on purchase value, treatment = even
+    user_id (the same scale-free assignment as the DiD op) — the A/B
+    readout every experimentation pipeline serves.
+
+    Determinism (§4.5): group moments are EXACT integers (cents and
+    cents² sums — cents ≤ ~10⁷ so the squared sum stays far inside
+    BIGINT); means/variances/z are fixed double expressions over those
+    exact ints, identical in both engines; only the final z is rounded.
+    One scan, one 2-group aggregation — nothing scales with data but
+    the partial-aggregate combine."""
+    cents = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+    return (
+        "WITH g AS ("
+        "  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,"
+        "    CAST(COUNT(*) AS BIGINT) AS n,"
+        f"   CAST(SUM({cents}) AS BIGINT) AS sc,"
+        f"   CAST(SUM({cents} * {cents}) AS BIGINT) AS sc2"
+        "  FROM v_events WHERE event_type = 'purchase' GROUP BY 1"
+        "), m AS ("
+        "  SELECT treated, n,"
+        "    CAST(sc AS DOUBLE) / 100.0 / n AS mean,"
+        "    (CAST(sc2 AS DOUBLE) / 10000.0"
+        "      - n * (CAST(sc AS DOUBLE) / 100.0 / n) * (CAST(sc AS DOUBLE) / 100.0 / n))"
+        "      / (n - 1) AS var FROM g"
+        ") SELECT t.n AS n_treat, c.n AS n_ctrl,"
+        "  t.mean AS mean_treat, c.mean AS mean_ctrl,"
+        "  ROUND((t.mean - c.mean) / SQRT(t.var / t.n + c.var / c.n), 6) AS z"
+        "  FROM (SELECT * FROM m WHERE treated = 1) t"
+        "  CROSS JOIN (SELECT * FROM m WHERE treated = 0) c"
+    )
+
+
+def ab_welch_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z-test of treatment vs control purchase value."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ab_ztest_sql())
+
+
+
+
+def _logit_sql() -> str:
+    """Logistic regression by two distributed Newton steps (IRLS) —
+    P(l_returnflag = 'R') ~ 1 + quantity + discount.
+
+    Scale/determinism design (the ``vec_pca_power`` recipe applied to
+    IRLS): each Newton step reduces the fact table to NINE aggregate
+    moments (3×3 weighted Gram + gradient); the 3×3 Cramer solve is a
+    fixed double expression over them, so the MODEL crosses the
+    shuffle, never the data.  Step 1 (β=0 ⇒ p=½, W=¼I) uses EXACT
+    integer moments (2-dp fixed-point cents).  Step 2's per-row
+    σ(βᵀx) needs libm ``exp`` — its contributions are FLOOR-quantized
+    to 1e-6 units and summed as BIGINT, absorbing cross-engine libm
+    ulps exactly like the Lomb–Scargle/DFT trig sums (§4.5).  The
+    readout adds a third pass scoring training accuracy at η ≥ 0.
+    """
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    q = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"   # exact cents
+    d = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+    u = f"(2 * {y} - 1)"  # ±1
+    m1 = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(SUM({q}) AS BIGINT) AS sq, CAST(SUM({d}) AS BIGINT) AS sd,"
+        f" CAST(SUM({q} * {q}) AS BIGINT) AS sqq,"
+        f" CAST(SUM({q} * {d}) AS BIGINT) AS sqd,"
+        f" CAST(SUM({d} * {d}) AS BIGINT) AS sdd,"
+        f" CAST(SUM({u}) AS BIGINT) AS su,"
+        f" CAST(SUM({u} * {q}) AS BIGINT) AS suq,"
+        f" CAST(SUM({u} * {d}) AS BIGINT) AS sud"
+        " FROM lineitem"
+    )
+    # descaled doubles (exact ints -> correctly-rounded doubles)
+    A1 = [
+        ["CAST(n AS DOUBLE)", "CAST(sq AS DOUBLE) / 100", "CAST(sd AS DOUBLE) / 100"],
+        ["CAST(sq AS DOUBLE) / 100", "CAST(sqq AS DOUBLE) / 10000", "CAST(sqd AS DOUBLE) / 10000"],
+        ["CAST(sd AS DOUBLE) / 100", "CAST(sqd AS DOUBLE) / 10000", "CAST(sdd AS DOUBLE) / 10000"],
+    ]
+    g1 = ["CAST(su AS DOUBLE) / 2", "CAST(suq AS DOUBLE) / 200", "CAST(sud AS DOUBLE) / 200"]
+
+    def solve(A: list[list[str]], g: list[str], scale: str) -> list[str]:
+        det = _det3(A)
+        out = []
+        for k in range(3):
+            m = [row[:] for row in A]
+            for r in range(3):
+                m[r][k] = g[r]
+            out.append(f"({scale}) * ({_det3(m)}) / ({det})")
+        return out
+
+    b1 = solve(A1, g1, "4.0")  # (¼ XᵀX)⁻¹ g = 4 (XᵀX)⁻¹ g
+    beta1 = ", ".join(f"({e}) AS b1_{k}" for k, e in enumerate(b1))
+
+    eta = "(b1_0 + b1_1 * l_quantity + b1_2 * l_discount)"
+    p = f"(1.0 / (1.0 + exp(-{eta})))"
+    w = f"({p} * (1.0 - {p}))"
+    r = f"({y} - {p})"
+    Q6 = "CAST(FLOOR(({e}) * 1000000.0) AS BIGINT)"
+    ents = {
+        "w11": w, "w1q": f"{w} * l_quantity", "w1d": f"{w} * l_discount",
+        "wqq": f"{w} * l_quantity * l_quantity",
+        "wqd": f"{w} * l_quantity * l_discount",
+        "wdd": f"{w} * l_discount * l_discount",
+        "g0": r, "gq": f"{r} * l_quantity", "gd": f"{r} * l_discount",
+    }
+    m2 = (
+        "SELECT "
+        + ", ".join(
+            f"CAST(SUM({Q6.format(e=e)}) AS BIGINT) AS {k}" for k, e in ents.items()
+        )
+        + " FROM lineitem CROSS JOIN b1"
+    )
+    A2 = [
+        ["CAST(w11 AS DOUBLE) / 1e6", "CAST(w1q AS DOUBLE) / 1e6", "CAST(w1d AS DOUBLE) / 1e6"],
+        ["CAST(w1q AS DOUBLE) / 1e6", "CAST(wqq AS DOUBLE) / 1e6", "CAST(wqd AS DOUBLE) / 1e6"],
+        ["CAST(w1d AS DOUBLE) / 1e6", "CAST(wqd AS DOUBLE) / 1e6", "CAST(wdd AS DOUBLE) / 1e6"],
+    ]
+    g2 = ["CAST(g0 AS DOUBLE) / 1e6", "CAST(gq AS DOUBLE) / 1e6", "CAST(gd AS DOUBLE) / 1e6"]
+    step2 = solve(A2, g2, "1.0")
+    beta2 = ", ".join(f"(b1_{k} + ({e})) AS b2_{k}" for k, e in enumerate(step2))
+
+    eta2 = "(b2_0 + b2_1 * l_quantity + b2_2 * l_discount)"
+    acc = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(SUM(CASE WHEN ({eta2} >= 0) = ({y} = 1) THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_correct FROM lineitem CROSS JOIN b2"
+    )
+    return (
+        f"WITH m1 AS ({m1}), b1 AS (SELECT {beta1} FROM m1),"
+        f" m2 AS ({m2}), b2 AS (SELECT {beta2} FROM b1 CROSS JOIN m2),"
+        f" a AS ({acc})"
+        " SELECT n_rows, n_correct,"
+        "  ROUND(b2_0, 6) AS beta0, ROUND(b2_1, 6) AS beta1, ROUND(b2_2, 6) AS beta2"
+        " FROM a CROSS JOIN b2"
+    )
+
+
+def ml_logit_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Newton logistic regression; see ``_logit_sql``."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_logit_sql())
+
+
 QUERIES = {
     "ml_ols_normal_eq": ml_ols_normal_eq,
     "ml_nb_train_classify": ml_nb_train_classify,
     "causal_diff_in_diff": causal_diff_in_diff,
+    "ab_welch_ztest": ab_welch_ztest,
+    "ml_logit_newton": ml_logit_newton,
 }
 
 ORACLES = {
     "ml_ols_normal_eq": _ols_sql(),
     "ml_nb_train_classify": inline_views(_nb_sql(_DUCK_NB_TOKS)),
     "causal_diff_in_diff": inline_views(_did_sql()),
+    "ab_welch_ztest": inline_views(_ab_ztest_sql()),
+    "ml_logit_newton": _logit_sql(),
 }

@@ -80,6 +80,8 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "text_bpe_train",
     "text_bpe_apply",
     "decontaminate_embedding",
+    "ab_welch_ztest",
+    "ml_logit_newton",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

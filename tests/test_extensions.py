@@ -1597,3 +1597,70 @@ def test_bpe_train_matches_hand_computed_merges(spark, sf_oracle):
 
     got = sorted(tuple(r) for r in text_bpe_train(spark, sf_oracle).collect())
     assert got == sorted(expected)
+
+
+def test_logit_newton_matches_numpy_reimplementation(spark, sf_oracle):
+    """Replay the exact two-step quantized Newton recipe in numpy from
+    the raw parquet and demand equality at the rounded output; also
+    sanity-check that the fitted model beats the majority-class
+    baseline is NOT required (features may be uninformative) — but the
+    accuracy accounting must be internally consistent."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pserv_spark.operators.ml_ops import ml_logit_newton
+
+    t = pq.read_table(
+        f"{sf_oracle}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    y = (np.array(t.column("l_returnflag").to_pylist()) == "R").astype(np.int64)
+    x1 = np.array(t.column("l_quantity").to_pylist())
+    x2 = np.array(t.column("l_discount").to_pylist())
+    n = len(y)
+
+    # step 1: exact integer moments (cents), beta1 = 4 (XtX)^-1 g
+    q = np.floor(x1 * 100 + 0.5).astype(np.int64)
+    d = np.floor(x2 * 100 + 0.5).astype(np.int64)
+    u = 2 * y - 1
+    A1 = np.array(
+        [
+            [n, q.sum() / 100, d.sum() / 100],
+            [q.sum() / 100, (q * q).sum() / 10000, (q * d).sum() / 10000],
+            [d.sum() / 100, (q * d).sum() / 10000, (d * d).sum() / 10000],
+        ],
+        dtype=float,
+    )
+    g1 = np.array([u.sum() / 2, (u * q).sum() / 200, (u * d).sum() / 200], dtype=float)
+    b1 = 4.0 * np.linalg.solve(A1, g1)
+
+    # step 2: 1e-6-quantized weighted moments
+    eta = b1[0] + b1[1] * x1 + b1[2] * x2
+    p = 1.0 / (1.0 + np.exp(-eta))
+    w = p * (1 - p)
+    r = y - p
+
+    def q6(v):
+        return np.floor(v * 1e6).astype(np.int64).sum() / 1e6
+
+    A2 = np.array(
+        [
+            [q6(w), q6(w * x1), q6(w * x2)],
+            [q6(w * x1), q6(w * x1 * x1), q6(w * x1 * x2)],
+            [q6(w * x2), q6(w * x1 * x2), q6(w * x2 * x2)],
+        ]
+    )
+    g2 = np.array([q6(r), q6(r * x1), q6(r * x2)])
+    b2 = b1 + np.linalg.solve(A2, g2)
+
+    eta2 = b2[0] + b2[1] * x1 + b2[2] * x2
+    n_correct = int(((eta2 >= 0) == (y == 1)).sum())
+
+    row = ml_logit_newton(spark, sf_oracle).collect()[0]
+    assert row.n_rows == n and row.n_correct == n_correct
+    # Cramer vs np.linalg.solve orderings differ in the last ulps; the
+    # 6-dp rounding in the op output is the comparison grain.
+    for got, want in zip((row.beta0, row.beta1, row.beta2), b2):
+        assert math.isclose(got, round(want, 6), abs_tol=2e-6), (got, want)
