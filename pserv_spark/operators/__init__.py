@@ -41,6 +41,7 @@ def _load() -> None:
         "lifecycle_ops",
         "search_ops",
         "tokenize_ops",
+        "survival_ops",
         "ml_ops",
     ):
         # Import errors must be LOUD: a silently-skipped module shrinks

@@ -82,6 +82,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "decontaminate_embedding",
     "ab_welch_ztest",
     "ml_logit_newton",
+    "survival_kaplan_meier",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

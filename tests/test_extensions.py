@@ -1664,3 +1664,60 @@ def test_logit_newton_matches_numpy_reimplementation(spark, sf_oracle):
     # 6-dp rounding in the op output is the comparison grain.
     for got, want in zip((row.beta0, row.beta1, row.beta2), b2):
         assert math.isclose(got, round(want, 6), abs_tol=2e-6), (got, want)
+
+
+def test_kaplan_meier_matches_python_replay(spark, sf_oracle):
+    """Independent product-limit replay from raw parquet: textbook KM
+    over per-user time-to-first-purchase with right-censoring; the
+    op's exact integer cum-log column and risk/conversion counts must
+    match, and survival must be the rounded exp of it."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pserv_spark.operators.survival_ops import (
+        _LOG_FLOOR_Q6,
+        survival_kaplan_meier,
+    )
+
+    t = pq.read_table(f"{sf_oracle}/events.parquet", columns=["user_id", "ts", "event_type"])
+    first, first_p, last = {}, {}, {}
+    for uid, ts, et in zip(
+        t.column("user_id").to_pylist(),
+        t.column("ts").to_pylist(),
+        t.column("event_type").to_pylist(),
+    ):
+        us = int(ts.timestamp() * 1_000_000)
+        first[uid] = min(first.get(uid, us), us)
+        last[uid] = max(last.get(uid, us), us)
+        if et == "purchase":
+            first_p[uid] = min(first_p.get(uid, us), us)
+
+    hist: dict[int, list[int]] = {}
+    for uid in first:
+        censored = uid not in first_p
+        obs = (first_p.get(uid, last[uid]) - first[uid]) // 3_600_000_000
+        n_tot, d = hist.setdefault(obs, [0, 0])
+        hist[obs][0] += 1
+        hist[obs][1] += 0 if censored else 1
+
+    expected = []
+    cum = 0
+    n_risk = sum(v[0] for v in hist.values())
+    for tt in sorted(hist):
+        n_tot, d = hist[tt]
+        if d > 0:
+            if d >= n_risk:
+                q = _LOG_FLOOR_Q6
+            else:
+                q = math.floor(math.log(1.0 - d / n_risk) * 1_000_000)
+            cum += q
+            expected.append((tt, n_risk, d, cum))
+        else:
+            pass
+        n_risk -= n_tot
+
+    got = sorted(tuple(r) for r in survival_kaplan_meier(spark, sf_oracle).collect())
+    assert [(a, b, c, d) for a, b, c, d, _s in got] == expected
+    for _t, _n, _d, cum_q, surv in got:
+        assert surv == round(math.exp(cum_q / 1_000_000), 6)
