@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import cosine, dot
+from ..functions import cosine, dot, l2_norm
 from ._oracle import inline_views
 
 IVF_K = 8
@@ -458,6 +458,87 @@ def _jl_oracle() -> str:
     )
 
 
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — the
+    evaluation harness a real ANN deployment ships with (an index you
+    can't measure is an index you can't trust).
+
+    Per query: |IVF top-k ∩ exact top-k| / k.  The exact side is the
+    ``vec_knn``-style linear scan over the same candidate set under
+    the same (ROUND(cos,6) DESC, cid) total order; the IVF side is the
+    production operator itself — so this measures the deployed plan,
+    not a reimplementation.  Output is one primitive row per query.
+
+    Scale: the exact side is the expensive half (linear in N per
+    query) — which is WHY it is an offline eval op on a sampled query
+    set, while the IVF side is the serving path.
+    """
+    ivf = ann_ivf_topk(spark, sf_dir).select("qid", "cid")
+    emb = _emb(spark, sf_dir).withColumn("nrm", l2_norm(F.col("emb")))
+    q = emb.where(F.col("vec_id") < 10).alias("q")
+    c = emb.where(F.col("vec_id") >= 10).alias("c")
+    cos = F.round(
+        dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    exact = (
+        q.crossJoin(c)
+        .select(
+            F.col("q.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+            ),
+        )
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "cid")
+    )
+    hits = exact.join(ivf, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b}))), 6)"
+    )
+    exact = (
+        "SELECT qid, cid FROM ("
+        "SELECT q.vec_id AS qid, c.vec_id AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        + cos.format(a="q.emb", b="c.emb")
+        + f" DESC, c.vec_id) AS rn "
+        "FROM v_emb q CROSS JOIN v_emb c "
+        "WHERE q.vec_id < 10 AND c.vec_id >= 10) t "
+        f"WHERE rn <= {TOP_K}"
+    )
+    return (
+        f"WITH ivf AS ({_ivf_oracle()}), exact AS ({exact}), "
+        "hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits "
+        "FROM exact e JOIN ivf ON e.qid = ivf.qid AND e.cid = ivf.cid "
+        "GROUP BY e.qid) "
+        "SELECT qid, COALESCE(n_hits, 0) AS n_hits, "
+        f"COALESCE(n_hits, 0) / {float(TOP_K)} AS recall "
+        "FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits USING (qid)"
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -465,6 +546,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "vec_norm_stats": vec_norm_stats,
     "vec_project_jl": vec_project_jl,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLES = {
@@ -474,4 +556,5 @@ ORACLES = {
     "ann_pq_topk": _pq_oracle(),
     "vec_norm_stats": _NORM_ORACLE,
     "vec_project_jl": _jl_oracle(),
+    "ann_recall_eval": inline_views(_recall_oracle()),
 }

@@ -73,6 +73,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "dedup_cluster_cc",
     "dedup_embedding_cosine",
     "ann_pq_topk",
+    "ann_recall_eval",
     "sketch_hll_estimate",
     "rollup_serve_monthly",
     "udf_zscore_pandas",
