@@ -480,3 +480,46 @@ ORACLES = {
     "ts_winsorized_mean": inline_views(_winsor_sql("quantile_cont")),
     "profile_chi2_independence": inline_views(_chi2_sql()),
 }
+
+
+_KANON_K = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    dataset release runs before publication: every combination of
+    quasi-identifier values must be shared by at least k individuals,
+    or the row is re-identifiable by linkage.
+
+    QI set: (c_nationkey, c_mktsegment) on customer.  Output: one row
+    per equivalence class with its size and k-compliance, plus the
+    re-identification risk of the class (1/size, the standard
+    prosecutor-model risk — an exact small-int reciprocal, identical
+    IEEE in both engines).
+
+    Scale: a single groupBy on the QI columns — partial counts combine
+    map-side; the audit never materializes individuals."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") >= _KANON_K).alias("meets_k"),
+            (F.lit(1.0) / F.col("class_size")).alias("reident_risk"),
+        )
+    )
+
+
+_KANON_ORACLE = (
+    "SELECT c_nationkey, c_mktsegment, "
+    "CAST(COUNT(*) AS BIGINT) AS class_size, "
+    f"COUNT(*) >= {_KANON_K} AS meets_k, "
+    "CAST(1.0 AS DOUBLE) / COUNT(*) AS reident_risk "
+    "FROM customer GROUP BY c_nationkey, c_mktsegment"
+)
+
+QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
+ORACLES["privacy_k_anonymity"] = _KANON_ORACLE

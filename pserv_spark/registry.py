@@ -84,6 +84,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "ab_welch_ztest",
     "ml_logit_newton",
     "survival_kaplan_meier",
+    "privacy_k_anonymity",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
