@@ -35,8 +35,10 @@ The DCF rounds ``corr`` to 4 digits, the same tolerance the validated
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from .. import catalog
 from ..catalog import load_tables
 from ._oracle import inline_views
 
@@ -767,3 +769,77 @@ ORACLES = {
     "win_gap_islands": inline_views(_islands_sql()),
     "ts_runs_test": inline_views(_runs_test_sql().replace("percentile(", "quantile_cont(")),
 }
+
+
+_KLEENE_WINDOW_US = 7 * 86_400_000_000
+
+
+def seq_kleene_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a Kleene star: ``signup click* purchase``
+    — a purchase matches iff the latest preceding signup is within 7
+    days and EVERY event strictly between them is a click (the strict
+    micro-funnel: no competing activity allowed inside the pattern).
+
+    Engine shape (one window exchange, no event×event join): per user
+    in (ts, id) order, carry three running columns — the last signup's
+    timestamp, the non-click cumulative count at that signup, and its
+    row number.  A purchase row then decides the ENTIRE pattern from
+    arithmetic on its own carried values: zero non-click events in the
+    gap ⇔ (cum_nonclick − 1) == cum_at_signup, and the click count is
+    the row-number gap.  This is the §4.3-style "turn a pattern join
+    into per-partition running state" rewrite that survives 100 TB.
+
+    The oracle replays it declaratively (latest-signup max + correlated
+    NOT-EXISTS/COUNT between) — clearer, quadratic, oracle-only.
+    """
+    ev = catalog.v_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_signup = F.col("event_type") == "signup"
+    cum_nonclick = F.sum(
+        F.when(F.col("event_type") != "click", 1).otherwise(0)
+    ).over(w)
+    rn = F.row_number().over(w)
+    base = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        cum_nonclick.alias("cum_nc"), rn.alias("rn"),
+    )
+    carried = base.select(
+        "*",
+        F.last(F.when(is_signup, F.col("ts_us")), ignorenulls=True).over(w).alias("sig_us"),
+        F.last(F.when(is_signup, F.col("cum_nc")), ignorenulls=True).over(w).alias("sig_cum"),
+        F.last(F.when(is_signup, F.col("rn")), ignorenulls=True).over(w).alias("sig_rn"),
+    )
+    return (
+        carried.where(
+            (F.col("event_type") == "purchase")
+            & F.col("sig_us").isNotNull()
+            & (F.col("ts_us") - F.col("sig_us") <= _KLEENE_WINDOW_US)
+            & (F.col("cum_nc") - 1 == F.col("sig_cum"))
+        )
+        .select(
+            "user_id",
+            F.col("sig_us").alias("signup_us"),
+            F.col("ts_us").alias("purchase_us"),
+            (F.col("rn") - F.col("sig_rn") - 1).cast("long").alias("n_clicks"),
+        )
+    )
+
+
+_KLEENE_ORACLE = inline_views(
+    "WITH p AS (SELECT user_id, event_id, ts_us FROM v_events WHERE event_type = 'purchase'), "
+    "s AS (SELECT user_id, ts_us FROM v_events WHERE event_type = 'signup'), "
+    "m AS (SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, "
+    "  (SELECT MAX(s.ts_us) FROM s WHERE s.user_id = p.user_id AND s.ts_us <= p.ts_us) AS signup_us "
+    "  FROM p) "
+    "SELECT m.user_id, m.signup_us, m.purchase_us, "
+    "  CAST((SELECT COUNT(*) FROM v_events e WHERE e.user_id = m.user_id "
+    "    AND e.ts_us > m.signup_us AND e.ts_us < m.purchase_us) AS BIGINT) AS n_clicks "
+    "FROM m WHERE m.signup_us IS NOT NULL "
+    f"AND m.purchase_us - m.signup_us <= {_KLEENE_WINDOW_US} "
+    "AND NOT EXISTS (SELECT 1 FROM v_events e WHERE e.user_id = m.user_id "
+    "  AND e.ts_us > m.signup_us AND e.ts_us < m.purchase_us "
+    "  AND e.event_type <> 'click')"
+)
+
+QUERIES["seq_kleene_funnel"] = seq_kleene_funnel
+ORACLES["seq_kleene_funnel"] = _KLEENE_ORACLE

@@ -85,6 +85,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "ml_logit_newton",
     "survival_kaplan_meier",
     "privacy_k_anonymity",
+    "seq_kleene_funnel",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
