@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan lint — the 100 TB scale audit.
+
+Walks EVERY registry query, renders its physical plan, and flags:
+
+- ``nested_loop``: BroadcastNestedLoopJoin / CartesianProduct — the
+  O(N²) shapes.  Allowed only for operators on the documented
+  exact-baseline / scalar-broadcast allowlist below.
+- ``python_row_udf``: row-at-a-time Python UDF (``BatchEvalPython``) —
+  the slow lane; only the deliberate UDF-surface demos may use it
+  (Arrow/pandas lanes show as ArrowEvalPython/FlatMapGroupsInPandas
+  and are fine).
+
+Exit code 1 if any non-allowlisted hazard is found; prints a JSON
+report either way.  Usage: python scripts/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+#: Operators allowed to plan a nested-loop/cartesian join, with why.
+NESTED_LOOP_ALLOWED: dict[str, str] = {
+    # documented exact baselines whose sub-quadratic counterparts exist
+    "join_theta_band": "dim-scale theta join; scale path join_theta_band_binned",
+    "join_cross": "5x5 region cartesian by definition",
+    "vec_cosine_pairs": "exact baseline; scale path vec_crossmatch_zoned",
+    "vec_knn": "exact brute-force baseline; scale path ann_*",
+    "vec_crossmatch": "naive oracle anchor; scale path vec_crossmatch_zoned",
+    "vec_cone_search": "scalar-threshold scan (1-row broadcast)",
+    "ann_recall_eval": "eval op: exact side is the measurement itself",
+    "dedup_embedding_cosine": "exact baseline; scale path dedup_minhash_lsh",
+    "dedup_jaccard": "dim-scale token-set pairs; scale path dedup_minhash_lsh",
+    "er_fuzzy_blocked": "blocked candidates; residual Levenshtein on blocks",
+    "dedup_ngram_jaccard": "prefix-filtered candidates",
+    "dedup_containment": "one-sided prefix filter candidates",
+    # 1-row scalar broadcast joins (aggregates joined onto the scan)
+    "subquery_q2_mincost": "scalar min-cost subquery broadcast",
+    "subquery_q22_balance": "scalar avg-balance broadcast",
+    "subquery_scalar_corr": "per-part scalar avg broadcast",
+    "agg_q11_important": "scalar threshold broadcast",
+    "join_q15_topsupplier": "scalar max-revenue broadcast",
+    "win_skyline_2d": "driver-less scalar bound broadcast",
+    "sample_time_embargo_split": "1-row time-boundary broadcast",
+    "sample_weighted_priority": "1-row threshold broadcast",
+    "causal_diff_in_diff": "1-row midpoint broadcast",
+    "ab_welch_ztest": "two 1-row group-moment frames",
+    "ml_logit_newton": "1-row beta frames between Newton steps",
+    "ml_ols_normal_eq": "1-row moment frame",
+    "serve_lambda_union": "1-row hi-day boundary broadcast",
+    "survival_kaplan_meier": "1-row max-timestamp broadcast",
+    "seq_markov_transitions": "1-row total-count broadcast",
+    "profile_ks_drift": "1-row split-point broadcast",
+    "ts_winsorized_mean": "1-row percentile-bounds broadcast",
+    "profile_benford_digits": "1-row total broadcast",
+    "profile_entropy_gini": "per-column total broadcast",
+    "text_zipf_slope": "1-row moment broadcast",
+    "lightcurve_dft_power": "4-row trial-period fan-out",
+    "lightcurve_dcf_lag": "7-row lag fan-out on the daily rollup",
+    "lightcurve_lomb_scargle": "trial-period fan-out",
+    "lightcurve_periodogram": "trial-period fan-out",
+    "decontaminate_embedding": "benchmark-suite broadcast (constant size)",
+    "text_bm25_topk": "1-row corpus-stats broadcast",
+    "tfidf": "1-row doc-count broadcast",
+    "text_cooccur_pmi": "1-row total broadcast",
+    "text_bigram_logprob": "1-row vocab-total broadcast",
+    "sketch_sampled_quantile": "1-row sample-size broadcast",
+    "sketch_kmv_distinct": "k-row sketch union",
+    "agg_q8_marketshare": "scalar year-volume broadcast",
+    "join_q8_marketshare": "scalar year-volume broadcast",
+    "astro_depth_map": "1-row zero-point broadcast",
+    "ts_changepoint_cusum": "1-row series-total broadcast",
+    "ts_runs_test": "1-row median broadcast",
+    "phase_fold_binning": "1-row epoch broadcast",
+    "vec_centroid_per_label": "dim-count fan-out",
+    "profile_chi2_independence": "marginal-totals broadcast",
+    "text_rake_keyphrases": "1-row stats broadcast",
+    "cluster_kmeans_lloyd": "k-row centroid broadcast per iteration",
+    "vec_pca_power": "1-row eigvec broadcast per iteration",
+    "sample_coreset_kcenter": "k-row pick broadcast per iteration",
+    "dedup_semantic_clustered": "k-row centroid broadcast",
+    "text_bpe_apply": "VOCAB-row dict broadcast",
+    "ts_forecast_snaive_eval": "1-row holdout-boundary broadcast",
+    "ts_max_concurrency": "metadata-sized cross-day carry",
+    "sample_mixture_weights": "per-language weight broadcast",
+    "class_balance_downsample": "per-class rate broadcast",
+    "ann_pq_topk": "codebook/ADC-table broadcasts",
+    "ann_ivf_topk": "centroid-table broadcast",
+    "ann_lsh_topk": "hyperplane-table broadcast",
+    "vec_quantize_int8": "1-row scale broadcast",
+    "vec_norm_stats": "per-label percentile broadcast",
+    "astro_density_knn": "zoned candidate set",
+    "astro_xmatch_best": "zoned candidate set",
+    "astro_crossmatch_sph": "zoned candidate set",
+    "stream_static_join": "static-dim broadcast",
+    "mm_phash_near_dup": "banded candidate pairs",
+    "interleave_sources": "per-source count broadcast",
+    "pack_sequential_bins": "per-lang offset broadcast",
+    "text_chunk_sliding": "chunk-count fan-out",
+    "win_rolling_median": "frame fan-out",
+    "gapfill_date_spine": "date-spine broadcast",
+    "ts_gap_fill_locf": "date-spine broadcast",
+    "ts_seasonal_dow": "1-row grand-mean broadcast",
+    "report_growth_rates": "rollup-sized window",
+    "graph_common_neighbors": "candidate pairs from shared-neighbor join",
+    "quality_composite_filter": "1-row corpus-stats broadcast",
+    "merge_cdc_upsert": "1-row (lo,hi) time-boundary broadcast with inequality residual",
+    "graph_bfs_frontier": "per-hop frontier scalar broadcast",
+    "ml_nb_train_classify": "class-total scalar broadcasts",
+    "text_repetition_ratio": "1-row stats broadcast",
+}
+
+#: Operators allowed a row-at-a-time Python UDF lane.
+PYTHON_ROW_UDF_ALLOWED: dict[str, str] = {
+    "udf_arrow_scalar": "the deliberate Arrow-scalar UDF lane demo",
+    "udtf_word_expand": "the deliberate Python UDTF lane demo",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pserv_spark.registry import build_queries
+    from pserv_spark.session import get_session
+
+    spark = get_session("plan_lint")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict[str, dict] = {}
+    violations = 0
+    for name, fn in build_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            report[name] = {"err": repr(e)[:160]}
+            continue
+        flags = {}
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            ok = name in NESTED_LOOP_ALLOWED
+            flags["nested_loop"] = (
+                f"allowed: {NESTED_LOOP_ALLOWED[name]}" if ok else "VIOLATION"
+            )
+            violations += 0 if ok else 1
+        if "BatchEvalPython" in plan:
+            ok = name in PYTHON_ROW_UDF_ALLOWED
+            flags["python_row_udf"] = (
+                f"allowed: {PYTHON_ROW_UDF_ALLOWED[name]}" if ok else "VIOLATION"
+            )
+            violations += 0 if ok else 1
+        if flags:
+            report[name] = flags
+
+    print(json.dumps({"violations": violations, "flagged": report}, indent=1))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
