@@ -42,6 +42,7 @@ def _load() -> None:
         "search_ops",
         "tokenize_ops",
         "survival_ops",
+        "interval_ops",
         "ml_ops",
     ):
         # Import errors must be LOUD: a silently-skipped module shrinks

@@ -86,6 +86,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "survival_kaplan_meier",
     "privacy_k_anonymity",
     "seq_kleene_funnel",
+    "join_interval_overlap",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

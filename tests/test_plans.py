@@ -344,3 +344,15 @@ def test_bpe_apply_broadcasts_the_dictionary(spark, sf_oracle):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert not has_nested_loop(df)
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark, sf_oracle):
+    """The range x range overlap join must plan as an equi-join on the
+    time bucket with the overlap predicate residual — never a
+    nested-loop theta join (its oracle is the quadratic form)."""
+    from pserv_spark.operators.interval_ops import join_interval_overlap
+
+    df = join_interval_overlap(spark, sf_oracle)
+    assert not has_nested_loop(df)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
