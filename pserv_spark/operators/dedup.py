@@ -728,7 +728,100 @@ _KEEPER_ORACLE = (
 )
 
 
+
+
+_LSH_EVAL_DOCS = 600  # eval slice: exact truth is quadratic by design
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stage recall/precision of the banded MinHash LSH
+    against exact Jaccard ground truth — the index-quality measurement
+    every dedup deployment needs (the ``ann_recall_eval`` of the text
+    side): recall = how many truly-similar pairs the bands surface,
+    precision = what fraction of surfaced candidates verify.
+
+    Ground truth is the exact all-pairs Jaccard ≥ τ set over a bounded
+    doc slice (quadratic BY DESIGN — it is the measurement, run
+    offline on a sample; the banded index remains the serving path).
+    Both sides use the identical shingle/threshold definitions as
+    ``dedup_minhash_lsh``, so this measures the deployed band scheme.
+    Output: one primitive row (counts + exact-ratio metrics).
+    """
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _LSH_EVAL_DOCS)
+    sig = _minhash_signature(docs)
+    band_cols = [
+        F.md5(
+            F.concat(F.lit(f"b{b}"), F.col(f"h{2 * b - 1}"), F.col(f"h{2 * b}"))
+        ).alias(f"band{b}")
+        for b in range(1, MINHASH_BANDS + 1)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    ts = docs.select("doc_id", token_shingles("text").alias("ts"))
+    jac = jaccard(F.col("t1.ts"), F.col("t2.ts"))
+    truth = (
+        ts.alias("t1")
+        .crossJoin(ts.alias("t2"))
+        .where(F.col("t1.doc_id") < F.col("t2.doc_id"))
+        .where(jac >= MINHASH_JACCARD)
+        .select(
+            F.col("t1.doc_id").alias("d1"), F.col("t2.doc_id").alias("d2")
+        )
+    )
+    hits = truth.join(cand, ["d1", "d2"])
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hits = hits.count()
+    row = [(int(n_truth), int(n_cand), int(n_hits),
+            float(n_hits) / n_truth if n_truth else 1.0,
+            float(n_hits) / n_cand if n_cand else 1.0)]
+    return spark.createDataFrame(
+        row,
+        "n_truth long, n_candidates long, n_hits long, recall double, precision double",
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(md5(CONCAT('mh{i}', w))) AS h{i}" for i in range(1, MINHASH_K + 1)
+    )
+    bands = ", ".join(
+        f"md5(CONCAT('b{b}', h{2 * b - 1}, h{2 * b}))" for b in range(1, MINHASH_BANDS + 1)
+    )
+    sh = duck_token_shingles()
+    jac = (
+        "CAST(len(list_intersect(t1.ts, t2.ts)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(t1.ts, t2.ts)))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_LSH_EVAL_DOCS}), "
+        f"tok AS (SELECT doc_id, unnest({sh}) AS w FROM d), "
+        f"sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b "
+        "ON a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        f"ts AS (SELECT doc_id, {sh} AS ts FROM d), "
+        "truth AS (SELECT t1.doc_id AS d1, t2.doc_id AS d2 FROM ts t1 JOIN ts t2 "
+        f"ON t1.doc_id < t2.doc_id WHERE {jac} >= {MINHASH_JACCARD}), "
+        "hits AS (SELECT * FROM truth JOIN cand USING (d1, d2)), "
+        "c AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth, "
+        "CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates, "
+        "CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits) "
+        "SELECT n_truth, n_candidates, n_hits, "
+        "CASE WHEN n_truth = 0 THEN 1.0 ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall, "
+        "CASE WHEN n_candidates = 0 THEN 1.0 ELSE CAST(n_hits AS DOUBLE) / n_candidates END AS precision "
+        "FROM c"
+    )
+
+
 QUERIES = {
+    "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -742,6 +835,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_eval": _lsh_eval_oracle(),
     "dedup_fingerprint": _FP_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),

@@ -87,6 +87,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "privacy_k_anonymity",
     "seq_kleene_funnel",
     "join_interval_overlap",
+    "dedup_lsh_eval",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
