@@ -110,6 +110,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "merge_cdc_upsert": "1-row (lo,hi) time-boundary broadcast with inequality residual",
     "graph_bfs_frontier": "per-hop frontier scalar broadcast",
     "ml_nb_train_classify": "class-total scalar broadcasts",
+    "dedup_lsh_eval": "eval op: exact all-pairs truth IS the measurement",
+    "seq_kleene_funnel": "window-only plan; no joins expected (listed defensively)",
     "text_repetition_ratio": "1-row stats broadcast",
 }
 
