@@ -205,12 +205,64 @@ def _apply_oracle() -> str:
     return "WITH " + ", ".join(f"{n} AS ({q})" for n, q in ctes) + " " + body
 
 
+
+
+def text_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage of the learned BPE dict per language — the
+    tokenizer-health readout that decides whether a mixture needs
+    retraining: per language, how many word occurrences hit the
+    learned dictionary vs fall back to character-level (OOV).
+
+    One corpus scan + the same broadcast dict as ``text_bpe_apply``;
+    the OOV rate is an exact small-int quotient."""
+    _merges, ntok = _train(sf_dir)
+    dict_df = F.broadcast(spark.createDataFrame(list(ntok), "w string, nt int"))
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w").rlike(_WORD_RE) & F.length("w").between(2, 12))
+    return (
+        words.join(dict_df, "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.col("nt").isNull().cast("long")).cast("long").alias("n_oov"),
+            (
+                F.sum(F.col("nt").isNull().cast("long")).cast("double")
+                / F.count("*")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def _coverage_oracle() -> str:
+    ctes = _oracle_ctes()
+    ctes.append(("dict", f"SELECT w FROM v{K_MERGES}"))
+    ctes.append(
+        (
+            "dw",
+            "SELECT lang, w FROM (SELECT lang, "
+            "unnest(string_split(lower(text), ' ')) AS w FROM documents) "
+            f"WHERE regexp_matches(w, '{_WORD_RE}') AND len(w) BETWEEN 2 AND 12",
+        )
+    )
+    body = (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(CASE WHEN dict.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+        "CAST(SUM(CASE WHEN dict.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate "
+        "FROM dw LEFT JOIN dict ON dw.w = dict.w GROUP BY lang"
+    )
+    return "WITH " + ", ".join(f"{n} AS ({q})" for n, q in ctes) + " " + body
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_apply": text_bpe_apply,
+    "text_bpe_vocab_coverage": text_bpe_vocab_coverage,
 }
 
 ORACLES = {
     "text_bpe_train": _train_oracle(),
     "text_bpe_apply": _apply_oracle(),
+    "text_bpe_vocab_coverage": _coverage_oracle(),
 }

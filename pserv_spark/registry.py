@@ -88,6 +88,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "seq_kleene_funnel",
     "join_interval_overlap",
     "dedup_lsh_eval",
+    "text_bpe_vocab_coverage",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
