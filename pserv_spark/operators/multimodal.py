@@ -444,10 +444,118 @@ _SCENE_CUT_ORACLE = (
 )
 
 
+
+
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse keyframe selection — 3 greedy k-center picks per asset
+    on the per-frame intensity feature (thumbnail/preview selection,
+    and the dedup-before-embed frame subsampling step of a video
+    pipeline).  Pick 1 = brightest frame; each next pick maximizes the
+    minimum feature distance to the already-picked set; all ties break
+    on the lowest frame index, so selection is a total order.
+
+    The frame features come through the same Arrow-batched
+    ``mapInPandas`` lane as ``mm_scene_cuts``; the greedy selection
+    itself is fully declarative — three per-asset window argmaxes, no
+    iteration state outside the plan.  At scale each asset's frames
+    are one partition's rows; nothing global ever sorts."""
+    assets = _assets(spark, sf_dir)
+
+    def lumas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            od, oi, ol = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = decode_stub(bytes(payload))
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(n_frames):
+                    od.append(doc_id)
+                    oi.append(i)
+                    ol.append(sum(data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]))
+            yield pd.DataFrame({"doc_id": od, "frame_idx": oi, "luma": ol})
+
+    fr = assets.mapInPandas(lumas, "doc_id long, frame_idx long, luma long")
+
+    def _argmax(df: DataFrame, order_col, out_prefix: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(order_col.desc(), "frame_idx")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.col("frame_idx").alias(f"{out_prefix}_idx"),
+                F.col("luma").alias(f"{out_prefix}_luma"),
+            )
+        )
+
+    p1 = _argmax(fr, F.col("luma"), "p1")
+    c2 = fr.join(p1, "doc_id").where(F.col("frame_idx") != F.col("p1_idx"))
+    p2 = _argmax(
+        c2.withColumn("d", F.abs(F.col("luma") - F.col("p1_luma"))), F.col("d"), "p2"
+    )
+    c3 = (
+        fr.join(p1, "doc_id")
+        .join(p2, "doc_id")
+        .where(
+            (F.col("frame_idx") != F.col("p1_idx"))
+            & (F.col("frame_idx") != F.col("p2_idx"))
+        )
+        .withColumn(
+            "d",
+            F.least(
+                F.abs(F.col("luma") - F.col("p1_luma")),
+                F.abs(F.col("luma") - F.col("p2_luma")),
+            ),
+        )
+    )
+    p3 = _argmax(c3, F.col("d"), "p3")
+    out = None
+    for rank, p, pref in ((1, p1, "p1"), (2, p2, "p2"), (3, p3, "p3")):
+        sel = p.select(
+            "doc_id",
+            F.lit(rank).alias("pick_rank"),
+            F.col(f"{pref}_idx").alias("frame_idx"),
+            F.col(f"{pref}_luma").alias("luma"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+_FRAMES_CTE = (
+    "idx AS (SELECT doc_id, text, "
+    f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
+    "AS frame_idx FROM documents), "
+    "fr AS (SELECT doc_id, frame_idx, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "
+    f"j -> CAST(ascii(substr(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), j, 1)) AS BIGINT))), "
+    "(a, b) -> a + b) AS luma FROM idx)"
+)
+
+_KEYFRAME_ORACLE = (
+    "WITH " + _FRAMES_CTE + ", "
+    "p1 AS (SELECT doc_id, frame_idx AS i1, luma AS l1 FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY luma DESC, frame_idx) AS rn "
+    "FROM fr) t WHERE rn = 1), "
+    "p2 AS (SELECT doc_id, frame_idx AS i2, luma AS l2 FROM ("
+    "SELECT fr.*, ROW_NUMBER() OVER (PARTITION BY fr.doc_id "
+    "ORDER BY ABS(fr.luma - p1.l1) DESC, fr.frame_idx) AS rn "
+    "FROM fr JOIN p1 USING (doc_id) WHERE fr.frame_idx != p1.i1) t WHERE rn = 1), "
+    "p3 AS (SELECT doc_id, frame_idx AS i3, luma AS l3 FROM ("
+    "SELECT fr.*, ROW_NUMBER() OVER (PARTITION BY fr.doc_id "
+    "ORDER BY LEAST(ABS(fr.luma - p1.l1), ABS(fr.luma - p2.l2)) DESC, fr.frame_idx) AS rn "
+    "FROM fr JOIN p1 USING (doc_id) JOIN p2 USING (doc_id) "
+    "WHERE fr.frame_idx != p1.i1 AND fr.frame_idx != p2.i2) t WHERE rn = 1) "
+    "SELECT doc_id, 1 AS pick_rank, i1 AS frame_idx, l1 AS luma FROM p1 "
+    "UNION ALL SELECT doc_id, 2, i2, l2 FROM p2 "
+    "UNION ALL SELECT doc_id, 3, i3, l3 FROM p3"
+)
+
+
 QUERIES = {
     "mm_audio_resample_meta": mm_audio_resample_meta,
     "mm_phash_near_dup": mm_phash_near_dup,
     "mm_scene_cuts": mm_scene_cuts,
+    "mm_keyframe_select": mm_keyframe_select,
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_embed": mm_feature_embed,
@@ -458,6 +566,7 @@ ORACLES = {
     "mm_audio_resample_meta": _AUDIO_RESAMPLE_ORACLE,
     "mm_phash_near_dup": _PHASH_ORACLE,
     "mm_scene_cuts": _SCENE_CUT_ORACLE,
+    "mm_keyframe_select": _KEYFRAME_ORACLE,
     "mm_decode_meta": _DECODE_META_ORACLE,
     "mm_frame_sample": _FRAME_SAMPLE_ORACLE,
     "mm_feature_embed": _FEATURE_EMBED_ORACLE,

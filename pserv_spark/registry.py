@@ -89,6 +89,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "join_interval_overlap",
     "dedup_lsh_eval",
     "text_bpe_vocab_coverage",
+    "mm_keyframe_select",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
