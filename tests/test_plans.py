@@ -356,3 +356,42 @@ def test_interval_overlap_is_bucketed_equi_join(spark, sf_oracle):
     assert not has_nested_loop(df)
     plan = _plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # window-pattern queries: all windows share one (user) partitioning
+        ("sessionize", 1),
+        # single keyed aggregation: partial -> 1 exchange -> final
+        ("window_tumbling", 1),
+        ("dedup_exact", 1),
+        ("agg_percentile", 1),
+        # explode + two-level aggregation
+        ("fn_explode_wordcount", 2),
+    ],
+)
+def test_flagship_exchange_budget(spark, sf_oracle, name, max_exchanges):
+    """Remaining flagship queries: pin the shuffle budget — every
+    exchange is a full-data network pass at 100 TB, so the count IS
+    the scale property."""
+    from pserv_spark.registry import build_queries
+
+    df = build_queries()[name](spark, sf_oracle)
+    assert not has_nested_loop(df)
+    n = exchange_count(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})"
+
+
+@pytest.mark.parametrize("name", ["join_left_outer", "join_asof"])
+def test_flagship_joins_are_hash_or_merge(spark, sf_oracle, name):
+    from pserv_spark.registry import build_queries
+
+    df = build_queries()[name](spark, sf_oracle)
+    assert not has_nested_loop(df)
+    plan = _plan(df)
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
