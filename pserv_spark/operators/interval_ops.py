@@ -61,7 +61,9 @@ def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_interval_overlap(
+    spark: SparkSession, sf_dir: str, *, bucket_us: int = _BUCKET_US
+) -> DataFrame:
     sess = _sessions(spark, sf_dir)
     a = sess.where(F.col("user_id") % 2 == 0).select(
         F.col("user_id").alias("a_user"),
@@ -81,7 +83,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(s) / _BUCKET_US), F.floor(F.col(e) / _BUCKET_US)
+                    F.floor(F.col(s) / bucket_us), F.floor(F.col(e) / bucket_us)
                 )
             ),
         )
@@ -94,7 +96,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep it once via the canonical bucket of its overlap start
         .where(
             F.col("bucket")
-            == F.floor(F.greatest("a_s", "b_s") / _BUCKET_US)
+            == F.floor(F.greatest("a_s", "b_s") / bucket_us)
         )
     )
     return cand.select(

@@ -145,3 +145,31 @@ def test_containment_prefix_filter_lossless_for_random_threshold(
         if a != b and len(sa) < len(sb) and len(sa & sb) / len(sa) >= t
     }
     assert got == want, f"t={t}"
+
+
+@given(bucket_hours=st.integers(min_value=1, max_value=48))
+@settings(**_SETTINGS)
+def test_interval_overlap_bucketing_lossless_for_any_width(
+    spark, sf_smoke, bucket_hours
+):
+    """The bucketed candidate generation of the interval-overlap join
+    must be lossless for ANY bucket width: the pair set always equals
+    the in-Python quadratic over the same session intervals."""
+    from pserv_spark.operators.interval_ops import _sessions, join_interval_overlap
+
+    got = sorted(
+        tuple(r)
+        for r in join_interval_overlap(
+            spark, sf_smoke, bucket_us=bucket_hours * 3_600_000_000
+        ).collect()
+    )
+    sess = [tuple(r) for r in _sessions(spark, sf_smoke).collect()]
+    a = [r for r in sess if r[0] % 2 == 0]
+    b = [r for r in sess if r[0] % 2 == 1]
+    want = sorted(
+        (au, asess, bu, bsess, min(ae, be) - max(as_, bs))
+        for au, asess, as_, ae in a
+        for bu, bsess, bs, be in b
+        if as_ <= be and bs <= ae
+    )
+    assert got == want
