@@ -527,7 +527,47 @@ _SCHEMA_EVO_ORACLE = (
 )
 
 
+
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the third columnar container Spark ships
+    natively (Parquet, ORC; spark-avro's DataSource module is NOT in
+    this container — probed round 2, only the avro core jars ship, so
+    Avro is documented-unavailable like transformWithStateInPandas).
+
+    events sample → ORC store (keyed persistent fixture) → scan with a
+    pushed predicate → exact per-type aggregation; the oracle computes
+    the same aggregate from the original parquet, proving the ORC hop
+    is lossless.  µs timestamps travel as BIGINT — integer-exact in
+    every container."""
+    orc_dir = _fixture_dir(sf_dir, "ingest_orc")
+    if not os.path.isdir(orc_dir):
+        staging = f"{orc_dir}.tmp.{os.getpid()}"
+        (
+            catalog.v_events(spark, sf_dir)
+            .where(F.col("event_id") < 5000)
+            .select("event_id", "user_id", "ts_us", "event_type", "value")
+            .write.mode("overwrite")
+            .orc(staging)
+        )
+        os.replace(staging, orc_dir)
+    loaded = spark.read.orc(orc_dir).where(F.col("user_id") % 3 == 0)
+    return loaded.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("cents"),
+        F.max("ts_us").cast("long").alias("max_ts_us"),
+    )
+
+
+_ORC_ORACLE = inline_views(
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents, "
+    "CAST(MAX(ts_us) AS BIGINT) AS max_ts_us "
+    "FROM v_events WHERE event_id < 5000 AND user_id % 3 = 0 "
+    "GROUP BY event_type"
+)
+
 QUERIES = {
+    "ingest_orc_roundtrip": ingest_orc_roundtrip,
     "ingest_csv_roundtrip": ingest_csv_roundtrip,
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
     "ingest_pk_dedup_layout": ingest_pk_dedup_layout,
@@ -538,6 +578,7 @@ QUERIES = {
     "stream_fitslike_tail": stream_fitslike_tail,
 }
 ORACLES = {
+    "ingest_orc_roundtrip": _ORC_ORACLE,
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,
     "ingest_pk_dedup_layout": inline_views(_PK_LAYOUT_ORACLE),

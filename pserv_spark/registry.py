@@ -90,6 +90,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "dedup_lsh_eval",
     "text_bpe_vocab_coverage",
     "mm_keyframe_select",
+    "ingest_orc_roundtrip",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
