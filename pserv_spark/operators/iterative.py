@@ -560,7 +560,113 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_degree_dist_sql("STRING"))
 
 
+
+_SIL_N = 200  # eval slice — the quadratic part is the measurement
+
+
+def ml_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette score of the k-means clustering — the clustering-
+    quality eval completing the measurement triad (ANN recall, LSH
+    dedup precision/recall, cluster cohesion/separation): per point,
+    s = (b − a) / max(a, b) with a = mean distance to own cluster and
+    b = the nearest other cluster's mean distance; reported per
+    cluster.
+
+    Determinism: per-pair Euclidean distances are identical doubles in
+    both engines (sequential-fold dot, IEEE-exact sqrt), then
+    FLOOR-quantized to 1e-6 units so every mean is an exact integer
+    quotient; per-point s is likewise quantized before the cluster
+    mean (§4.5).  Quadratic on a bounded sample BY DESIGN — offline
+    eval, while the assignments come from the deployed operator.
+    """
+    asg = cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    emb = catalog.v_emb(spark, sf_dir).where(F.col("vec_id") < _SIL_N)
+    pts = emb.join(asg, "vec_id").select("vec_id", "emb", "cluster")
+    i = pts.select(
+        F.col("vec_id").alias("i"), F.col("emb").alias("iv"),
+        F.col("cluster").alias("ic"),
+    )
+    j = pts.select(
+        F.col("vec_id").alias("j"), F.col("emb").alias("jv"),
+        F.col("cluster").alias("jc"),
+    )
+    diff = F.zip_with("iv", "jv", lambda a, b: (a - b) * (a - b))
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    pair = (
+        i.crossJoin(j)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i", "ic", "jc",
+            F.floor(dist * 1_000_000).cast("long").alias("d_q6"),
+        )
+    )
+    per_grp = pair.groupBy("i", "ic", "jc").agg(
+        (F.sum("d_q6").cast("double") / F.count("*") / 1_000_000).alias("mean_d")
+    )
+    a = per_grp.where(F.col("ic") == F.col("jc")).select(
+        "i", F.col("ic").alias("cluster"), F.col("mean_d").alias("a")
+    )
+    b = (
+        per_grp.where(F.col("ic") != F.col("jc"))
+        .groupBy("i")
+        .agg(F.min("mean_d").alias("b"))
+    )
+    s_q6 = F.floor(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b") * 1_000_000
+    ).cast("long")
+    sil = a.join(b, "i").select("i", "cluster", s_q6.alias("s_q6"))
+    return sil.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        (F.sum("s_q6").cast("double") / F.count("*") / 1_000_000).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+def _silhouette_oracle() -> str:
+    ctes = [
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid, "
+        f"emb AS cvec FROM (SELECT vec_id, emb FROM v_emb ORDER BY vec_id LIMIT {_K}) q)"
+    ]
+    for it in range(_ITERS):
+        ctes.append(_duck_assign(f"a{it}", f"c{it}"))
+        ctes.append(_duck_update(f"c{it + 1}", f"a{it}"))
+    ctes.append(_duck_assign("afinal", f"c{_ITERS}"))
+    fold = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_DIM}), "
+        "n -> (pi.emb[n] - pj.emb[n]) * (pi.emb[n] - pj.emb[n]))), "
+        "(x, y) -> x + y))"
+    )
+    ctes.append(
+        f"pts AS (SELECT e.vec_id, e.emb, a.cid AS cluster FROM v_emb e "
+        f"JOIN afinal a USING (vec_id) WHERE e.vec_id < {_SIL_N})"
+    )
+    ctes.append(
+        "pair AS (SELECT pi.vec_id AS i, pi.cluster AS ic, pj.cluster AS jc, "
+        f"CAST(FLOOR({fold} * 1000000) AS BIGINT) AS d_q6 "
+        "FROM pts pi CROSS JOIN pts pj WHERE pi.vec_id != pj.vec_id)"
+    )
+    ctes.append(
+        "pg AS (SELECT i, ic, jc, CAST(SUM(d_q6) AS DOUBLE) / COUNT(*) / 1000000 "
+        "AS mean_d FROM pair GROUP BY i, ic, jc)"
+    )
+    ctes.append("aa AS (SELECT i, ic AS cluster, mean_d AS a FROM pg WHERE ic = jc)")
+    ctes.append("bb AS (SELECT i, MIN(mean_d) AS b FROM pg WHERE ic != jc GROUP BY i)")
+    ctes.append(
+        "sil AS (SELECT aa.i, aa.cluster, CAST(FLOOR((bb.b - aa.a) / "
+        "GREATEST(aa.a, bb.b) * 1000000) AS BIGINT) AS s_q6 "
+        "FROM aa JOIN bb ON aa.i = bb.i)"
+    )
+    return inline_views(
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pts, "
+        "CAST(SUM(s_q6) AS DOUBLE) / COUNT(*) / 1000000 AS mean_silhouette "
+        "FROM sil GROUP BY cluster"
+    )
+
 QUERIES = {
+    "ml_silhouette_eval": ml_silhouette_eval,
     "cluster_kmeans_lloyd": cluster_kmeans_lloyd,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
@@ -573,6 +679,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_silhouette_eval": _silhouette_oracle(),
     "cluster_kmeans_lloyd": _kmeans_oracle(),
     "graph_triangle_count": _TRIANGLE_ORACLE,
     "graph_pagerank": _pagerank_oracle(),

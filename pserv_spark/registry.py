@@ -91,6 +91,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "text_bpe_vocab_coverage",
     "mm_keyframe_select",
     "ingest_orc_roundtrip",
+    "ml_silhouette_eval",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
