@@ -726,7 +726,104 @@ _TIMETRAVEL_ORACLE = (
 )
 
 
+
+_BLOOM_M = 131_072  # bits per file (16 KiB) — sized for ~10k keys/file
+_BLOOM_KEY = 41     # the point-lookup customer
+
+
+def layout_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER data skipping for point lookups on a
+    column the layout is NOT organized by — the mechanism Parquet
+    bloom filters / Delta bloom indexes provide, complementing
+    ``layout_zonemap_prune``: min/max stats only skip when the file
+    range excludes the predicate, which never happens for a hashed
+    key; a bloom bitset per file skips on MEMBERSHIP instead.
+
+    (1) hash-layout orders into 16 files keyed by o_orderkey (so
+    custkey lookups get no help from ordering); (2) one aggregated
+    scan builds a per-file bitset manifest — 3 md5-anchored bit
+    positions per key, the ``sketch_bloom_prune`` family; (3) a point
+    lookup computes its 3 bits driver-side and reads only files whose
+    bitset contains ALL of them (no false negatives by construction —
+    every file containing the key set its bits), with the exact
+    predicate kept as a residual.  The oracle is the plain global
+    filter; tests assert files were actually skipped.
+    """
+    import hashlib as _hl
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pserv_bloomskip_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    manifest_path = os.path.join(out, "_bloom_manifest.json")
+    if not os.path.exists(manifest_path):
+        shutil.rmtree(out, ignore_errors=True)
+        orders.repartition(16, "o_orderkey").write.mode("overwrite").parquet(out)
+        bit_cols = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"bf{i}"), F.col("o_custkey").cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_M
+                )
+                for i in range(1, 4)
+            ]
+        )
+        stats = (
+            spark.read.parquet(out)
+            .select(F.input_file_name().alias("file"), F.explode(bit_cols).alias("bit"))
+            .groupBy("file")
+            .agg(F.collect_set("bit").alias("bits"))
+            .collect()
+        )
+        with open(manifest_path, "w") as fh:
+            json.dump([(r.file, sorted(r.bits)) for r in stats], fh)
+
+    manifest = json.load(open(manifest_path))
+    want = {
+        int(_hl.md5(f"bf{i}{_BLOOM_KEY}".encode()).hexdigest()[:8], 16) % _BLOOM_M
+        for i in range(1, 4)
+    }
+    selected = [fp for fp, bits in manifest if want <= set(bits)]
+    layout_bloom_file_skip.last_audit = {  # type: ignore[attr-defined]
+        "n_files": len(manifest),
+        "n_selected": len(selected),
+    }
+    if not selected:  # key absent everywhere — empty exact result
+        selected = [manifest[0][0]]
+    hit = spark.read.parquet(*selected).where(F.col("o_custkey") == _BLOOM_KEY)
+    return hit.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.min("o_orderkey").cast("long").alias("min_okey"),
+        F.max("o_orderkey").cast("long").alias("max_okey"),
+    )
+
+
+_BLOOMSKIP_ORACLE = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents, "
+    "CAST(MIN(o_orderkey) AS BIGINT) AS min_okey, "
+    "CAST(MAX(o_orderkey) AS BIGINT) AS max_okey "
+    f"FROM orders WHERE o_custkey = {_BLOOM_KEY}"
+)
+
 QUERIES = {
+    "layout_bloom_file_skip": layout_bloom_file_skip,
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_partition_evolution": layout_partition_evolution,
     "layout_vacuum_orphans": layout_vacuum_orphans,
@@ -742,6 +839,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "layout_bloom_file_skip": _BLOOMSKIP_ORACLE,
     "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
     "layout_partition_evolution": inline_views(_SPECEVO_ORACLE),
     "layout_vacuum_orphans": inline_views(_VACUUM_ORACLE),

@@ -92,6 +92,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "mm_keyframe_select",
     "ingest_orc_roundtrip",
     "ml_silhouette_eval",
+    "layout_bloom_file_skip",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

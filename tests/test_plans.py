@@ -395,3 +395,15 @@ def test_flagship_joins_are_hash_or_merge(spark, sf_oracle, name):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_bloom_file_skip_actually_skips(spark, sf_oracle):
+    """The bloom manifest must prune a real fraction of files for the
+    point lookup — a customer's ~10 orders land in at most 10 of the
+    16 hash-layout files, and bloom FPs at the sized m/n stay rare."""
+    from pserv_spark.operators.pipeline_ops import layout_bloom_file_skip
+
+    layout_bloom_file_skip(spark, sf_oracle).collect()
+    audit = layout_bloom_file_skip.last_audit
+    assert audit["n_files"] == 16
+    assert audit["n_selected"] < audit["n_files"], audit
