@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from ..catalog import load_tables
 from ._oracle import inline_views
 
@@ -593,7 +594,50 @@ _TRY_ARITH_ORACLE = _try_arith_sql(
 )
 
 
+
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface — Spark 4's ``from_xml`` with a declared
+    schema (the fourth semi-structured lane after JSON-string
+    ``fn_json``, struct ``fn_json_struct`` and VARIANT
+    ``fn_variant_json``; instrument/metadata feeds are still XML in
+    practice).  Events are serialized to XML records (integer cents so
+    the text form is engine-identical), parsed back with ``from_xml``,
+    and typed fields extracted.  DuckDB has no XML parser — the oracle
+    builds the SAME record text and extracts with anchored
+    ``regexp_extract``, so a hash match proves the parse is lossless.
+    Single narrow map over the scan; no shuffle."""
+    ev = catalog.v_events(spark, sf_dir).where(F.col("event_id") < 2000)
+    xml = F.concat(
+        F.lit("<rec><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><u>"), F.col("user_id").cast("string"),
+        F.lit("</u><t>"), F.col("event_type"),
+        F.lit("</t><c>"), F.floor(F.col("value") * 100 + 0.5).cast("long").cast("string"),
+        F.lit("</c></rec>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "id BIGINT, u BIGINT, t STRING, c BIGINT").alias("p")
+    )
+    return parsed.select(
+        F.col("p.id").alias("event_id"),
+        F.col("p.u").alias("user_id"),
+        F.col("p.t").alias("event_type"),
+        F.col("p.c").alias("cents"),
+    )
+
+
+_XML_ORACLE = (
+    "WITH x AS (SELECT '<rec><id>' || CAST(event_id AS VARCHAR) || '</id><u>' || "
+    "CAST(user_id AS VARCHAR) || '</u><t>' || event_type || '</t><c>' || "
+    "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR) || '</c></rec>' AS xml "
+    "FROM v_events WHERE event_id < 2000) "
+    "SELECT CAST(regexp_extract(xml, '<id>([0-9]+)</id>', 1) AS BIGINT) AS event_id, "
+    "CAST(regexp_extract(xml, '<u>([0-9]+)</u>', 1) AS BIGINT) AS user_id, "
+    "regexp_extract(xml, '<t>([a-z]+)</t>', 1) AS event_type, "
+    "CAST(regexp_extract(xml, '<c>(-?[0-9]+)</c>', 1) AS BIGINT) AS cents FROM x"
+)
+
 QUERIES = {
+    "fn_xml_extract": fn_xml_extract,
     "set_intersect_all": set_intersect_all,
     "set_except_all": set_except_all,
     "fn_map_props": fn_map_props,
@@ -618,6 +662,7 @@ QUERIES = {
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
 ORACLES = {
+    "fn_xml_extract": inline_views(_XML_ORACLE),
     "set_intersect_all": _INTERSECT_ALL_ORACLE,
     "set_except_all": _EXCEPT_ALL_ORACLE,
     "fn_map_props": _MAP_ORACLE,

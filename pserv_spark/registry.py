@@ -93,6 +93,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "ingest_orc_roundtrip",
     "ml_silhouette_eval",
     "layout_bloom_file_skip",
+    "fn_xml_extract",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
