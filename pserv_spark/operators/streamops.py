@@ -24,6 +24,7 @@ from ..streaming import (
     stream_checkpoint_resume,
     stream_tumbling_complete,
     stream_tumbling_watermark,
+    stream_jdbc_sink,
 )
 
 QUERIES = {
@@ -40,9 +41,15 @@ QUERIES = {
     "stream_late_drop_audit": stream_late_drop_audit,
     "stream_checkpoint_resume": stream_checkpoint_resume,
     "stream_tumbling_watermark": stream_tumbling_watermark,
+    "stream_jdbc_sink": stream_jdbc_sink,
 }
 
 ORACLES = {
+    "stream_jdbc_sink": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM events GROUP BY event_type"
+    ),
     # Complete mode emits all windows ⇒ equals the batch tumbling query.
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
     # foreachBatch upsert: final store state == batch daily aggregation.

@@ -94,6 +94,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "ml_silhouette_eval",
     "layout_bloom_file_skip",
     "fn_xml_extract",
+    "stream_jdbc_sink",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

@@ -16,6 +16,7 @@ from .jobs import (
     stream_late_drop_audit,
     stream_checkpoint_resume,
     stream_cdc_apply,
+    stream_jdbc_sink,
 )
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "stream_stream_join",
     "stream_hopping_complete",
     "stream_tumbling_watermark",
+    "stream_jdbc_sink",
     "stream_rollup_upsert",
     "stream_topk_maintain",
     "stream_late_drop_audit",

@@ -427,6 +427,48 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → JDBC serving sink, exactly-once by idempotence: the
+    complete-mode per-type aggregate is ``foreachBatch``-overwritten
+    into an embedded-Derby table each micro-batch (the reference's
+    MySQL serving role fed FROM the stream), so a replayed batch
+    rewrites the same state instead of double-counting.  After the
+    bounded ``availableNow`` drain the Derby table is read back over
+    JDBC and must equal the batch aggregate — which is the oracle.
+
+    Composes the two round-2 transports end to end: custom stream in,
+    JDBC store out.  The aggregate is event-type-count-sized, so the
+    per-batch overwrite is metadata-scale at any data volume.
+    """
+    from ..operators.jdbc_ops import _derby_url
+
+    url, props, _db = _derby_url(sf_dir + "#stream_sink")
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def to_jdbc(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").jdbc(url, "serving_agg", properties=props)
+
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(to_jdbc)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.read.jdbc(url, "serving_agg", properties=props).select(
+        "event_type", "n", "cents"
+    )
+
 def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of a top-k leaderboard (most-active
     users): the stream aggregates per-user counts in complete mode and
