@@ -636,7 +636,47 @@ _XML_ORACLE = (
     "CAST(regexp_extract(xml, '<c>(-?[0-9]+)</c>', 1) AS BIGINT) AS cents FROM x"
 )
 
+
+def _weighted_pctl_sql() -> str:
+    """Exact weighted percentiles (quantity-weighted price) — the
+    inventory-weighted price statistic plain ``percentile`` cannot
+    express.  Lower-weighted-percentile definition: the smallest value
+    whose running weight reaches p·W under the §4.5 total order
+    (value, orderkey, linenumber).  Weights are exact integer
+    centi-units, so every threshold comparison is integer arithmetic —
+    no float boundary anywhere.
+
+    Scale: the exact form needs the per-group sort (one range-
+    partitioned window); the sampled/sketched path for 100 TB is
+    ``sketch_sampled_quantile``.  Group count is tiny so the window
+    partitions are balanced by the returnflag key."""
+    return (
+        "WITH w AS ("
+        "  SELECT l_returnflag, l_extendedprice AS v,"
+        "    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS wt,"
+        "    l_orderkey, l_linenumber FROM lineitem"
+        "), c AS ("
+        "  SELECT l_returnflag, v, wt,"
+        "    SUM(wt) OVER (PARTITION BY l_returnflag"
+        "      ORDER BY v, l_orderkey, l_linenumber"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,"
+        "    SUM(wt) OVER (PARTITION BY l_returnflag) AS tw"
+        "  FROM w"
+        ") SELECT l_returnflag,"
+        "  CAST(SUM(wt) AS BIGINT) AS total_weight,"
+        "  MIN(CASE WHEN cw * 2 >= tw THEN v END) AS w_median,"
+        "  MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS w_p90"
+        "  FROM c GROUP BY l_returnflag"
+    )
+
+
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median / p90 of extendedprice per returnflag."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_weighted_pctl_sql())
+
 QUERIES = {
+    "agg_weighted_percentile": agg_weighted_percentile,
     "fn_xml_extract": fn_xml_extract,
     "set_intersect_all": set_intersect_all,
     "set_except_all": set_except_all,
@@ -662,6 +702,7 @@ QUERIES = {
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
 ORACLES = {
+    "agg_weighted_percentile": _weighted_pctl_sql(),
     "fn_xml_extract": inline_views(_XML_ORACLE),
     "set_intersect_all": _INTERSECT_ALL_ORACLE,
     "set_except_all": _EXCEPT_ALL_ORACLE,

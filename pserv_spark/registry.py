@@ -95,6 +95,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "layout_bloom_file_skip",
     "fn_xml_extract",
     "stream_jdbc_sink",
+    "agg_weighted_percentile",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
