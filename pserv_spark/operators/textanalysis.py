@@ -379,7 +379,40 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the deployed language-ID classifier against
+    the corpus ground-truth ``lang`` column — the classifier-quality
+    eval of the measurement family (ANN recall / LSH dedup / k-means
+    silhouette): per (true, predicted) cell, the count and the row
+    share.  Joins the predictions of the ACTUAL operator back to the
+    labels; one broadcast-size matrix out."""
+    preds = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    cells = docs.join(preds, "doc_id").groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    row_tot = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("row_share"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return (
+        f"WITH pred AS ({_langid_oracle()}) "
+        "SELECT d.lang AS true_lang, p.pred_lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS row_share "
+        "FROM documents d JOIN pred p USING (doc_id) "
+        "GROUP BY d.lang, p.pred_lang"
+    )
+
 QUERIES = {
+    "text_langid_confusion": text_langid_confusion,
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -391,6 +424,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_langid_confusion": _langid_confusion_oracle(),
     "text_url_normalize": _url_sql("VARCHAR"),
     "text_zipf_slope": _zipf_sql(
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"

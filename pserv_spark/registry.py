@@ -96,6 +96,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "fn_xml_extract",
     "stream_jdbc_sink",
     "agg_weighted_percentile",
+    "text_langid_confusion",
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",

@@ -64,7 +64,7 @@ def test_registry_size_and_order_are_pinned():
     from pserv_spark.registry import RANKED_EXTENSIONS, build_queries
 
     names = list(build_queries())
-    assert len(names) == 297, len(names)
+    assert len(names) == 298, len(names)
     assert names[: len(corpus.QUERY_NAMES)] == list(corpus.QUERY_NAMES)
     n_corpus = len(corpus.QUERY_NAMES)
     assert tuple(names[n_corpus : n_corpus + len(RANKED_EXTENSIONS)]) == RANKED_EXTENSIONS
