@@ -111,6 +111,7 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "graph_bfs_frontier": "per-hop frontier scalar broadcast",
     "ml_nb_train_classify": "class-total scalar broadcasts",
     "dedup_lsh_eval": "eval op: exact all-pairs truth IS the measurement",
+    "ml_silhouette_eval": "eval op: bounded-sample pair distances ARE the measurement",
     "seq_kleene_funnel": "window-only plan; no joins expected (listed defensively)",
     "text_repetition_ratio": "1-row stats broadcast",
 }
