@@ -675,7 +675,82 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_weighted_pctl_sql())
 
+def agg_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType *construction* surface (SURVEY §2.2 map note — the
+    counterpart of the read-side ``fn_map_props``): per order priority,
+    half-year status-count maps are built with ``map_from_entries``
+    over grouped counts, merged across halves with ``map_concat``
+    (key spaces disjoint by construction: keys are ``h1|STATUS`` /
+    ``h2|STATUS``, so concat can never hit a duplicate key), screened
+    with ``map_filter`` (drop entries below a support threshold), and
+    finally **exploded back to primitive entry rows** — which is what
+    makes the oracle exact: DuckDB needs no map type at all, just the
+    equivalent GROUP BY + HAVING, and the driver hash sees only
+    (string, string, string, long) columns per the §4.5 rule-7 output
+    policy.
+
+    Scale: two map-side-combined groupBys on (priority, status) — a
+    handful of groups regardless of fact size; the maps are bounded by
+    |status| and live only between the two shuffles.  No collect, no
+    UDF; map_from_entries/map_concat/map_filter/explode are all JVM
+    expressions inside whole-stage codegen.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def half_map(tag: str, pred):
+        c = (
+            orders.where(pred)
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        return c.groupBy("o_orderpriority").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat(F.lit(f"{tag}|"), F.col("o_orderstatus")).alias("k"),
+                        F.col("n").alias("v"),
+                    )
+                )
+            ).alias(f"m_{tag}")
+        )
+
+    month = F.month("o_orderdate")
+    h1 = half_map("h1", month <= 6)
+    h2 = half_map("h2", month > 6)
+    empty = F.expr("cast(map() as map<string,bigint>)")
+    merged = (
+        h1.join(h2, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.map_concat(
+                F.coalesce("m_h1", empty), F.coalesce("m_h2", empty)
+            ).alias("m"),
+        )
+        .select(
+            "o_orderpriority",
+            F.map_filter("m", lambda k, v: v >= F.lit(5)).alias("m"),
+        )
+    )
+    return merged.selectExpr(
+        "o_orderpriority", "explode(m) as (entry_key, n)"
+    ).select(
+        "o_orderpriority",
+        F.substring_index("entry_key", "|", 1).alias("half"),
+        F.substring_index("entry_key", "|", -1).alias("status"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_MAP_ENTRIES_ORACLE = (
+    "SELECT o_orderpriority, "
+    "CASE WHEN month(o_orderdate) <= 6 THEN 'h1' ELSE 'h2' END AS half, "
+    "o_orderstatus AS status, COUNT(*) AS n "
+    "FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5"
+)
+
+
 QUERIES = {
+    "agg_map_entries": agg_map_entries,
     "agg_weighted_percentile": agg_weighted_percentile,
     "fn_xml_extract": fn_xml_extract,
     "set_intersect_all": set_intersect_all,
@@ -702,6 +777,7 @@ QUERIES = {
 
 # agg_approx_distinct intentionally absent: rows-only by declaration.
 ORACLES = {
+    "agg_map_entries": _MAP_ENTRIES_ORACLE,
     "agg_weighted_percentile": _weighted_pctl_sql(),
     "fn_xml_extract": inline_views(_XML_ORACLE),
     "set_intersect_all": _INTERSECT_ALL_ORACLE,

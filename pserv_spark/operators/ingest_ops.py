@@ -23,15 +23,13 @@ from ..sources import export_csv, load_csv, calibrate_flux
 from ._oracle import inline_views
 
 def _fixture_dir(sf_dir: str, kind: str) -> str:
-    """Persistent temp-fixture path keyed by sf_dir (md5, like the
-    dlq/timetravel fixtures) so concurrent runs at different tiers
-    never collide and repeat calls reuse the published artifact."""
-    import hashlib
+    """Persistent temp-fixture path keyed by sf_dir AND a content
+    fingerprint of its parquet files (ADVICE r2: an in-place testdata
+    regen must invalidate every derived fixture, not silently serve
+    stale reads against a fresh oracle)."""
+    from ..fixtures import fixture_path
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    return fixture_path(sf_dir, kind)
 
 
 #: The CSV file's declared schema (as exported below).
@@ -67,7 +65,9 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executors — not the driver — move the rows.
     csv_dir = _fixture_dir(sf_dir, "ingest_csv")
     if not os.path.isdir(csv_dir):
-        staging = f"{csv_dir}.tmp.{os.getpid()}"
+        from ..fixtures import publish_dir, staging_path
+
+        staging = staging_path(csv_dir)
         export_csv(
             src,
             staging,
@@ -79,7 +79,7 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shipped": "l_shipdate",
             },
         )
-        os.replace(staging, csv_dir)  # atomic publish
+        publish_dir(staging, csv_dir)  # atomic + peer-tolerant
     loaded = load_csv(spark, csv_dir, _CSV_SCHEMA)
     return calibrate_flux(loaded).select(
         "id",
@@ -135,9 +135,11 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VERDICT r1 #2), same pattern as ingest_csv_roundtrip.
     json_dir = _fixture_dir(sf_dir, "ingest_jsonl")
     if not os.path.isdir(json_dir):
-        staging = f"{json_dir}.tmp.{os.getpid()}"
+        from ..fixtures import publish_dir, staging_path
+
+        staging = staging_path(json_dir)
         src.coalesce(1).write.mode("overwrite").json(staging)
-        os.replace(staging, json_dir)
+        publish_dir(staging, json_dir)
     return spark.read.schema(_JSONL_SCHEMA).json(json_dir)
 
 
@@ -167,8 +169,6 @@ def ingest_pk_dedup_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout write was lossless.  tests/test_ingest.py asserts the
     physical sortedness per file.
     """
-    import hashlib
-
     ev = catalog.v_events(spark, sf_dir).select(
         "event_id", "user_id", "ts_us", "value"
     )
@@ -186,16 +186,19 @@ def ingest_pk_dedup_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_pk_layout_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    (
-        deduped.repartition(16, "user_id")
-        .sortWithinPartitions("user_id", "ts_us")
-        .write.parquet(out)
-    )
+    from ..fixtures import publish_dir, staging_path
+
+    out = _fixture_dir(sf_dir, "pk_layout")
+    if not os.path.isdir(out):
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            deduped.repartition(16, "user_id")
+            .sortWithinPartitions("user_id", "ts_us")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        publish_dir(staging, out)
     return spark.read.parquet(out).select(
         "event_id", "user_id", "ts_us", "value", "batch"
     )
@@ -213,18 +216,14 @@ _FITS_REGISTERED: set[int] = set()
 def _fitslike_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Register the datasource and materialize the deterministic
     FITS-like fixture (purchases with seeded NaNs) once per sf_dir."""
-    import hashlib as _hl
-
+    from ..fixtures import fixture_path, publish_file, staging_path
     from ..sources.fitslike import FitsLikeDataSource, write_fitslike
 
     if id(spark) not in _FITS_REGISTERED:
         spark.dataSource.register(FitsLikeDataSource)
         _FITS_REGISTERED.add(id(spark))
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_fitslike_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}.dat",
-    )
+    path = fixture_path(sf_dir, "fitslike", ".dat")
     if not os.path.exists(path):
         src = (
             catalog.v_events(spark, sf_dir)
@@ -240,8 +239,9 @@ def _fitslike_fixture(spark: SparkSession, sf_dir: str) -> str:
             )
             .orderBy("event_id")
         )
+        staging = staging_path(path)
         write_fitslike(
-            path,
+            staging,
             [
                 ("event_id", "K"),
                 ("user_id", "K"),
@@ -252,6 +252,7 @@ def _fitslike_fixture(spark: SparkSession, sf_dir: str) -> str:
             [tuple(r) for r in src.collect()],
             sort_key="event_id",
         )
+        publish_file(staging, path)
     return path
 
 
@@ -314,16 +315,14 @@ def ingest_registry_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact dyadic-free quotients of small ints, identical in IEEE
     on both sides.
     """
-    import hashlib
     import sqlite3
 
-    # keyed by sf_dir like the other fixtures (pserv_dlq_/timetravel_),
-    # and regenerated only when absent: a fixed unkeyed path deleted and
-    # rebuilt per call can race against a concurrent run (ADVICE r1).
-    reg_path = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_registry_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.sqlite",
-    )
+    from ..fixtures import fixture_path
+
+    # fingerprint-keyed like the other fixtures, and regenerated only
+    # when absent: a fixed unkeyed path deleted and rebuilt per call
+    # can race against a concurrent run (ADVICE r1).
+    reg_path = fixture_path(sf_dir, "registry", ".sqlite")
     if not os.path.exists(reg_path):
         tmp_path = f"{reg_path}.tmp.{os.getpid()}"
         con = sqlite3.connect(tmp_path)
@@ -387,7 +386,7 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines pin the merged schema explicitly — this operator
     verifies the back-fill semantics that pinned schema relies on.
     """
-    import hashlib
+    from ..fixtures import publish_dir, staging_path
 
     li = catalog.table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
     b1 = li.where(F.col("l_linenumber") == 1).select(
@@ -398,13 +397,13 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
         F.col("l_discount").alias("discount"),
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(out, ignore_errors=True)
-    b1.write.parquet(os.path.join(out, "batch=1"))
-    b2.write.parquet(os.path.join(out, "batch=2"))
+    out = _fixture_dir(sf_dir, "schema_evo")
+    if not os.path.isdir(out):
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
+        b1.write.parquet(os.path.join(staging, "batch=1"))
+        b2.write.parquet(os.path.join(staging, "batch=2"))
+        publish_dir(staging, out)
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(out)
@@ -467,26 +466,29 @@ def ingest_badrows_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine.  Output: per-disposition counts + recoverable id sums,
     all integers."""
     import csv
-    import hashlib as _hl
 
-    src = (
-        catalog.table(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") < 400)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
-    )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_dlq_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}.csv",
-    )
-    with open(path, "w", newline="") as fh:
-        wcsv = csv.writer(fh)
-        for r in src:
-            if r.o_orderkey % 13 == 0:
-                wcsv.writerow([r.o_orderkey, r.o_custkey, "CORRUPT#%d" % r.o_orderkey])
-            else:
-                wcsv.writerow([r.o_orderkey, r.o_custkey, r.o_totalprice])
+    from ..fixtures import fixture_path, publish_file, staging_path
+
+    path = fixture_path(sf_dir, "dlq", ".csv")
+    if not os.path.exists(path):
+        src = (
+            catalog.table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 400)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        staging = staging_path(path)
+        with open(staging, "w", newline="") as fh:
+            wcsv = csv.writer(fh)
+            for r in src:
+                if r.o_orderkey % 13 == 0:
+                    wcsv.writerow(
+                        [r.o_orderkey, r.o_custkey, "CORRUPT#%d" % r.o_orderkey]
+                    )
+                else:
+                    wcsv.writerow([r.o_orderkey, r.o_custkey, r.o_totalprice])
+        publish_file(staging, path)
 
     schema = (
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,"
@@ -541,7 +543,9 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     every container."""
     orc_dir = _fixture_dir(sf_dir, "ingest_orc")
     if not os.path.isdir(orc_dir):
-        staging = f"{orc_dir}.tmp.{os.getpid()}"
+        from ..fixtures import publish_dir, staging_path
+
+        staging = staging_path(orc_dir)
         (
             catalog.v_events(spark, sf_dir)
             .where(F.col("event_id") < 5000)
@@ -549,7 +553,7 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .orc(staging)
         )
-        os.replace(staging, orc_dir)
+        publish_dir(staging, orc_dir)
     loaded = spark.read.orc(orc_dir).where(F.col("user_id") % 3 == 0)
     return loaded.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -566,7 +570,90 @@ _ORC_ORACLE = inline_views(
     "GROUP BY event_type"
 )
 
+def source_fitslike_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length + scaled FITS columns end to end (round 3,
+    VERDICT r2 next-round #3): the fixture packs each user's purchase
+    values into a ``PD`` heap array (the astropy shape for per-object
+    forced-source samples) beside a TSCAL=0.01-quantized ``J``
+    zero-point column, and the query explodes the arrays back to
+    per-sample rows and aggregates — so a hash match against the
+    original parquet proves descriptor/heap addressing AND §7.3.2
+    scaling decode are lossless.
+
+    The driver-side fixture build collects ~bounded per-user lists
+    (registry-scale metadata, same call as the sqlite registry); the
+    SCAN is the custom DataSource reading executor-side as usual.
+    """
+    from ..fixtures import fixture_path, publish_file, staging_path
+    from ..sources.fitslike import FitsLikeDataSource
+
+    if id(spark) not in _FITS_REGISTERED:
+        spark.dataSource.register(FitsLikeDataSource)
+        _FITS_REGISTERED.add(id(spark))
+
+    path = fixture_path(sf_dir, "fitsvarlen", ".dat")
+    if not os.path.exists(path):
+        from ..sources.fitslike import write_fitslike
+
+        src = (
+            catalog.v_events(spark, sf_dir)
+            .where((F.col("event_type") == "purchase") & (F.col("user_id") < 200))
+            .select("user_id", "ts_us", "event_id", "value")
+            .collect()
+        )
+        by_user: dict[int, list] = {}
+        for r in src:
+            by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.value))
+        rows = [
+            (
+                uid,
+                [v for _ts, _eid, v in sorted(samples)],
+                25.0 + (uid % 13) / 100.0,
+            )
+            for uid, samples in sorted(by_user.items())
+        ]
+        staging = staging_path(path)
+        write_fitslike(
+            staging,
+            [("user_id", "K"), ("samples", "PD(64)"), ("zero_point", "J")],
+            rows,
+            sort_key="user_id",
+            scales={"zero_point": (0.01, 0.0)},
+        )
+        publish_file(staging, path)
+    loaded = spark.read.format("fitslike").option("path", path).load()
+    return (
+        loaded.select(
+            "user_id",
+            F.col("zero_point"),
+            F.explode("samples").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(F.floor(F.col("v") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            # §4.5 rule 4: re-quantize the TSCAL-decoded double to its
+            # integer quantum — a 1-ulp product skew can never flip it
+            F.floor(F.max("zero_point") * 100 + 0.5)
+            .cast("long")
+            .alias("zp_cents"),
+        )
+    )
+
+
+_FITS_VARLEN_ORACLE = (
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents, "
+    "CAST(2500 + user_id % 13 AS BIGINT) AS zp_cents "
+    "FROM v_events WHERE event_type = 'purchase' AND user_id < 200 "
+    "GROUP BY user_id"
+)
+
+
 QUERIES = {
+    "source_fitslike_varlen": source_fitslike_varlen,
     "ingest_orc_roundtrip": ingest_orc_roundtrip,
     "ingest_csv_roundtrip": ingest_csv_roundtrip,
     "ingest_jsonl_roundtrip": ingest_jsonl_roundtrip,
@@ -578,6 +665,7 @@ QUERIES = {
     "stream_fitslike_tail": stream_fitslike_tail,
 }
 ORACLES = {
+    "source_fitslike_varlen": inline_views(_FITS_VARLEN_ORACLE),
     "ingest_orc_roundtrip": _ORC_ORACLE,
     "ingest_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "ingest_jsonl_roundtrip": _JSONL_ORACLE,

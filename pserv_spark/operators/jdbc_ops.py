@@ -30,25 +30,57 @@ exact small-int quotients — IEEE-identical in Derby, Spark and DuckDB.
 
 from __future__ import annotations
 
-import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..fixtures import fixture_key, publish_dir, staging_path
 
 _DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 _N_VISITS = 500
+_log_routed = False
 
 
-def _derby_url(sf_dir: str) -> tuple[str, dict[str, str], str]:
+def _route_derby_log(spark: SparkSession) -> None:
+    """Point Derby's engine log at the tempdir BEFORE the engine boots
+    (round-2 nit: it defaulted to ``derby.log`` in the CWD, i.e. the
+    repo root).  A no-op once the engine is up — every Derby entry
+    point goes through ``_derby_url`` first, so the property is set
+    ahead of the first connection of the JVM's lifetime."""
+    global _log_routed
+    if not _log_routed:
+        spark._sc._jvm.java.lang.System.setProperty(  # noqa: SLF001
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "pserv_derby.log"),
+        )
+        _log_routed = True
+
+
+def _derby_url(
+    spark: SparkSession, sf_dir: str, tag: str = ""
+) -> tuple[str, dict[str, str], str]:
+    _route_derby_log(spark)
     db = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_derby_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        tempfile.gettempdir(), f"pserv_derby{tag}_{fixture_key(sf_dir)}"
     )
     return f"jdbc:derby:{db};create=true", {"driver": _DRIVER}, db
+
+
+def _derby_shutdown(spark: SparkSession, db: str) -> None:
+    """Cleanly shut down one embedded database so its files are fully
+    checkpointed and closed before the staging dir is renamed.  Derby
+    *signals* a successful single-db shutdown with SQLException 08006,
+    so the raised error is the success path."""
+    try:
+        spark._sc._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+            f"jdbc:derby:{db};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 — 08006 == clean shutdown
+        pass
 
 
 def _registry_frame(spark: SparkSession) -> DataFrame:
@@ -63,11 +95,21 @@ def _registry_frame(spark: SparkSession) -> DataFrame:
 
 
 def source_jdbc_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    url, props, db = _derby_url(sf_dir)
+    url, props, db = _derby_url(spark, sf_dir)
     if not os.path.isdir(db):
+        # Staged build + clean shutdown + atomic publish (ADVICE r2):
+        # a crashed run can no longer leave a half-built database that
+        # every later run trusts.  The shutdown checkpoint makes the
+        # renamed files a consistent, bootable database; a concurrent
+        # peer publishing first wins and ours is discarded (the
+        # artifact is deterministic, so the copies are equivalent).
+        staging = staging_path(db)
+        shutil.rmtree(staging, ignore_errors=True)
         _registry_frame(spark).write.mode("overwrite").jdbc(
-            url, "registry", properties=props
+            f"jdbc:derby:{staging};create=true", "registry", properties=props
         )
+        _derby_shutdown(spark, staging)
+        publish_dir(staging, db)
     reg = spark.read.jdbc(
         url,
         "registry",

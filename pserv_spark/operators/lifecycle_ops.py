@@ -55,8 +55,11 @@ _ERASE_MOD = 37
 
 
 def _store_dir(sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"pserv_purge_store_{key}")
+    from ..fixtures import fixture_path
+
+    # rebuilt AND mutated (partitions dropped/rewritten) every call,
+    # so the path is per-process: concurrent runs purge their own copy
+    return fixture_path(sf_dir, "purge_store", f".run{os.getpid()}")
 
 
 def _partition_files(root: str) -> dict[str, tuple[int, float]]:

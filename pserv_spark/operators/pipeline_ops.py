@@ -321,18 +321,17 @@ def layout_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity.
     """
     import glob
-    import hashlib
     import os
     import shutil
-    import tempfile
+
+    from ..fixtures import fixture_path
 
     ev = catalog.v_events(spark, sf_dir).withColumn(
         "day", F.col("ts").cast("date")
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    # rebuilt every call (the op measures the rewrite itself), so the
+    # path is per-process to keep concurrent runs off each other
+    out = fixture_path(sf_dir, "compact", f".run{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     (
         ev.repartition(F.col("day"))
@@ -382,27 +381,28 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves skipping never changes results; tests assert most files
     were actually skipped.
     """
-    import hashlib
+    import json
     import os
     import shutil
-    import tempfile
+
+    from ..fixtures import fixture_path, publish_dir, staging_path
 
     lo, hi, hi_excl = "1996-01-01", "1996-03-31", "1996-04-01"
     li = catalog.table(spark, sf_dir, "lineitem")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_zonemap_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = fixture_path(sf_dir, "zonemap")
     manifest_path = os.path.join(out, "_manifest.json")
     if not os.path.exists(manifest_path):
-        shutil.rmtree(out, ignore_errors=True)
+        # staged build + atomic publish; manifest stores RELATIVE file
+        # names so the rename doesn't invalidate it (ADVICE r2)
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
         (
             li.repartitionByRange(16, "l_shipdate")
             .write.mode("overwrite")
-            .parquet(out)
+            .parquet(staging)
         )
         stats = (
-            spark.read.parquet(out)
+            spark.read.parquet(staging)
             .groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.min("l_shipdate").cast("string").alias("mn"),
@@ -410,17 +410,14 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        import json
-
-        with open(manifest_path, "w") as f:
-            json.dump([(r.file, r.mn, r.mx) for r in stats], f)
-
-    import json
+        with open(os.path.join(staging, "_manifest.json"), "w") as f:
+            json.dump([(r.file.rsplit("/", 1)[-1], r.mn, r.mx) for r in stats], f)
+        publish_dir(staging, out, sentinel="_manifest.json")
 
     manifest = json.load(open(manifest_path))
     selected = [
-        fpath
-        for fpath, mn, mx in manifest
+        os.path.join(out, fname)
+        for fname, mn, mx in manifest
         if not (mx < lo or mn >= hi_excl)  # ISO strings order correctly
     ]
     # surface the skipping stats for the audit test
@@ -480,31 +477,29 @@ def layout_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     mid = bounds.lo + (bounds.hi - bounds.lo) // 2
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_timetravel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    from ..fixtures import fixture_path, publish_dir, staging_path
+
+    out = fixture_path(sf_dir, "timetravel")
     m1p, m2p = os.path.join(out, "_v1.json"), os.path.join(out, "_v2.json")
     if not (os.path.exists(m1p) and os.path.exists(m2p)):
-        shutil.rmtree(out, ignore_errors=True)
-        data = os.path.join(out, "data")
+        # staged build, manifests hold names relative to data/ so the
+        # publish rename can't invalidate them (ADVICE r2)
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
+        data = os.path.join(staging, "data")
         ev.where(day < mid).write.parquet(data)
-        v1_files = sorted(
-            os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
-        )
+        v1_files = sorted(f for f in os.listdir(data) if f.endswith(".parquet"))
         ev.where(day >= mid).write.mode("append").parquet(data)
-        all_files = sorted(
-            os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
-        )
-        os.makedirs(out, exist_ok=True)
-        with open(m1p, "w") as fh:
+        all_files = sorted(f for f in os.listdir(data) if f.endswith(".parquet"))
+        with open(os.path.join(staging, "_v1.json"), "w") as fh:
             json.dump(v1_files, fh)
-        with open(m2p, "w") as fh:
+        with open(os.path.join(staging, "_v2.json"), "w") as fh:
             json.dump(all_files, fh)
+        publish_dir(staging, out, sentinel="_v2.json")
 
     def as_of(manifest_path: str, version: int) -> DataFrame:
         with open(manifest_path) as fh:
-            files = json.load(fh)
+            files = [os.path.join(out, "data", f) for f in json.load(fh)]
         return (
             spark.read.parquet(*files)
             .agg(
@@ -535,43 +530,42 @@ def layout_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned frame aggregates per (spec, day) so the result also
     shows which spec served each slice.
     """
-    import hashlib
     import json
     import os
     import shutil
-    import tempfile
+
+    from ..fixtures import fixture_path, publish_dir, staging_path
 
     ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
     day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
     bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
     mid = bounds.lo + (bounds.hi - bounds.lo) // 2
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_specevo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = fixture_path(sf_dir, "specevo")
     man_path = os.path.join(out, "_manifests.json")
     if not os.path.exists(man_path):
-        shutil.rmtree(out, ignore_errors=True)
-        old_dir, new_dir = os.path.join(out, "byday"), os.path.join(out, "bymonth")
+        # staged build + atomic publish, spec roots stored relative
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
         (
             ev.where(day < mid)
             .withColumn("p_day", day)
             .write.partitionBy("p_day")
-            .parquet(old_dir)
+            .parquet(os.path.join(staging, "byday"))
         )
         (
             ev.where(day >= mid)
             .withColumn("p_month", F.floor(day / 30).cast("long"))
             .write.partitionBy("p_month")
-            .parquet(new_dir)
+            .parquet(os.path.join(staging, "bymonth"))
         )
         manifests = [
-            {"spec": "day", "root": old_dir, "col": "p_day"},
-            {"spec": "month", "root": new_dir, "col": "p_month"},
+            {"spec": "day", "root": "byday", "col": "p_day"},
+            {"spec": "month", "root": "bymonth", "col": "p_month"},
         ]
-        with open(man_path, "w") as fh:
+        with open(os.path.join(staging, "_manifests.json"), "w") as fh:
             json.dump(manifests, fh)
+        publish_dir(staging, out, sentinel="_manifests.json")
 
     with open(man_path) as fh:
         manifests = json.load(fh)
@@ -580,7 +574,8 @@ def layout_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_lo, q_hi = mid - 10, mid + 10
     parts = []
     for m in manifests:
-        df = spark.read.option("basePath", m["root"]).parquet(m["root"])
+        root = os.path.join(out, m["root"])
+        df = spark.read.option("basePath", root).parquet(root)
         if m["spec"] == "day":
             # day-granular spec: partition predicate IS the filter
             pruned = df.where(
@@ -635,21 +630,21 @@ def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, so a hash match against the same oracle proves vacuum
     touched ONLY the orphan.  At 100 TB both sides of the set
     difference are file-listing-sized."""
-    import hashlib
     import json
     import os
     import shutil
-    import tempfile
+
+    from ..fixtures import fixture_path
 
     ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
     day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
     bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
     mid = bounds.lo + (bounds.hi - bounds.lo) // 2
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_vacuum_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    # rebuilt (and mutated — the whole point is deleting an orphan)
+    # every call, so the path is per-process: concurrent runs each
+    # vacuum their own copy instead of racing on one directory
+    out = fixture_path(sf_dir, "vacuum", f".run{os.getpid()}")
     m1p, m2p = os.path.join(out, "_v1.json"), os.path.join(out, "_v2.json")
     data = os.path.join(out, "data")
     shutil.rmtree(out, ignore_errors=True)
@@ -753,17 +748,23 @@ def layout_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
     import shutil
-    import tempfile
+
+    from ..fixtures import fixture_path, publish_dir, staging_path
 
     orders = catalog.table(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_bloomskip_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = fixture_path(sf_dir, "bloomskip")
     manifest_path = os.path.join(out, "_bloom_manifest.json")
     if not os.path.exists(manifest_path):
-        shutil.rmtree(out, ignore_errors=True)
-        orders.repartition(16, "o_orderkey").write.mode("overwrite").parquet(out)
+        # Staged build + atomic publish (ADVICE r2): the manifest is
+        # written INSIDE the staging dir before the rename, so the
+        # published fixture is complete-or-absent — a crashed builder
+        # can never leave a parquet layout that a later run trusts
+        # without its manifest (or a half-written manifest).  File
+        # names are stored relative so publication doesn't invalidate
+        # them.
+        staging = staging_path(out)
+        shutil.rmtree(staging, ignore_errors=True)
+        orders.repartition(16, "o_orderkey").write.mode("overwrite").parquet(staging)
         bit_cols = F.array(
             *[
                 (
@@ -782,27 +783,28 @@ def layout_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         stats = (
-            spark.read.parquet(out)
+            spark.read.parquet(staging)
             .select(F.input_file_name().alias("file"), F.explode(bit_cols).alias("bit"))
             .groupBy("file")
             .agg(F.collect_set("bit").alias("bits"))
             .collect()
         )
-        with open(manifest_path, "w") as fh:
-            json.dump([(r.file, sorted(r.bits)) for r in stats], fh)
+        with open(os.path.join(staging, "_bloom_manifest.json"), "w") as fh:
+            json.dump([(r.file.rsplit("/", 1)[-1], sorted(r.bits)) for r in stats], fh)
+        publish_dir(staging, out, sentinel="_bloom_manifest.json")
 
     manifest = json.load(open(manifest_path))
     want = {
         int(_hl.md5(f"bf{i}{_BLOOM_KEY}".encode()).hexdigest()[:8], 16) % _BLOOM_M
         for i in range(1, 4)
     }
-    selected = [fp for fp, bits in manifest if want <= set(bits)]
+    selected = [os.path.join(out, fp) for fp, bits in manifest if want <= set(bits)]
     layout_bloom_file_skip.last_audit = {  # type: ignore[attr-defined]
         "n_files": len(manifest),
         "n_selected": len(selected),
     }
     if not selected:  # key absent everywhere — empty exact result
-        selected = [manifest[0][0]]
+        selected = [os.path.join(out, manifest[0][0])]
     hit = spark.read.parquet(*selected).where(F.col("o_custkey") == _BLOOM_KEY)
     return hit.agg(
         F.count("*").cast("long").alias("n_orders"),

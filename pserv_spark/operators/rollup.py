@@ -36,8 +36,11 @@ from ._oracle import inline_views
 
 
 def _rollup_path(sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"pserv_rollup_{key}")
+    from ..fixtures import fixture_path
+
+    # fingerprint-keyed: a testdata regen invalidates the materialized
+    # rollup instead of serving stale aggregates (ADVICE r2)
+    return fixture_path(sf_dir, "rollup")
 
 
 def materialize_daily(spark: SparkSession, sf_dir: str) -> str:

@@ -402,7 +402,41 @@ def _mixture_oracle() -> str:
     return _mixture_sql(f"(VALUES {rows}) t(lang, pm)")
 
 
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join: the declarative counterpart of the manual
+    ``join_salted_skew`` (VERDICT r2 next-round #7).  Same shuffle
+    sort-merge join on the same skewed key, but with NO salt columns —
+    on a modern Spark, ``spark.sql.adaptive.skewJoin`` (enabled by
+    default) measures the actual post-shuffle partition sizes at the
+    stage boundary and splits any partition larger than
+    ``skewedPartitionFactor × median`` into sub-partitions, replicating
+    the matching build-side rows — exactly what the manual salt does,
+    except the split factor is chosen per hot key at runtime from real
+    sizes rather than a static 16 guessed at authoring time.  At 100 TB
+    this is the preferred form: salting pays its constant-factor
+    explode/repartition cost on *every* key, AQE pays only on the keys
+    that are actually hot this run.
+
+    The merge hint forces the shuffle path (a broadcast dim would make
+    skew moot — same reasoning as ``join_salted_skew``); correctness is
+    oracle-checked against the plain join, and the skew-split firing is
+    demonstrated in ``tests/test_plans.py::test_aqe_skew_join_splits``
+    on a deliberately skewed build with lowered split thresholds.
+    """
+    t = load_tables(spark, sf_dir)
+    fact = t["lineitem"].select("l_suppkey", "l_extendedprice")
+    dim = t["supplier"].select("s_suppkey", "s_name").hint("merge")
+    joined = fact.join(dim, fact.l_suppkey == dim.s_suppkey)
+    return joined.groupBy("s_name").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 QUERIES = {
+    "join_skew_aqe": join_skew_aqe,
     "sample_hash_split": sample_hash_split,
     "sample_stratified_hash": sample_stratified_hash,
     "gapfill_date_spine": gapfill_date_spine,
@@ -416,6 +450,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_aqe": _SALTED_JOIN_ORACLE,
     "join_salted_skew": _SALTED_JOIN_ORACLE,
     "sample_hash_split": _SPLIT_ORACLE,
     "sample_stratified_hash": _STRAT_ORACLE,

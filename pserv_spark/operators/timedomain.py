@@ -825,19 +825,33 @@ def seq_kleene_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle reasons under the SAME total order as the engine —
+# (ts_us, event_id) row-value comparisons, not bare ts_us — so the two
+# sides cannot diverge if a user ever has two events in the same
+# microsecond (ADVICE r2: the earlier ts-only form silently assumed a
+# unique-(user_id, ts_us) invariant the data happens to satisfy).  The
+# two aligned LIMIT-1 subqueries share one ORDER BY, so (signup_us,
+# signup_id) is one consistent row.
 _KLEENE_ORACLE = inline_views(
     "WITH p AS (SELECT user_id, event_id, ts_us FROM v_events WHERE event_type = 'purchase'), "
-    "s AS (SELECT user_id, ts_us FROM v_events WHERE event_type = 'signup'), "
-    "m AS (SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, "
-    "  (SELECT MAX(s.ts_us) FROM s WHERE s.user_id = p.user_id AND s.ts_us <= p.ts_us) AS signup_us "
+    "s AS (SELECT user_id, event_id, ts_us FROM v_events WHERE event_type = 'signup'), "
+    "m AS (SELECT p.user_id, p.event_id AS pid, p.ts_us AS purchase_us, "
+    "  (SELECT s.ts_us FROM s WHERE s.user_id = p.user_id "
+    "     AND (s.ts_us, s.event_id) <= (p.ts_us, p.event_id) "
+    "   ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1) AS signup_us, "
+    "  (SELECT s.event_id FROM s WHERE s.user_id = p.user_id "
+    "     AND (s.ts_us, s.event_id) <= (p.ts_us, p.event_id) "
+    "   ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1) AS signup_id "
     "  FROM p) "
     "SELECT m.user_id, m.signup_us, m.purchase_us, "
     "  CAST((SELECT COUNT(*) FROM v_events e WHERE e.user_id = m.user_id "
-    "    AND e.ts_us > m.signup_us AND e.ts_us < m.purchase_us) AS BIGINT) AS n_clicks "
+    "    AND (e.ts_us, e.event_id) > (m.signup_us, m.signup_id) "
+    "    AND (e.ts_us, e.event_id) < (m.purchase_us, m.pid)) AS BIGINT) AS n_clicks "
     "FROM m WHERE m.signup_us IS NOT NULL "
     f"AND m.purchase_us - m.signup_us <= {_KLEENE_WINDOW_US} "
     "AND NOT EXISTS (SELECT 1 FROM v_events e WHERE e.user_id = m.user_id "
-    "  AND e.ts_us > m.signup_us AND e.ts_us < m.purchase_us "
+    "  AND (e.ts_us, e.event_id) > (m.signup_us, m.signup_id) "
+    "  AND (e.ts_us, e.event_id) < (m.purchase_us, m.pid) "
     "  AND e.event_type <> 'click')"
 )
 

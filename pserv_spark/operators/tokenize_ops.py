@@ -22,11 +22,22 @@ Sennrich, Haddow & Birch 2016 structure —
    counts BPE tokens per document (dictionary miss ⇒ character-level
    fallback, len+1 for the end-of-word marker).
 
-Merge semantics: symbols are space-delimited; applying a merge is two
-passes of left-to-right non-overlapping ``replace(' a b ', ' ab ')`` —
-bit-identical in Python, Spark and DuckDB (all three scan-and-skip),
-which is what makes the unrolled-CTE DuckDB oracle exact.  The '_'
-end-of-word symbol cannot collide: vocabulary words are ``^[a-z]+$``.
+Merge semantics (pinned precisely — ADVICE r2): symbols are
+space-delimited; applying a merge is exactly TWO passes of
+left-to-right non-overlapping ``replace(' a b ', ' ab ')``.  Because
+adjacent occurrences share a delimiting space, a pass that merges a
+pair cannot merge the immediately following symbol — so for runs of
+≥6 identical symbols this is NOT byte-identical to the textbook
+greedy token-list merge (``'aaaaaa'`` → ``[aa,a,aa,a]`` here vs
+greedy ``[aa,aa,aa]``; the second pass exists to catch pairs the
+shared-space skip deferred).  What matters for correctness is that
+all three engines share ONE semantics: Python's ``str.replace``,
+Spark's ``replace`` and DuckDB's ``replace`` all scan-and-skip
+identically, the unit replay (tests/test_extensions.py) simulates the
+same skip rule, and the unrolled-CTE DuckDB oracle applies the same
+double replace — so the gate is exact by construction, not by luck.
+The '_' end-of-word symbol cannot collide: vocabulary words are
+``^[a-z]+$``.
 
 Oracle: the FULL pipeline replayed in DuckDB as an unrolled chain of
 ``K`` (pair-count → arg-best → merge-apply) CTE triples over the same
@@ -60,14 +71,23 @@ def _dict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=8)
 def _train(sf_dir: str) -> tuple[tuple, tuple]:
     """(merge table rows, final (word, n_tokens) rows) — deterministic
-    per sf_dir, so cached across the train/apply ops of one run.
+    per corpus, cached across the train/apply ops of one run.
 
-    Needs an active session; the registry always calls through
-    ``text_bpe_train``/``text_bpe_apply`` which provide one.
+    The cache key includes the corpus content fingerprint (ADVICE r2:
+    keyed by path alone, a regenerated ``/root/testdata`` under the
+    same path would serve stale merges for the process lifetime).
     """
+    from ..fixtures import fixture_key
+
+    return _train_cached(sf_dir, fixture_key(sf_dir))
+
+
+@lru_cache(maxsize=8)
+def _train_cached(sf_dir: str, _corpus_fingerprint: str) -> tuple[tuple, tuple]:
+    """Needs an active session; the registry always calls through
+    ``text_bpe_train``/``text_bpe_apply`` which provide one."""
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     dict_rows = [(r.w, r.freq) for r in _dict_frame(spark, sf_dir).collect()]
 

@@ -39,15 +39,44 @@ def _sql_runner(name: str) -> QueryFn:
     return run
 
 
-#: Extension ids inserted immediately after the 73-query corpus, most
-#: load-bearing first (SURVEY §2.3 "driver-window ranking"): the
-#: driver's correctness gate walks the registry in insertion order and
-#: round 1 showed it checks a bounded prefix (exactly the first 50
-#: entries), so insertion order IS the hard-signal budget.  The corpus
-#: stays first — it is the declared contract — and these are the
-#: extensions the contract values most: the LLM-pipeline dedup/ANN
-#: family, the streaming/CDC lakehouse path, the astronomy surface the
-#: reference exists to serve, and the scale-strategy joins.
+#: Ids that already have a green driver CORRECTNESS row from a prior
+#: round (rows+schema+hash all true, err:null).  Snapshotted as a
+#: literal so a corpus reorder can never silently shift which ids we
+#: believe are on the record.  ``build_queries()`` pushes these BEHIND
+#: the not-yet-verified priority window, so each round's 50-entry
+#: driver prefix yields 50 NEW hard-signal rows (VERDICT r2 "Next
+#: round" #1: rotate the window; cumulative driver-verified coverage
+#: grows 50 ids per round instead of being capped at 17%).  The
+#: rotated-out prefix stays covered by the local regression net
+#: (scripts/check_corpus.py full sweep + tests/test_corpus.py).
+DRIVER_VERIFIED: tuple[str, ...] = (
+    # rounds 1–2 (CORRECTNESS_r01 + r02): the first 50 corpus ids.
+    "scan_project", "filter_compound", "filter_null_logic", "case_when",
+    "join_inner", "join_broadcast_dim", "join_multiway_q5",
+    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_in_subquery", "join_theta_band",
+    "join_equi_residual", "join_interval", "join_cross", "join_asof",
+    "join_self_lineitem", "agg_global", "agg_groupby_q1", "agg_distinct",
+    "agg_having", "agg_grouping_sets", "agg_rollup", "agg_cube",
+    "agg_stats", "agg_corr", "agg_percentile", "agg_minmax_by",
+    "agg_filter_pivot", "agg_bool", "agg_string_sorted",
+    "win_topk_per_group", "win_rank_dense", "win_lag_lead",
+    "win_running_sum", "win_range_frame", "win_ntile_pctrank",
+    "win_first_last", "topk_global", "sort_multi_key_limit",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "distinct_rows", "fn_string", "fn_regex", "fn_math",
+)
+
+
+#: Extension ids ranked most-load-bearing first (SURVEY §2.3
+#: "driver-window ranking"): the driver's correctness gate walks the
+#: registry in insertion order and checks a bounded prefix (exactly the
+#: first 50 entries, rounds 1–2), so insertion order IS the hard-signal
+#: budget.  Unverified corpus ids outrank these (the corpus is the
+#: declared contract); within extensions these are the ones the
+#: contract values most: the LLM-pipeline dedup/ANN family, the
+#: streaming/CDC lakehouse path, the astronomy surface the reference
+#: exists to serve, and the scale-strategy joins.
 RANKED_EXTENSIONS: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "ann_ivf_topk",
@@ -76,6 +105,11 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "ann_recall_eval",
     "sketch_hll_estimate",
     "rollup_serve_monthly",
+    # --- round-3 window boundary (entries above fill CORRECTNESS_r03;
+    # the three round-3 additions below lead the round-4 window) ---
+    "agg_map_entries",
+    "join_skew_aqe",
+    "source_fitslike_varlen",
     "udf_zscore_pandas",
     "decontaminate_ngram",
     "text_bpe_train",
@@ -103,6 +137,26 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
 )
 
 
+def driver_window_order(all_names: list[str]) -> list[str]:
+    """Registry emission order: not-yet-driver-verified ids first (the
+    50-entry driver prefix = new hard-signal rows every round), ranked
+    contract-first, then the already-verified ids in their original
+    relative order.
+
+    Priority within the unverified block: (1) corpus ids in corpus
+    order — the declared contract gets driver rows before any
+    extension; (2) ``RANKED_EXTENSIONS`` in rank order; (3) the
+    remaining extensions in registration order.
+    """
+    verified = set(DRIVER_VERIFIED)
+    head: list[str] = [n for n in corpus.QUERY_NAMES if n not in verified]
+    head += [n for n in RANKED_EXTENSIONS if n not in verified]
+    seen = set(head)
+    head += [n for n in all_names if n not in seen and n not in verified]
+    seen.update(head)
+    return head + [n for n in all_names if n not in seen]
+
+
 def build_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {name: _sql_runner(name) for name in corpus.QUERY_NAMES}
 
@@ -125,7 +179,10 @@ def build_queries() -> dict[str, QueryFn]:
         if name in corpus.QUERY_NAMES:
             raise ValueError(f"extension query {name!r} collides with corpus id")
         out[name] = EXTENSION_QUERIES[name]
-    return out
+    unknown = [n for n in DRIVER_VERIFIED if n not in out]
+    if unknown:
+        raise ValueError(f"DRIVER_VERIFIED ids not registered: {unknown}")
+    return {n: out[n] for n in driver_window_order(list(out))}
 
 
 def build_oracles() -> dict[str, str]:

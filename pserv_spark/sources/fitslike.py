@@ -29,6 +29,14 @@ Semantics preserved from the reference loader:
 - NaN → SQL NULL (the ``\\N`` sentinel semantics of ``load_csv``);
 - ``A``-type fields: trailing space/NUL padding stripped.
 
+Round 3 (VERDICT r2 next-round #3) extends coverage to the astropy/
+cfitsio conventions real catalogs carry: ``TSCALn``/``TZEROn`` linear
+scaling (§7.3.2 — unsigned-integer shifts stay LongType, real scales
+decode to DoubleType), fixed repeat counts (``3E`` → array column,
+``1D`` → scalar as astropy writes it), and variable-length array
+columns (``P``/``Q`` descriptors into the PCOUNT heap, §7.3.5) read
+as Spark ArrayType.  Supported base codes: B I J K E D A.
+
 Scale shape: ``partitions()`` carves row ranges (no data read on the
 driver); each task seeks directly to its block, so reads are
 embarrassingly parallel and memory-bounded by the block size.
@@ -51,13 +59,105 @@ from pyspark.sql import types as T
 
 _BLOCK = 2880  # FITS logical record size
 
-#: FITS TFORM code -> (struct format char, Spark type, byte width)
+#: FITS TFORM base code -> (struct format char, Spark type, byte width)
 _CODES = {
+    "B": (">B", T.ShortType(), 1),
+    "I": (">h", T.ShortType(), 2),
     "J": (">i", T.IntegerType(), 4),
     "K": (">q", T.LongType(), 8),
     "E": (">f", T.FloatType(), 4),
     "D": (">d", T.DoubleType(), 8),
 }
+
+
+class _Col:
+    """Decoded TFORM (+ optional TSCALn/TZEROn) for one field.
+
+    kind: 'fixed' (scalar), 'str' (rA char field), 'arr' (rX fixed
+    repeat), 'varlen' ('P'/'Q' array descriptor into the heap —
+    FITS Standard 4.0 §7.3.5).  ``row_fmt`` is this field's fragment
+    of the row struct (descriptors contribute their 2-integer form),
+    ``width`` its byte width inside NAXIS1.
+
+    TSCALn/TZEROn (§7.3.2, physical = TZERO + TSCAL × stored) is how
+    astropy/cfitsio store unsigned integers (TZERO = 2^(bits−1),
+    TSCAL = 1) and quantized floats in integer columns.  Integer
+    shifts stay integral (LongType); any non-unit scale goes to
+    DoubleType.  Scaling applies to scalar and fixed-repeat numeric
+    fields (the standard defines it for heap arrays too; astropy
+    does not emit that combination, and we reject it loudly rather
+    than guess).
+    """
+
+    def __init__(self, code: str, tscal: float | None, tzero: float | None):
+        code = code.strip()
+        self.code = code
+        self.scale = 1.0 if tscal is None else float(tscal)
+        self.zero = 0.0 if tzero is None else float(tzero)
+        self.scaled = tscal is not None or tzero is not None
+        self.int_shift = (
+            self.scaled
+            and float(self.scale) == 1.0
+            and float(self.zero) == int(self.zero)
+        )
+        body = code.lstrip("0123456789")
+        if body[:1] in ("P", "Q"):
+            # rP<base>(max) / rQ<base>(max); repeat r (if present) must
+            # be 0 or 1 for a descriptor column
+            kind, base = body[0], body[1]
+            if base not in _CODES:
+                raise ValueError(f"unsupported varlen base in TFORM {code!r}")
+            if self.scaled:
+                raise ValueError(
+                    f"TSCAL/TZERO on variable-length column {code!r} not supported"
+                )
+            self.kind = "varlen"
+            self.base_fmt, base_type, self.base_width = _CODES[base]
+            self.row_fmt = "qq" if kind == "Q" else "ii"
+            self.width = 16 if kind == "Q" else 8
+            self.dtype = T.ArrayType(base_type)
+            return
+        # split leading repeat count
+        i = 0
+        while i < len(code) and code[i].isdigit():
+            i += 1
+        repeat = int(code[:i]) if i else 1
+        base = code[i:]
+        if base == "A":
+            self.kind = "str"
+            self.row_fmt = f"{repeat}s"
+            self.width = repeat
+            self.dtype = T.StringType()
+            return
+        if base not in _CODES:
+            raise ValueError(f"unsupported TFORM code {code!r}")
+        fmt, dtype, w = _CODES[base]
+        if self.scaled:
+            dtype = T.LongType() if self.int_shift else T.DoubleType()
+        if repeat == 1:  # astropy writes '1D' for scalars — same thing
+            self.kind = "fixed"
+            self.row_fmt = fmt.lstrip(">")
+            self.width = w
+        else:
+            self.kind = "arr"
+            self.row_fmt = fmt.lstrip(">") * repeat
+            self.width = w * repeat
+            self.repeat = repeat
+            self.dtype = T.ArrayType(dtype)
+            return
+        self.dtype = dtype
+
+    def n_row_values(self) -> int:
+        if self.kind == "arr":
+            return self.repeat
+        return 2 if self.kind == "varlen" else 1
+
+    def apply_scaling(self, v):
+        if v is None or not self.scaled:
+            return v
+        if self.int_shift:
+            return int(v) + int(self.zero)
+        return self.zero + self.scale * v
 
 
 def _card_int(key: str, v: int) -> str:
@@ -75,6 +175,12 @@ def _card_str(key: str, s: str) -> str:
     """Character-string card: opening quote at byte 11, value padded to
     the minimum 8 characters inside the quotes (§4.2.1)."""
     return f"{key:<8}= '{s:<8}'"
+
+
+def _card_flt(key: str, v: float) -> str:
+    """Fixed-format floating card: value right-justified in bytes 11-30
+    (§4.2.4).  ``repr`` round-trips doubles exactly in both directions."""
+    return f"{key:<8}= {v!r:>20}"
 
 
 def _pack_cards(cards: list[str]) -> bytes:
@@ -100,25 +206,34 @@ def _header_cards(
     nrows: int,
     row_bytes: int,
     sort_key: str | None = None,
+    pcount: int = 0,
+    scales: dict[str, tuple[float, float]] | None = None,
 ) -> bytes:
     """The BINTABLE extension header, mandatory keywords in the order
     the standard requires (§7.3.1: XTENSION, BITPIX, NAXIS, NAXIS1,
     NAXIS2, PCOUNT, GCOUNT, TFIELDS, then the TTYPEn/TFORMn cards).
-    SORTKEY is a local convention — unknown keywords are legal FITS and
-    ignored by other readers; this one drives block pruning."""
+    PCOUNT carries the variable-length heap size (§7.3.5); TSCALn /
+    TZEROn record the §7.3.2 linear scaling.  SORTKEY is a local
+    convention — unknown keywords are legal FITS and ignored by other
+    readers; this one drives block pruning."""
+    scales = scales or {}
     cards = [
         _card_str("XTENSION", "BINTABLE"),
         _card_int("BITPIX", 8),
         _card_int("NAXIS", 2),
         _card_int("NAXIS1", row_bytes),
         _card_int("NAXIS2", nrows),
-        _card_int("PCOUNT", 0),
+        _card_int("PCOUNT", pcount),
         _card_int("GCOUNT", 1),
         _card_int("TFIELDS", len(colspec)),
     ]
     for i, (name, code) in enumerate(colspec, start=1):
         cards.append(_card_str(f"TTYPE{i}", name))
         cards.append(_card_str(f"TFORM{i}", code))
+        if name in scales:
+            tscal, tzero = scales[name]
+            cards.append(_card_flt(f"TSCAL{i}", float(tscal)))
+            cards.append(_card_flt(f"TZERO{i}", float(tzero)))
     if sort_key:
         cards.append(_card_str("SORTKEY", sort_key))
     cards.append("END")
@@ -126,12 +241,9 @@ def _header_cards(
 
 
 def _parse_code(code: str) -> tuple[str, T.DataType, int]:
-    if code in _CODES:
-        return _CODES[code]
-    if code.endswith("A"):
-        n = int(code[:-1] or 1)
-        return (f"{n}s", T.StringType(), n)
-    raise ValueError(f"unsupported TFORM code {code!r}")
+    """Back-compat shim for fixed-width codes (pre-round-3 callers)."""
+    c = _Col(code, None, None)
+    return (">" + c.row_fmt if c.kind == "fixed" else c.row_fmt, c.dtype, c.width)
 
 
 def write_fitslike(
@@ -139,30 +251,76 @@ def write_fitslike(
     colspec: list[tuple[str, str]],
     rows: list[tuple],
     sort_key: str | None = None,
+    scales: dict[str, tuple[float, float]] | None = None,
 ) -> None:
     """Write a FITS-style binary table (fixture generator / export).
 
     ``sort_key`` declares that ``rows`` are ascending in that column
     (recorded as a SORTKEY header card); the reader exploits it for
-    block-level filter pushdown."""
-    fmts = [_parse_code(c) for _n, c in colspec]
-    row_bytes = sum(w for _f, _t, w in fmts)
+    block-level filter pushdown.
+
+    ``scales`` maps column name → (TSCAL, TZERO): the cell value is the
+    PHYSICAL value and the writer stores round((v − TZERO) / TSCAL) in
+    the declared integer type — the §7.3.2 convention astropy uses for
+    unsigned ints and quantized floats.
+
+    Variable-length columns ('P<base>(max)' TFORM) take a Python list
+    per cell (or None ⇒ empty): elements are packed onto the heap and
+    the row stores the (count, offset) descriptor; PCOUNT carries the
+    heap size (THEAP stays at its default, directly after the main
+    table — §7.3.5)."""
+    scales = scales or {}
+    cols = [
+        _Col(code, *(scales.get(name) or (None, None)))
+        for name, code in colspec
+    ]
+    row_bytes = sum(c.width for c in cols)
+    main_parts: list[bytes] = []
+    heap = bytearray()
+    for row in rows:
+        for col, v in zip(cols, row):
+            if col.kind == "str":
+                s = ("" if v is None else str(v)).encode("ascii")[: col.width]
+                main_parts.append(s.ljust(col.width, b" "))
+            elif col.kind == "varlen":
+                elems = list(v or ())
+                off = len(heap)
+                for e in elems:
+                    heap += struct.pack(col.base_fmt, e)
+                main_parts.append(
+                    struct.pack(">" + col.row_fmt, len(elems), off)
+                )
+            elif col.kind == "arr":
+                elems = list(v)
+                if len(elems) != col.repeat:
+                    raise ValueError(
+                        f"fixed-repeat column expects {col.repeat} elems"
+                    )
+                main_parts.append(struct.pack(">" + col.row_fmt, *elems))
+            elif v is None:
+                # FITS has no integer NULL without TNULLn; fixture
+                # uses NaN for floats (the case the loader handles).
+                main_parts.append(struct.pack(">" + col.row_fmt, float("nan")))
+            elif col.scaled:
+                stored = round((v - col.zero) / col.scale)
+                main_parts.append(struct.pack(">" + col.row_fmt, int(stored)))
+            else:
+                main_parts.append(struct.pack(">" + col.row_fmt, v))
     with open(path, "wb") as f:
         f.write(primary_hdu())
-        f.write(_header_cards(colspec, len(rows), row_bytes, sort_key))
-        for row in rows:
-            for (fmt, dtype, width), v in zip(fmts, row):
-                if fmt.endswith("s"):
-                    s = ("" if v is None else str(v)).encode("ascii")[:width]
-                    f.write(s.ljust(width, b" "))
-                elif v is None:
-                    # FITS has no integer NULL without TNULLn; fixture
-                    # uses NaN for floats (the case the loader handles).
-                    f.write(struct.pack(fmt, float("nan")))
-                else:
-                    f.write(struct.pack(fmt, v))
-        pad = (-(row_bytes * len(rows))) % _BLOCK
-        f.write(b"\x00" * pad)
+        f.write(
+            _header_cards(
+                colspec,
+                len(rows),
+                row_bytes,
+                sort_key,
+                pcount=len(heap),
+                scales=scales,
+            )
+        )
+        data = b"".join(main_parts) + bytes(heap)
+        f.write(data)
+        f.write(b"\x00" * ((-len(data)) % _BLOCK))
 
 
 def _read_one_header(f) -> dict[str, str]:
@@ -196,12 +354,35 @@ def _hdu_data_bytes(cards: dict[str, str]) -> int:
     return size + ((-size) % _BLOCK)
 
 
-def read_header(
-    path: str,
-) -> tuple[list[tuple[str, str]], int, int, int, str | None]:
-    """(colspec, nrows, row_bytes, data_offset, sort_key).
+class _TableHeader:
+    """Parsed BINTABLE header: column specs (with §7.3.2 scaling
+    attached), geometry, and the heap location for §7.3.5
+    variable-length arrays."""
 
-    Walks real FITS HDU structure: a dataless primary HDU
+    def __init__(self, cards: dict[str, str], offset: int):
+        nfields = int(cards["TFIELDS"])
+        self.colspec = [
+            (cards[f"TTYPE{i}"], cards[f"TFORM{i}"]) for i in range(1, nfields + 1)
+        ]
+        self.cols = [
+            _Col(
+                cards[f"TFORM{i}"],
+                float(cards[f"TSCAL{i}"]) if f"TSCAL{i}" in cards else None,
+                float(cards[f"TZERO{i}"]) if f"TZERO{i}" in cards else None,
+            )
+            for i in range(1, nfields + 1)
+        ]
+        self.nrows = int(cards["NAXIS2"])
+        self.row_bytes = int(cards["NAXIS1"])
+        self.offset = offset
+        self.sort_key = cards.get("SORTKEY")
+        # §7.3.5: heap starts THEAP bytes into the data area; default =
+        # directly after the main table
+        self.theap = int(cards.get("THEAP", self.nrows * self.row_bytes))
+
+
+def read_header_ex(path: str) -> _TableHeader:
+    """Walks real FITS HDU structure: a dataless primary HDU
     (SIMPLE/NAXIS=0) and any non-table extensions are skipped until the
     first BINTABLE.  Files written before the round-2 strict-compliance
     upgrade (single extension header, no primary HDU) parse identically
@@ -210,20 +391,71 @@ def read_header(
         while True:
             cards = _read_one_header(f)
             if "TFIELDS" in cards:
-                offset = f.tell()
-                break
+                return _TableHeader(cards, f.tell())
             f.seek(_hdu_data_bytes(cards), os.SEEK_CUR)
-    nfields = int(cards["TFIELDS"])
-    colspec = [
-        (cards[f"TTYPE{i}"], cards[f"TFORM{i}"]) for i in range(1, nfields + 1)
-    ]
-    return (
-        colspec,
-        int(cards["NAXIS2"]),
-        int(cards["NAXIS1"]),
-        offset,
-        cards.get("SORTKEY"),
-    )
+
+
+def read_header(
+    path: str,
+) -> tuple[list[tuple[str, str]], int, int, int, str | None]:
+    """(colspec, nrows, row_bytes, data_offset, sort_key) — the
+    pre-round-3 5-tuple surface."""
+    h = read_header_ex(path)
+    return (h.colspec, h.nrows, h.row_bytes, h.offset, h.sort_key)
+
+
+class _RowCodec:
+    """Decodes one main-table row (+ heap fetches for variable-length
+    columns) into the physical-value tuple the DataFrame carries."""
+
+    def __init__(self, hdr: _TableHeader, nan_as_null: bool):
+        self.cols = hdr.cols
+        self.row_fmt = ">" + "".join(c.row_fmt for c in self.cols)
+        self.heap_base = hdr.offset + hdr.theap
+        self.nan_as_null = nan_as_null
+        self._struct: struct.Struct | None = None  # compiled lazily —
+        # the reader is pickled to executors and Struct isn't picklable
+
+    def __getstate__(self):
+        return {**self.__dict__, "_struct": None}
+
+    def decode(self, f, raw: bytes) -> tuple:
+        if self._struct is None:
+            self._struct = struct.Struct(self.row_fmt)
+        vals = self._struct.unpack(raw)
+        out: list = []
+        i = 0
+        for c in self.cols:
+            n = c.n_row_values()
+            chunk = vals[i : i + n]
+            i += n
+            if c.kind == "str":
+                out.append(chunk[0].rstrip(b" \x00").decode("ascii"))
+            elif c.kind == "varlen":
+                cnt, off = chunk
+                if cnt:
+                    cur = f.tell()
+                    f.seek(self.heap_base + off)
+                    data = f.read(cnt * c.base_width)
+                    f.seek(cur)
+                    out.append(
+                        list(struct.unpack(">" + c.base_fmt[1:] * cnt, data))
+                    )
+                else:
+                    out.append([])
+            elif c.kind == "arr":
+                out.append([c.apply_scaling(v) for v in chunk])
+            else:
+                v = chunk[0]
+                if (
+                    self.nan_as_null
+                    and isinstance(v, float)
+                    and math.isnan(v)
+                ):
+                    out.append(None)
+                else:
+                    out.append(c.apply_scaling(v))
+        return tuple(out)
 
 
 class _RowRange(InputPartition):
@@ -236,15 +468,13 @@ class FitsLikeReader(DataSourceReader):
     def __init__(self, path: str, rows_per_block: int, nan_as_null: bool):
         self.path = path
         self.rows_per_block = rows_per_block
-        self.nan_as_null = nan_as_null
-        (
-            self.colspec,
-            self.nrows,
-            self.row_bytes,
-            self.offset,
-            self.sort_key,
-        ) = read_header(path)
-        self.fmts = [_parse_code(c) for _n, c in self.colspec]
+        self.hdr = read_header_ex(path)
+        self.codec = _RowCodec(self.hdr, nan_as_null)
+        self.colspec = self.hdr.colspec
+        self.nrows = self.hdr.nrows
+        self.row_bytes = self.hdr.row_bytes
+        self.offset = self.hdr.offset
+        self.sort_key = self.hdr.sort_key
         self.lo: float | None = None  # pushed lower bound on sort_key
         self.hi: float | None = None  # pushed upper bound
 
@@ -298,8 +528,11 @@ class FitsLikeReader(DataSourceReader):
             return blocks
         names = [c for c, _code in self.colspec]
         idx = names.index(self.sort_key)
-        col_off = sum(w for _f, _t, w in self.fmts[:idx])
-        fmt, _t, width = self.fmts[idx]
+        cols = self.hdr.cols
+        if cols[idx].kind != "fixed":
+            return blocks  # sort keys are scalar columns only
+        col_off = sum(c.width for c in cols[:idx])
+        fmt, width = ">" + cols[idx].row_fmt, cols[idx].width
         kept = []
         with open(self.path, "rb") as f:
             for b in blocks:
@@ -313,22 +546,10 @@ class FitsLikeReader(DataSourceReader):
         return kept or [_RowRange(0, 0)]
 
     def read(self, partition: _RowRange) -> Iterator[tuple]:
-        fmt = ">" + "".join(f.lstrip(">") for f, _t, _w in self.fmts)
-        unpack = struct.Struct(fmt).unpack
         with open(self.path, "rb") as f:
             f.seek(self.offset + partition.start * self.row_bytes)
             for _ in range(partition.end - partition.start):
-                raw = f.read(self.row_bytes)
-                vals = unpack(raw)
-                out = []
-                for (code, dtype, _w), v in zip(self.fmts, vals):
-                    if code.endswith("s"):
-                        out.append(v.rstrip(b" \x00").decode("ascii"))
-                    elif self.nan_as_null and isinstance(v, float) and math.isnan(v):
-                        out.append(None)
-                    else:
-                        out.append(v)
-                yield tuple(out)
+                yield self.codec.decode(f, f.read(self.row_bytes))
 
 
 class FitsLikeSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -345,29 +566,20 @@ class FitsLikeSimpleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str, rows_per_batch: int, nan_as_null: bool):
         self.path = path
         self.rows_per_batch = rows_per_batch
-        self.nan_as_null = nan_as_null
-        self.colspec, self.nrows, self.row_bytes, self.offset, _sk = read_header(path)
-        self.fmts = [_parse_code(c) for _n, c in self.colspec]
+        self.hdr = read_header_ex(path)
+        self.codec = _RowCodec(self.hdr, nan_as_null)
+        self.nrows = self.hdr.nrows
+        self.row_bytes = self.hdr.row_bytes
+        self.offset = self.hdr.offset
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"row": 0}
 
     def _rows(self, lo: int, hi: int) -> Iterator[tuple]:
-        fmt = ">" + "".join(f.lstrip(">") for f, _t, _w in self.fmts)
-        unpack = struct.Struct(fmt).unpack
         with open(self.path, "rb") as f:
             f.seek(self.offset + lo * self.row_bytes)
             for _ in range(hi - lo):
-                vals = unpack(f.read(self.row_bytes))
-                out = []
-                for (code, dtype, _w), v in zip(self.fmts, vals):
-                    if code.endswith("s"):
-                        out.append(v.rstrip(b" \x00").decode("ascii"))
-                    elif self.nan_as_null and isinstance(v, float) and math.isnan(v):
-                        out.append(None)
-                    else:
-                        out.append(v)
-                yield tuple(out)
+                yield self.codec.decode(f, f.read(self.row_bytes))
 
     def read(self, start: dict):
         # iter(list), not a generator: Spark's driver-side prefetch
@@ -397,11 +609,11 @@ class FitsLikeDataSource(DataSource):
         return "fitslike"
 
     def schema(self) -> T.StructType:
-        colspec, _n, _rb, _off, _sk = read_header(self.options["path"])
+        hdr = read_header_ex(self.options["path"])
         return T.StructType(
             [
-                T.StructField(name, _parse_code(code)[1])
-                for name, code in colspec
+                T.StructField(name, col.dtype)
+                for (name, _code), col in zip(hdr.colspec, hdr.cols)
             ]
         )
 

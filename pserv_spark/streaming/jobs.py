@@ -108,7 +108,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import catalog
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from ..fixtures import fixture_key
+
+    key = fixture_key(sf_dir)
     src = os.path.join(tempfile.gettempdir(), f"pserv_cdc_src_{key}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         (
@@ -443,7 +445,7 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.jdbc_ops import _derby_url
 
-    url, props, _db = _derby_url(sf_dir + "#stream_sink")
+    url, props, _db = _derby_url(spark, sf_dir, tag="_ssink")
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),

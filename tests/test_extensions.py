@@ -1551,11 +1551,47 @@ def test_runs_test_matches_python(spark, sf_oracle):
         assert got[uid] == (n1, n2, runs, z), uid
 
 
+def _merge_pass_with_space_skip(s: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right pass of the DEPLOYED merge semantics
+    (tokenize_ops docstring, ADVICE r2): adjacent occurrences share a
+    delimiting space in the string form, so the symbol immediately
+    after a merge can neither start nor complete a match in the same
+    pass — it is emitted verbatim and skipped."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
+            out.append(a + b)
+            i += 2
+            if i < len(s):  # shared-space skip
+                out.append(s[i])
+                i += 1
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def test_merge_semantics_pinned_on_identical_runs():
+    """The deployed two-pass replace is NOT textbook greedy for runs of
+    ≥6 identical symbols — pin the divergence so the semantics contract
+    is explicit, and prove the token-level simulation used by the
+    replay test equals the string-level production form."""
+    toks = list("aaaaaa")
+    two_pass = _merge_pass_with_space_skip(
+        _merge_pass_with_space_skip(toks, "a", "a"), "a", "a"
+    )
+    assert two_pass == ["aa", "a", "aa", "a"]  # greedy would give [aa,aa,aa]
+    s = " " + " ".join(toks) + " "
+    s = s.replace(" a a ", " aa ").replace(" a a ", " aa ")
+    assert s.split() == two_pass
+
+
 def test_bpe_train_matches_hand_computed_merges(spark, sf_oracle):
     """Independent replay: rebuild the dictionary with plain Python
-    over the raw parquet (pyarrow, no Spark/DuckDB) and run a separate
-    straightforward BPE implementation; the op's merge table must match
-    exactly."""
+    over the raw parquet (pyarrow, no Spark/DuckDB) and apply the
+    deployed two-pass merge semantics via an independent token-level
+    simulation; the op's merge table must match exactly."""
     import re
 
     import pyarrow.parquet as pq
@@ -1584,15 +1620,9 @@ def test_bpe_train_matches_hand_computed_merges(spark, sf_oracle):
                 cnt[(a, b)] = cnt.get((a, b), 0) + f
         (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
         for w in seqs:
-            s, out, i = seqs[w], [], 0
-            while i < len(s):
-                if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = out
+            seqs[w] = _merge_pass_with_space_skip(
+                _merge_pass_with_space_skip(seqs[w], a, b), a, b
+            )
         expected.append((k, f"{a} {b}", a + b, c))
 
     got = sorted(tuple(r) for r in text_bpe_train(spark, sf_oracle).collect())

@@ -57,14 +57,28 @@ def test_scan_hazards_allows_primitives():
 
 def test_registry_size_and_order_are_pinned():
     """The driver walks the registry in insertion order and checks a
-    bounded prefix (SURVEY §2.3 driver-window ranking): the corpus must
-    come first, then RANKED_EXTENSIONS, and the total must match the
-    declared surface — accidental shrinkage (e.g. an operator module
-    failing to register) must fail loudly here, not at judge time."""
-    from pserv_spark.registry import RANKED_EXTENSIONS, build_queries
+    bounded prefix of exactly 50 entries (rounds 1–2), so the prefix is
+    the round's hard-signal budget.  Round 3 rotates it (VERDICT r2
+    next-round #1): not-yet-driver-verified ids come first — unverified
+    corpus ids in corpus order, then RANKED_EXTENSIONS — and the
+    already-verified ids (DRIVER_VERIFIED) sit behind the window.
+    Accidental shrinkage (e.g. an operator module failing to register)
+    must fail loudly here, not at judge time."""
+    from pserv_spark.registry import (
+        DRIVER_VERIFIED,
+        RANKED_EXTENSIONS,
+        build_queries,
+    )
 
     names = list(build_queries())
-    assert len(names) == 298, len(names)
-    assert names[: len(corpus.QUERY_NAMES)] == list(corpus.QUERY_NAMES)
-    n_corpus = len(corpus.QUERY_NAMES)
-    assert tuple(names[n_corpus : n_corpus + len(RANKED_EXTENSIONS)]) == RANKED_EXTENSIONS
+    assert len(names) == 301, len(names)
+    assert len(names) == len(set(names))
+    verified = set(DRIVER_VERIFIED)
+    unverified_corpus = [n for n in corpus.QUERY_NAMES if n not in verified]
+    unranked = [n for n in RANKED_EXTENSIONS if n not in verified]
+    expected_head = unverified_corpus + unranked
+    assert names[: len(expected_head)] == expected_head
+    # No already-verified id may occupy a slot in the 50-entry window.
+    assert not set(names[:50]) & verified
+    # Every registered id is either in the head or verified-tail zone.
+    assert set(names[len(expected_head) :]) >= verified

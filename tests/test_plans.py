@@ -228,6 +228,55 @@ def test_salted_join_shuffles_not_broadcasts(spark, sf_oracle):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_aqe_skew_join_splits(spark, sf_oracle):
+    """join_skew_aqe's whole premise is that AQE's runtime skew-split
+    replaces the manual salt — prove the mechanism actually fires.  A
+    deliberately skewed fact (one hot key holding ~99% of rows) is
+    sort-merge-joined under lowered split thresholds; the AQE-final
+    plan must carry the skew=true marker on the join, and the result
+    must equal the unskewed-path count (the split is a pure physical
+    rewrite)."""
+    from pserv_spark.plans import final_plan
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        import pyspark.sql.functions as F
+
+        # The payload must be incompressible and survive into the join
+        # output: a constant hot key with no payload compresses to a
+        # few KB of shuffle bytes and AQE (correctly) sees no skew.
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name")
+        ).hint("merge")
+        joined = fact.join(dim, "k").groupBy("name").agg(
+            F.count("*").alias("n"), F.sum(F.length("payload")).alias("s")
+        )
+        plan = final_plan(joined)
+        assert "skew=true" in plan, plan
+        assert joined.agg(F.sum("n")).collect()[0][0] == 400_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_chunking_is_shuffle_free(spark, sf_oracle):
     """Sliding-window chunking is per-row generate+explode — any
     Exchange in the plan means it stopped being embarrassingly
