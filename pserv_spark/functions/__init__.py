@@ -19,8 +19,10 @@ from .text import (
     jaccard,
 )
 from .vector import dot, l2_norm, cosine
+from .setjoin import prefix_filter_candidates
 
 __all__ = [
+    "prefix_filter_candidates",
     "tokens",
     "distinct_tokens",
     "char_shingles",

@@ -1,0 +1,77 @@
+"""Prefix-filtered set-similarity candidate generation (ppjoin family).
+
+The one DataFrame-level combinator in the functions layer: it is the
+shared *plan shape* behind every exact Jaccard-threshold join in the
+engine (corpus ``dedup_jaccard`` on word tokens, extension
+``dedup_ngram_jaccard`` on character shingles).
+
+Prefix-filter theorem (Chaudhuri/Ganti/Kaushik 2006; Xiao et al.
+ppjoin 2008 — public literature, PAPERS.md): under any total order of
+the element universe shared by both sides, two sets A, B with
+``J(A,B) >= t`` must share at least one element within each other's
+first ``|S| - ceil(t*|S|) + 1`` elements.  Candidates therefore come
+from an **equi-join on prefix elements** — lossless, and the plan
+survives a 100x scale-up (shuffle on element, AQE splits hot keys)
+where the all-pairs theta join the theorem replaces is O(N^2).
+
+The order used is ascending *global document frequency* (ties by
+element value): rare elements land in prefixes, so the candidate join
+fans out on low-frequency keys instead of recreating the quadratic
+hot-key join on ubiquitous elements.  Any shared total order keeps the
+filter lossless; this one keeps it cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Slack subtracted before ``ceil(t*n)``: when ``t*n`` is an exact
+#: integer mathematically, float rounding may land an ulp above it and
+#: ceil one too high — shortening the prefix below the theorem's bound
+#: (lossy).  Subtracting far-more-than-ulp, far-less-than-1 slack can
+#: only lengthen a prefix (extra candidates, never missed ones).
+_CEIL_SLACK = 1e-9
+
+
+def prefix_filter_candidates(
+    sets: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Candidate id pairs ``(d1, d2)``, ``d1 < d2``, guaranteed to be a
+    superset of all pairs with ``J(set_a, set_b) >= threshold``.
+
+    ``sets`` must be unique on ``id_col``; ``set_col`` is an array of
+    *distinct* elements (string or any orderable atomic type).  The
+    caller verifies candidates with the exact Jaccard predicate — this
+    function only bounds the search space.
+    """
+    n = F.size(set_col)
+    exploded = sets.select(
+        F.col(id_col).alias("__id"),
+        n.alias("__n"),
+        F.explode(set_col).alias("__w"),
+    )
+    dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
+    ordered = (
+        exploded.join(dfreq, "__w")
+        .groupBy("__id", "__n")
+        .agg(F.array_sort(F.collect_list(F.struct("__dfq", "__w"))).alias("__osh"))
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_SLACK))
+        + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "__id",
+        F.explode(
+            F.transform(F.slice("__osh", F.lit(1), prefix_len), lambda x: x["__w"])
+        ).alias("__p"),
+    )
+    return (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb"), "__p")
+        .where(F.col("pa.__id") < F.col("pb.__id"))
+        .select(F.col("pa.__id").alias("d1"), F.col("pb.__id").alias("d2"))
+        .distinct()
+    )

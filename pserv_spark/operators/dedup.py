@@ -41,6 +41,7 @@ from ..functions import (
     fingerprint_key,
     jaccard,
     minhash_expr,
+    prefix_filter_candidates,
     token_hash32,
     cosine,
 )
@@ -265,36 +266,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    # ppjoin ordering: prefixes are taken under ascending *document
-    # frequency* (ties by shingle) — a lexicographic order would put
-    # the same ubiquitous shingles in every prefix and recreate the
-    # quadratic hot-key join this operator exists to avoid.  Any total
-    # order shared by both sides keeps the filter lossless.
-    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
-    dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
-    ordered = (
-        exploded.join(dfreq, "w")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
-    )
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(NGRAM_JACCARD) * F.col("n_sh")) + 1
-    ).cast("int")
-    prefixes = ordered.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"]
-            )
-        ).alias("p"),
-    )
-    cand = (
-        prefixes.alias("pa")
-        .join(prefixes.alias("pb"), "p")
-        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .select(F.col("pa.doc_id").alias("d1"), F.col("pb.doc_id").alias("d2"))
-        .distinct()
-    )
+    # Candidate generation lives in functions/setjoin.py (shared with
+    # the corpus dedup_jaccard): ppjoin prefixes under ascending
+    # document frequency — rare shingles land in prefixes, so the
+    # equi-join fans out on low-frequency keys instead of recreating
+    # the quadratic hot-key join this operator exists to avoid.
+    cand = prefix_filter_candidates(sh, "doc_id", "sh", NGRAM_JACCARD)
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
     return (
         cand.join(sh.alias("a"), cand.d1 == F.col("a.doc_id"))

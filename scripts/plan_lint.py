@@ -33,8 +33,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "vec_cone_search": "scalar-threshold scan (1-row broadcast)",
     "ann_recall_eval": "eval op: exact side is the measurement itself",
     "dedup_embedding_cosine": "exact baseline; scale path dedup_minhash_lsh",
-    "dedup_jaccard": "dim-scale token-set pairs; scale path dedup_minhash_lsh",
     "er_fuzzy_blocked": "blocked candidates; residual Levenshtein on blocks",
+    "dedup_jaccard": "prefix-filtered candidates (setjoin.py; listed defensively)",
     "dedup_ngram_jaccard": "prefix-filtered candidates",
     "dedup_containment": "one-sided prefix filter candidates",
     # 1-row scalar broadcast joins (aggregates joined onto the scan)
