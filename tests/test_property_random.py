@@ -147,6 +147,40 @@ def test_containment_prefix_filter_lossless_for_random_threshold(
     assert got == want, f"t={t}"
 
 
+@given(t=st.floats(min_value=0.55, max_value=0.95))
+@settings(**_SETTINGS)
+def test_prefix_filter_candidates_lossless_for_random_threshold(
+    spark, sf_oracle, t
+):
+    """The shared symmetric ppjoin combinator (functions/setjoin.py —
+    the candidate stage of dedup_jaccard / dedup_ngram_jaccard) is
+    lossless for ANY threshold: its candidate set contains every pair
+    with token-set Jaccard >= t (Python all-pairs recount), and the
+    verified result equals the recount exactly.  Threshold 0.9 with
+    |S| a multiple of 10 exercises the integer ceil(t*n) boundary the
+    helper's epsilon slack guards."""
+    from pserv_spark import catalog
+    from pserv_spark.functions import distinct_tokens, prefix_filter_candidates
+
+    docs = catalog.table(spark, sf_oracle, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
+    cand = {
+        (r.d1, r.d2)
+        for r in prefix_filter_candidates(tok, "doc_id", "ts", t).collect()
+    }
+
+    ds = {r.doc_id: set(r.text.split(" ")) for r in docs.collect()}
+    want = {
+        (a, b)
+        for a, sa in ds.items()
+        for b, sb in ds.items()
+        if a < b and len(sa & sb) / len(sa | sb) >= t
+    }
+    assert want <= cand, f"t={t}: missed {sorted(want - cand)[:5]}"
+
+
 @given(bucket_hours=st.integers(min_value=1, max_value=48))
 @settings(**_SETTINGS)
 def test_interval_overlap_bucketing_lossless_for_any_width(
