@@ -40,7 +40,6 @@ from ..functions import (
     char_shingles,
     fingerprint_key,
     jaccard,
-    minhash_expr,
     prefix_filter_candidates,
     token_hash32,
     cosine,
@@ -93,12 +92,51 @@ _FP_ORACLE = (
 
 
 def _minhash_signature(docs: DataFrame) -> DataFrame:
+    """8-component MinHash from TWO md5 evaluations per shingle row:
+    ``h1..h4`` are the four 8-hex-char (32-bit) slices of
+    ``md5('mhA'||w)``, ``h5..h8`` of ``md5('mhB'||w)``.  md5's
+    avalanche makes the slices independent hash functions, and the
+    DuckDB oracle reproduces them byte-for-byte (md5 + substr agree
+    across engines).  Two hashes instead of eight per exploded shingle
+    — the signature aggregation was the operator's dominant scan cost
+    (the hashes are projected BEFORE the agg so each is computed once,
+    not once per component)."""
     tok = docs.select(
         "doc_id", F.explode(token_shingles("text")).alias("w")
     )
-    return tok.groupBy("doc_id").agg(
-        *[minhash_expr("w", f"mh{i}").alias(f"h{i}") for i in range(1, MINHASH_K + 1)]
+    hashed = tok.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("mhA"), F.col("w"))).alias("ha"),
+        F.md5(F.concat(F.lit("mhB"), F.col("w"))).alias("hb"),
     )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col("ha" if i <= MINHASH_K // 2 else "hb"),
+                    ((i - 1) % (MINHASH_K // 2)) * 8 + 1,
+                    8,
+                )
+            ).alias(f"h{i}")
+            for i in range(1, MINHASH_K + 1)
+        ]
+    )
+
+
+def _minhash_mins_sql() -> str:
+    """DuckDB mirror of :func:`_minhash_signature`'s components."""
+    return ", ".join(
+        f"MIN(substr({'ha' if i <= MINHASH_K // 2 else 'hb'}, "
+        f"{((i - 1) % (MINHASH_K // 2)) * 8 + 1}, 8)) AS h{i}"
+        for i in range(1, MINHASH_K + 1)
+    )
+
+
+#: DuckDB CTE computing the two per-shingle hashes (name it ``tok2``);
+#: expects a ``tok(doc_id, w)`` CTE in scope.
+_MINHASH_HASHED_SQL = (
+    "SELECT doc_id, md5(CONCAT('mhA', w)) AS ha, md5(CONCAT('mhB', w)) AS hb FROM tok"
+)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,9 +176,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mins = ", ".join(
-        f"MIN(md5(CONCAT('mh{i}', w))) AS h{i}" for i in range(1, MINHASH_K + 1)
-    )
+    mins = _minhash_mins_sql()
     bands = ", ".join(
         f"md5(CONCAT('b{b}', h{2 * b - 1}, h{2 * b}))" for b in range(1, MINHASH_BANDS + 1)
     )
@@ -149,7 +185,8 @@ def _minhash_oracle() -> str:
     sh = duck_token_shingles()
     return (
         f"WITH tok AS (SELECT doc_id, unnest({sh}) AS w FROM documents), "
-        f"sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id), "
+        f"tok2 AS ({_MINHASH_HASHED_SQL}), "
+        f"sig AS (SELECT doc_id, {mins} FROM tok2 GROUP BY doc_id), "
         f"bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig), "
         "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b "
         "ON a.band_key = b.band_key AND a.doc_id < b.doc_id), "
@@ -765,9 +802,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_eval_oracle() -> str:
-    mins = ", ".join(
-        f"MIN(md5(CONCAT('mh{i}', w))) AS h{i}" for i in range(1, MINHASH_K + 1)
-    )
+    mins = _minhash_mins_sql()
     bands = ", ".join(
         f"md5(CONCAT('b{b}', h{2 * b - 1}, h{2 * b}))" for b in range(1, MINHASH_BANDS + 1)
     )
@@ -779,7 +814,8 @@ def _lsh_eval_oracle() -> str:
     return (
         f"WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_LSH_EVAL_DOCS}), "
         f"tok AS (SELECT doc_id, unnest({sh}) AS w FROM d), "
-        f"sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id), "
+        f"tok2 AS ({_MINHASH_HASHED_SQL}), "
+        f"sig AS (SELECT doc_id, {mins} FROM tok2 GROUP BY doc_id), "
         f"bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig), "
         "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b "
         "ON a.band_key = b.band_key AND a.doc_id < b.doc_id), "
