@@ -52,6 +52,13 @@ def prefix_filter_candidates(
         F.explode(set_col).alias("__w"),
     )
     dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
+    # The prefix is the first prefix_len elements under (dfq, element)
+    # order, taken by collecting each set into a struct array, sorting
+    # and slicing.  A row_number window over the exploded rows looks
+    # cheaper but measured ~5x SLOWER at sf0.1 (idle, warm: 98 s vs
+    # 18 s for dedup_jaccard) — the global sort of every exploded row
+    # dominates, while the per-set arrays are bounded by document size
+    # (never a scale hazard) and sort in-memory per group.
     ordered = (
         exploded.join(dfreq, "__w")
         .groupBy("__id", "__n")
