@@ -343,12 +343,165 @@ def ml_logit_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_logit_sql())
 
 
+def _auc_sql() -> str:
+    """Exact tie-aware ROC-AUC (Mann–Whitney rank form) of ``value``
+    as a ranking score for purchase events.
+
+    The question every offline model-eval pipeline asks — "how well
+    does this score rank the positives?" — computed exactly, not
+    sampled.  AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum
+    of the *midranks* (average rank over score ties) of the positive
+    rows.
+
+    Scale shape: one groupBy(score) partial-aggregates the data down
+    to the distinct-score table (≤ |score domain| rows — at 100 TB a
+    quantized score keeps this metadata-sized), then the cumulative
+    window and the final fold run over that reduced table only; the
+    raw data is never sorted globally.
+
+    Determinism (§4.5): midranks are held as 2·midrank BIGINTs
+    (2·mid = 2·cum_before + n + 1, always integral), so every
+    cross-row accumulation is an exact integer sum; the single final
+    division is one fixed double expression.  AUC = (Σ2mr − n⁺(n⁺+1))
+    / (2·n⁺·n⁻)."""
+    return (
+        "WITH e AS ("
+        "  SELECT value AS s,"
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+        "  FROM v_events WHERE value IS NOT NULL"
+        "), g AS ("
+        "  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(SUM(y) AS BIGINT) AS np"
+        "  FROM e GROUP BY s"
+        "), w AS ("
+        "  SELECT n, np,"
+        "    2 * COALESCE(SUM(n) OVER (ORDER BY s"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "      CAST(0 AS BIGINT)) + n + 1 AS mr2"
+        "  FROM g"
+        "), t AS ("
+        "  SELECT CAST(SUM(np * mr2) AS BIGINT) AS r2,"
+        "    CAST(SUM(np) AS BIGINT) AS npos,"
+        "    CAST(SUM(n) - SUM(np) AS BIGINT) AS nneg"
+        "  FROM w"
+        ") SELECT npos AS n_pos, nneg AS n_neg,"
+        "  ROUND(CAST(r2 - npos * (npos + 1) AS DOUBLE)"
+        "    / (2.0 * npos * nneg), 6) AS auc"
+        "  FROM t"
+    )
+
+
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of value-as-score for purchases."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_auc_sql())
+
+
+def _calibration_sql() -> str:
+    """Reliability-diagram bins for a [0,1] score against the purchase
+    label: 10 equi-width bins over p = value/500, each reporting row
+    count, mean predicted probability, empirical positive rate and the
+    |gap| between them (the per-bin term of expected calibration
+    error).
+
+    The score is a fixture (a monotone rescale of ``value``, whose
+    domain is (0, 500) in the synthetic data) — the operator under
+    test is the binned-calibration mechanism, not the model.
+
+    Determinism (§4.5): scores are quantized to exact cent BIGINTs
+    before any cross-row sum (the Q1 scaled-integer-partials trick),
+    bin ids come from one per-row IEEE division + floor (identical in
+    both engines), and each output is a fixed double expression over
+    exact integers, rounded once.  One scan, one 10-group aggregation."""
+    cents = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+    return (
+        "WITH e AS ("
+        "  SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bin,"
+        f"   {cents} AS c,"
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+        "  FROM v_events WHERE value IS NOT NULL"
+        "), g AS ("
+        "  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(SUM(c) AS BIGINT) AS sc,"
+        "    CAST(SUM(y) AS BIGINT) AS npos"
+        "  FROM e GROUP BY bin"
+        ") SELECT bin, n,"
+        "  ROUND(CAST(sc AS DOUBLE) / (100.0 * 500.0 * n), 6) AS mean_pred,"
+        "  ROUND(CAST(npos AS DOUBLE) / n, 6) AS frac_pos,"
+        "  ROUND(ABS(CAST(sc AS DOUBLE) / (100.0 * 500.0 * n)"
+        "    - CAST(npos AS DOUBLE) / n), 6) AS abs_gap"
+        "  FROM g"
+    )
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin calibration (reliability diagram) of value/500 vs
+    the purchase label."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_calibration_sql())
+
+
+def _auc_pr_sql() -> str:
+    """Exact average precision (area under the precision–recall curve
+    in its step form): AP = Σ_t ΔR(t)·P(t) over distinct score
+    thresholds in descending order, ties grouped — sklearn's
+    ``average_precision_score`` definition, computed exactly over the
+    full data instead of a sample.
+
+    Same scale shape as ``ml_auc_rank``: groupBy(score) reduces the
+    data to the distinct-score table; the descending cumulative window
+    and final fold touch only that.
+
+    Determinism (§4.5): the only non-integer inputs are the per-group
+    precision ratios cum_pos/cum_n — one IEEE division each, identical
+    in both engines — which are floor-quantized at 1e-9 into BIGINTs
+    before the cross-row sum (the NB/logit quantization trick), so the
+    accumulation is exact integer arithmetic; max Σ np·⌊1e9·P⌋ ≈
+    n_pos·1e9 ≪ 2⁶³."""
+    return (
+        "WITH e AS ("
+        "  SELECT value AS s,"
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+        "  FROM v_events WHERE value IS NOT NULL"
+        "), g AS ("
+        "  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(SUM(y) AS BIGINT) AS np"
+        "  FROM e GROUP BY s"
+        "), c AS ("
+        "  SELECT np,"
+        "    CAST(SUM(n) OVER (ORDER BY s DESC"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,"
+        "    CAST(SUM(np) OVER (ORDER BY s DESC"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cump"
+        "  FROM g"
+        "), t AS ("
+        "  SELECT CAST(SUM(np * CAST(FLOOR(1e9 * (CAST(cump AS DOUBLE) / cumn))"
+        "      AS BIGINT)) AS BIGINT) AS acc,"
+        "    CAST(SUM(np) AS BIGINT) AS npos,"
+        "    CAST(MAX(cumn) AS BIGINT) AS ntot"
+        "  FROM c"
+        ") SELECT npos AS n_pos, ntot - npos AS n_neg,"
+        "  ROUND(CAST(acc AS DOUBLE) / (1e9 * npos), 6) AS avg_precision"
+        "  FROM t"
+    )
+
+
+def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (PR-curve area, step form) of
+    value-as-score for purchases."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_auc_pr_sql())
+
+
 QUERIES = {
     "ml_ols_normal_eq": ml_ols_normal_eq,
     "ml_nb_train_classify": ml_nb_train_classify,
     "causal_diff_in_diff": causal_diff_in_diff,
     "ab_welch_ztest": ab_welch_ztest,
     "ml_logit_newton": ml_logit_newton,
+    "ml_auc_rank": ml_auc_rank,
+    "ml_calibration_bins": ml_calibration_bins,
+    "ml_auc_pr": ml_auc_pr,
 }
 
 ORACLES = {
@@ -357,4 +510,7 @@ ORACLES = {
     "causal_diff_in_diff": inline_views(_did_sql()),
     "ab_welch_ztest": inline_views(_ab_ztest_sql()),
     "ml_logit_newton": _logit_sql(),
+    "ml_auc_rank": inline_views(_auc_sql()),
+    "ml_calibration_bins": inline_views(_calibration_sql()),
+    "ml_auc_pr": inline_views(_auc_pr_sql()),
 }

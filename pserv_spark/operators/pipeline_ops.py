@@ -824,8 +824,72 @@ _BLOOMSKIP_ORACLE = (
     f"FROM orders WHERE o_custkey = {_BLOOM_KEY}"
 )
 
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.'s feature
+    hashing): every token maps to one of 64 feature buckets via the
+    md5-anchored 32-bit token hash, giving a fixed-width sparse
+    count vector per document with no vocabulary pass at all — the
+    constant-memory featurizer training pipelines use when the
+    vocabulary would not fit (or would need an extra corpus scan to
+    build).
+
+    Output is the sparse representation exploded to rows
+    (doc_id, bucket, cnt, tf) on a bounded doc slice; tf is cnt
+    normalized by the document token count.
+
+    At 100 TB: explode + one (doc_id, bucket) groupBy — linear, no
+    broadcast state, no vocabulary table; the bucket id is computed
+    map-side from md5 so the plan is a single shuffle on the
+    composite key."""
+    from ..functions.text import token_hash32, tokens
+
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    tok = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.explode(tokens("text")).alias("w"),
+    )
+    return (
+        tok.groupBy(
+            "doc_id",
+            "n_tokens",
+            (token_hash32("w") % 64).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "doc_id",
+            "bucket",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_tokens"), 6).alias(
+                "tf"
+            ),
+        )
+    )
+
+
+def _hashing_trick_oracle() -> str:
+    from ._oracle import duck_hash32
+
+    return (
+        "WITH tok AS ("
+        "  SELECT doc_id,"
+        "    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        "    unnest(string_split(text, ' ')) AS w"
+        "  FROM documents WHERE doc_id < 30"
+        "), g AS ("
+        "  SELECT doc_id, n_tokens,"
+        f"   CAST({duck_hash32('w')} % 64 AS BIGINT) AS bucket,"
+        "    CAST(COUNT(*) AS BIGINT) AS cnt"
+        "  FROM tok GROUP BY doc_id, n_tokens, bucket"
+        ") SELECT doc_id, bucket, cnt,"
+        "  ROUND(CAST(cnt AS DOUBLE) / n_tokens, 6) AS tf"
+        "  FROM g"
+    )
+
+
 QUERIES = {
     "layout_bloom_file_skip": layout_bloom_file_skip,
+    "feat_hashing_trick": feat_hashing_trick,
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_partition_evolution": layout_partition_evolution,
     "layout_vacuum_orphans": layout_vacuum_orphans,
@@ -842,6 +906,7 @@ QUERIES = {
 
 ORACLES = {
     "layout_bloom_file_skip": _BLOOMSKIP_ORACLE,
+    "feat_hashing_trick": _hashing_trick_oracle(),
     "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
     "layout_partition_evolution": inline_views(_SPECEVO_ORACLE),
     "layout_vacuum_orphans": inline_views(_VACUUM_ORACLE),

@@ -523,3 +523,192 @@ _KANON_ORACLE = (
 
 QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
 ORACLES["privacy_k_anonymity"] = _KANON_ORACLE
+
+
+_LDIV_L = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    homogeneity-attack complement of ``privacy_k_anonymity``: a class
+    can satisfy k-anonymity and still leak if (nearly) every member
+    shares the same *sensitive* value, so the release gate also
+    requires >= l distinct sensitive values per quasi-identifier
+    equivalence class.
+
+    Release under audit: orders joined to the customer QI columns
+    (c_nationkey, c_mktsegment); sensitive attribute =
+    o_orderpriority.  Output per class: size, distinct sensitive
+    count, l-compliance, and the top sensitive-value share (the
+    homogeneity-attack success probability — MAX over exact per-value
+    counts / exact class size, one IEEE division).
+
+    Scale: one equi-join on the join key both tables already hash by,
+    then two map-side-combinable groupBys — the second runs on the
+    (QI x sensitive)-sized cell table, never the raw rows."""
+    t = load_tables(spark, sf_dir)
+    rel = t["orders"].join(
+        t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+    )
+    cells = rel.groupBy("c_nationkey", "c_mktsegment", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count("*").cast("long").alias("n_sensitive_distinct"),
+            F.max("n").cast("long").alias("top_n"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "n_sensitive_distinct",
+            (F.col("n_sensitive_distinct") >= _LDIV_L).alias("meets_l"),
+            F.round(
+                F.col("top_n").cast("double") / F.col("class_size"), 6
+            ).alias("top_sensitive_share"),
+        )
+    )
+
+
+_LDIV_ORACLE = (
+    "WITH cells AS ("
+    "  SELECT c_nationkey, c_mktsegment, o_orderpriority,"
+    "    CAST(COUNT(*) AS BIGINT) AS n"
+    "  FROM orders JOIN customer ON o_custkey = c_custkey"
+    "  GROUP BY 1, 2, 3"
+    ") SELECT c_nationkey, c_mktsegment,"
+    "  CAST(SUM(n) AS BIGINT) AS class_size,"
+    "  CAST(COUNT(*) AS BIGINT) AS n_sensitive_distinct,"
+    f"  COUNT(*) >= {_LDIV_L} AS meets_l,"
+    "  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_sensitive_share"
+    "  FROM cells GROUP BY 1, 2"
+)
+
+QUERIES["privacy_l_diversity"] = privacy_l_diversity
+ORACLES["privacy_l_diversity"] = _LDIV_ORACLE
+
+
+_PSI_BINS = 10
+_PSI_WIDTH = 50.0  # value domain is (0, 500) in the synthetic data
+
+
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type — the binned drift
+    gate model-monitoring pipelines run beside the KS test
+    (``profile_ks_drift`` answers "did the distribution move
+    anywhere"; PSI localizes *how much mass moved between which
+    bins*, the form score-monitoring dashboards alarm on).
+
+    Same deterministic midpoint split as the KS gate, then ``value``
+    is histogrammed into 10 fixed-width bins and
+    PSI = sum over bins of (p2 - p1) * ln(p2 / p1), with
+    Laplace-smoothed shares p_i = (c_i + 1)/(n_i + 10) so empty bins
+    are well-defined (the standard practitioner fix).
+
+    Scale shape: one scan -> per-(type, bin) counts (map-side
+    combinable); the bin spine is exploded from the per-type totals
+    row, so every later stage runs on |types| x 10 rows.  The 1-row
+    time-bounds broadcast is the allowlisted KS pattern.
+
+    Determinism (SURVEY §4.5): counts are exact BIGINTs; each share
+    is one IEEE division of exact integers; ln can drift by an ulp,
+    so each bin term is floor-quantized to integer billionths before
+    the cross-bin SUM (the DFT/Stetson pattern), and the exact
+    BIGINT total is divided and rounded once."""
+    from .. import catalog
+
+    ev = catalog.v_events(spark, sf_dir).select("event_type", "value", "ts_us")
+    ev = ev.where(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    sided = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH), F.lit(_PSI_BINS - 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("ts_us") * 2 <= F.col("lo") + F.col("hi"), 1)
+        .otherwise(2)
+        .alias("side"),
+    )
+    cnt = sided.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("side") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    spine = tot.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.explode(F.expr(f"sequence(0, {_PSI_BINS - 1})")).alias("bin_i"),
+    ).select("event_type", "n1", "n2", F.col("bin_i").cast("long").alias("bin"))
+    j = spine.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.coalesce("c1", F.lit(0).cast("long")).alias("c1"),
+        F.coalesce("c2", F.lit(0).cast("long")).alias("c2"),
+    )
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + _PSI_BINS)
+    p2 = (F.col("c2") + 1).cast("double") / (F.col("n2") + _PSI_BINS)
+    term_q = F.floor(
+        F.lit(1000000000.0) * ((p2 - p1) * F.log(p2 / p1))
+    ).cast("long")
+    return (
+        j.select("event_type", "n1", "n2", term_q.alias("tq"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_early"),
+            F.max("n2").cast("long").alias("n_late"),
+            F.round(
+                F.sum("tq").cast("double") / 1000000000.0, 6
+            ).alias("psi"),
+        )
+    )
+
+
+_PSI_ORACLE = inline_views(
+    "WITH ev AS (SELECT event_type, value, ts_us FROM v_events"
+    "  WHERE value IS NOT NULL), "
+    "b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev), "
+    "sided AS (SELECT event_type,"
+    f"  CAST(LEAST(FLOOR(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS BIGINT) AS bin,"
+    "  CASE WHEN ts_us * 2 <= lo + hi THEN 1 ELSE 2 END AS side"
+    "  FROM ev CROSS JOIN b), "
+    "cnt AS (SELECT event_type, bin,"
+    "  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,"
+    "  CAST(SUM(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2"
+    "  FROM sided GROUP BY 1, 2), "
+    "tot AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,"
+    "  CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt GROUP BY 1), "
+    "spine AS (SELECT event_type, n1, n2,"
+    f"  UNNEST(generate_series(0, {_PSI_BINS - 1})) AS bin FROM tot), "
+    "j AS (SELECT spine.event_type, n1, n2,"
+    "  COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2"
+    "  FROM spine LEFT JOIN cnt"
+    "  ON spine.event_type = cnt.event_type AND spine.bin = cnt.bin), "
+    "t AS (SELECT event_type, n1, n2,"
+    "  CAST(FLOOR(1000000000.0 * ("
+    f"    (CAST(c2 + 1 AS DOUBLE) / (n2 + {_PSI_BINS})"
+    f"     - CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BINS}))"
+    f"    * LN((CAST(c2 + 1 AS DOUBLE) / (n2 + {_PSI_BINS}))"
+    f"       / (CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BINS})))"
+    "  )) AS BIGINT) AS tq FROM j) "
+    "SELECT event_type, CAST(MAX(n1) AS BIGINT) AS n_early,"
+    "  CAST(MAX(n2) AS BIGINT) AS n_late,"
+    "  ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000000.0, 6) AS psi"
+    "  FROM t GROUP BY event_type"
+)
+
+QUERIES["profile_psi_drift"] = profile_psi_drift
+ORACLES["profile_psi_drift"] = _PSI_ORACLE

@@ -194,13 +194,75 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndcg_sql(toks_clause: str) -> str:
+    """NDCG@10 of the deployed BM25 ranking — the retrieval-quality
+    measurement the search family was missing (ANN has recall_eval,
+    LSH dedup has lsh_eval; this is the IR analogue).
+
+    Graded relevance is ranker-independent by construction: rel(doc) =
+    number of DISTINCT query terms the document contains (0–3), i.e.
+    pure term-coverage ground truth that never looks at BM25 scores.
+    DCG@10 uses the standard (2^rel − 1)/log2(pos+1) gains over the
+    ACTUAL `text_bm25_topk` ordering; IDCG@10 re-sorts the corpus-wide
+    relevance multiset under (rel DESC, doc_id).
+
+    Determinism (§4.5): rel and positions are exact integers;
+    2^rel − 1 is IEEE-exact; only log2 can drift by an ulp, so each
+    per-position gain is floor-quantized to integer billionths before
+    the cross-row SUM (the BM25/Stetson pattern); NDCG is one final
+    BIGINT/BIGINT division.  Scale: the ranked side is the top-10
+    rows; the ideal side is a TakeOrdered top-10 over the rel table —
+    nothing quadratic, nothing driver-side."""
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    gain = "CAST(FLOOR(1000000000.0 * (POWER(2.0, rel) - 1.0) / LOG2(rk + 1.0)) AS BIGINT)"
+    return (
+        f"WITH toks AS ({toks_clause}),"
+        " relt AS ("
+        "  SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS rel"
+        f"  FROM toks WHERE token IN ({terms}) GROUP BY doc_id"
+        "), ranked AS ("
+        f"  SELECT doc_id, rk FROM ({_bm25_sql(toks_clause)}) b"
+        "), j AS ("
+        "  SELECT ranked.rk, COALESCE(relt.rel, 0) AS rel"
+        "  FROM ranked LEFT JOIN relt ON ranked.doc_id = relt.doc_id"
+        "), dcg AS ("
+        f"  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,"
+        f"    CAST(SUM({gain}) AS BIGINT) AS dcg_q FROM j"
+        "), ideal_top AS ("
+        # ORDER BY + LIMIT → TakeOrderedAndProject; the ROW_NUMBER
+        # below ranks only the <= _TOPK survivors (same pattern as
+        # _bm25_sql — never a global window over the full rel table).
+        f"  SELECT doc_id, rel FROM relt ORDER BY rel DESC, doc_id LIMIT {_TOPK}"
+        "), ideal AS ("
+        "  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)"
+        "      AS BIGINT) AS rk"
+        "  FROM ideal_top"
+        "), idcg AS ("
+        f"  SELECT CAST(SUM({gain}) AS BIGINT) AS idcg_q FROM ideal"
+        ") SELECT n_ranked, "
+        "  ROUND(CAST(dcg_q AS DOUBLE) / 1000000000.0, 6) AS dcg,"
+        "  ROUND(CAST(idcg_q AS DOUBLE) / 1000000000.0, 6) AS idcg,"
+        "  ROUND(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg"
+        "  FROM dcg CROSS JOIN idcg"
+    )
+
+
+def text_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the deployed BM25 ranking vs term-coverage
+    relevance."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_ndcg_sql(_SPARK_TOKS))
+
+
 QUERIES = {
+    "text_bm25_ndcg": text_bm25_ndcg,
     "text_bm25_topk": text_bm25_topk,
     "text_phrase_search": text_phrase_search,
     "text_rake_keyphrases": text_rake_keyphrases,
 }
 
 ORACLES = {
+    "text_bm25_ndcg": inline_views(_ndcg_sql(_DUCK_TOKS)),
     "text_bm25_topk": inline_views(_bm25_sql(_DUCK_TOKS)),
     "text_phrase_search": inline_views(_phrase_sql(_DUCK_POS)),
     "text_rake_keyphrases": inline_views(

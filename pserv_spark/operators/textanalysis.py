@@ -411,8 +411,104 @@ def _langid_confusion_oracle() -> str:
         "GROUP BY d.lang, p.pred_lang"
     )
 
+def text_langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the deployed language-ID
+    classifier — the standard summary derived from the confusion
+    matrix (`text_langid_confusion` is the full matrix; this is the
+    per-class readout a model card reports).
+
+    Shape: predictions of the ACTUAL operator joined back to labels,
+    then three class-keyed aggregations (diagonal, prediction totals,
+    truth totals) outer-joined on the class — no class×cell cross
+    join, so nothing in the plan is nested-loop.  All counts are exact
+    BIGINTs; P/R/F1 are fixed double expressions over them (NULL when
+    a class is never predicted, per the usual convention).
+
+    At 100 TB: one equi-join on doc_id plus groupBys over the
+    |classes|-sized result — the matrix, not the data, crosses the
+    final stage."""
+    preds = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    # One doc-scale pass reduces the join to the |classes|² confusion
+    # cells; every derived total below aggregates that tiny table, so
+    # the join/scan subtree is executed once, not once per total.
+    cells = (
+        docs.join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tp = (
+        cells.where(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n").cast("long").alias("n_tp"))
+    )
+    truth = cells.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    pred_tot = cells.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    m = (
+        truth.join(pred_tot, "lang", "full")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_tp", F.lit(0).cast("long")).alias("n_tp"),
+            F.coalesce("n_true", F.lit(0).cast("long")).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+        )
+    )
+    precision = F.col("n_tp").cast("double") / F.nullif(
+        F.col("n_pred"), F.lit(0)
+    ).cast("double")
+    recall = F.col("n_tp").cast("double") / F.nullif(
+        F.col("n_true"), F.lit(0)
+    ).cast("double")
+    f1 = (
+        F.lit(2.0)
+        * F.col("n_tp").cast("double")
+        / F.nullif(F.col("n_pred") + F.col("n_true"), F.lit(0)).cast("double")
+    )
+    return m.select(
+        "lang",
+        "n_tp",
+        "n_true",
+        "n_pred",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def _langid_prf1_oracle() -> str:
+    return (
+        f"WITH pred AS ({_langid_oracle()}), "
+        "j AS (SELECT d.lang AS true_lang, p.pred_lang "
+        "  FROM documents d JOIN pred p USING (doc_id)), "
+        "tp AS (SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_tp "
+        "  FROM j WHERE true_lang = pred_lang GROUP BY 1), "
+        "tr AS (SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_true "
+        "  FROM j GROUP BY 1), "
+        "pr AS (SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred "
+        "  FROM j GROUP BY 1), "
+        "m AS (SELECT COALESCE(tr.lang, pr.lang) AS lang, "
+        "  CAST(COALESCE(n_tp, 0) AS BIGINT) AS n_tp, "
+        "  CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true, "
+        "  CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred "
+        "  FROM tr FULL JOIN pr ON tr.lang = pr.lang "
+        "  LEFT JOIN tp ON COALESCE(tr.lang, pr.lang) = tp.lang) "
+        "SELECT lang, n_tp, n_true, n_pred, "
+        "  ROUND(CAST(n_tp AS DOUBLE) / CAST(NULLIF(n_pred, 0) AS DOUBLE), 6) AS precision, "
+        "  ROUND(CAST(n_tp AS DOUBLE) / CAST(NULLIF(n_true, 0) AS DOUBLE), 6) AS recall, "
+        "  ROUND(2.0 * CAST(n_tp AS DOUBLE) "
+        "    / CAST(NULLIF(n_pred + n_true, 0) AS DOUBLE), 6) AS f1 "
+        "FROM m"
+    )
+
+
 QUERIES = {
     "text_langid_confusion": text_langid_confusion,
+    "text_langid_prf1": text_langid_prf1,
     "text_langid": text_langid,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -425,6 +521,7 @@ QUERIES = {
 
 ORACLES = {
     "text_langid_confusion": _langid_confusion_oracle(),
+    "text_langid_prf1": _langid_prf1_oracle(),
     "text_url_normalize": _url_sql("VARCHAR"),
     "text_zipf_slope": _zipf_sql(
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"

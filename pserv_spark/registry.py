@@ -134,6 +134,17 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "text_fingerprint",
     "sample_mixture_weights",
     "lightcurve_stetson_j",
+    # round-3 session-2 additions (model-eval + featurization family,
+    # plus the drift/privacy audit pair): queue for the round-4/5
+    # windows behind the earlier ranks.
+    "ml_auc_rank",
+    "ml_auc_pr",
+    "ml_calibration_bins",
+    "text_langid_prf1",
+    "text_bm25_ndcg",
+    "feat_hashing_trick",
+    "privacy_l_diversity",
+    "profile_psi_drift",
 )
 
 

@@ -54,6 +54,7 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "survival_kaplan_meier": "1-row max-timestamp broadcast",
     "seq_markov_transitions": "1-row total-count broadcast",
     "profile_ks_drift": "1-row split-point broadcast",
+    "profile_psi_drift": "1-row split-point broadcast",
     "ts_winsorized_mean": "1-row percentile-bounds broadcast",
     "profile_benford_digits": "1-row total broadcast",
     "profile_entropy_gini": "per-column total broadcast",
@@ -64,6 +65,7 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "lightcurve_periodogram": "trial-period fan-out",
     "decontaminate_embedding": "benchmark-suite broadcast (constant size)",
     "text_bm25_topk": "1-row corpus-stats broadcast",
+    "text_bm25_ndcg": "1-row DCG x 1-row IDCG scalar combine",
     "tfidf": "1-row doc-count broadcast",
     "text_cooccur_pmi": "1-row total broadcast",
     "text_bigram_logprob": "1-row vocab-total broadcast",
