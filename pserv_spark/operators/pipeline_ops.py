@@ -887,9 +887,87 @@ def _hashing_trick_oracle() -> str:
     )
 
 
+_CURATE_BUDGET = 1024
+
+
+def _curate_e2e_sql(splitfn: str, distinctfn: str, filterfn: str, lenfn: str) -> str:
+    """End-to-end curation funnel — the composition proof for the
+    training-data pipeline family: the stages shipped individually
+    (`dedup_canonical_keeper`'s exact-hash dedup,
+    `quality_composite_filter`'s keep rules, `pack_sequential_bins`'s
+    token-budget packing) chained the way a real curation run chains
+    them, with one audit row per stage (docs and token mass in, bins
+    out) — the funnel readout a data-curation dashboard shows.
+
+    Stage semantics are byte-identical to the standalone operators:
+    exact dedup keeps MIN(doc_id) per md5(text); the quality screen
+    applies the same four rules in the same order; packing reuses the
+    per-language running-sum bin id with a smaller budget so multiple
+    bins exist per language even on the post-filter corpus.
+
+    At 100 TB: stage 1 is one groupBy(md5) + a self-equi-join on the
+    key both sides hash by; stage 2 is a scan-fused filter; stage 3 is
+    one per-language window; the four audit rows aggregate each stage
+    with map-side partials.  Nothing quadratic, nothing driver-side.
+    Exact by construction: every output is an integer count/sum
+    (§4.5 rule 2 — no rounding anywhere)."""
+    toks = f"{splitfn}(text, ' ')"
+    nt = f"CAST({lenfn}({toks}) AS BIGINT)"
+    nd = f"{lenfn}({distinctfn}({toks}))"
+    stop = f"{lenfn}({filterfn}({toks}, t -> t = 'the' OR t = 'a'))"
+    return (
+        "WITH base AS ("
+        f"  SELECT doc_id, lang, md5(text) AS h, {nt} AS n_tok,"
+        f"    CAST({nd} AS DOUBLE) / {nt} AS distinct_ratio,"
+        f"    CAST({stop} AS DOUBLE) / {nt} AS stop_ratio"
+        "  FROM documents"
+        "), canon AS ("
+        "  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY h"
+        "), dd AS ("
+        "  SELECT base.doc_id, lang, n_tok, distinct_ratio, stop_ratio"
+        "  FROM base JOIN canon ON base.doc_id = canon.doc_id"
+        "), kept AS ("
+        "  SELECT doc_id, lang, n_tok FROM dd"
+        "  WHERE n_tok >= 15 AND n_tok <= 500"
+        "    AND distinct_ratio >= 0.35 AND stop_ratio <= 0.12"
+        "), packed AS ("
+        "  SELECT lang, n_tok,"
+        "    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)"
+        f"      / {_CURATE_BUDGET}) AS BIGINT) AS bin_id"
+        "  FROM kept"
+        "), bins AS ("
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins"
+        "  FROM (SELECT DISTINCT lang, bin_id FROM packed) db"
+        ") SELECT stage_ord, stage, n_docs, n_tokens, n_bins FROM ("
+        "  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,"
+        "    CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,"
+        "    CAST(0 AS BIGINT) AS n_bins FROM base"
+        "  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup',"
+        "    CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),"
+        "    CAST(0 AS BIGINT) FROM dd"
+        "  UNION ALL SELECT CAST(3 AS BIGINT), 'quality',"
+        "    CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),"
+        "    CAST(0 AS BIGINT) FROM kept"
+        "  UNION ALL SELECT CAST(4 AS BIGINT), 'packed',"
+        "    CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT),"
+        "    (SELECT n_bins FROM bins) FROM packed"
+        ") f"
+    )
+
+
+def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel: exact dedup -> quality screen ->
+    token-budget packing, one audit row per stage."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_curate_e2e_sql("split", "array_distinct", "filter", "size"))
+
+
 QUERIES = {
     "layout_bloom_file_skip": layout_bloom_file_skip,
     "feat_hashing_trick": feat_hashing_trick,
+    "pipeline_curate_e2e": pipeline_curate_e2e,
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_partition_evolution": layout_partition_evolution,
     "layout_vacuum_orphans": layout_vacuum_orphans,
@@ -907,6 +985,9 @@ QUERIES = {
 ORACLES = {
     "layout_bloom_file_skip": _BLOOMSKIP_ORACLE,
     "feat_hashing_trick": _hashing_trick_oracle(),
+    "pipeline_curate_e2e": _curate_e2e_sql(
+        "string_split", "list_distinct", "list_filter", "len"
+    ),
     "layout_snapshot_timetravel": inline_views(_TIMETRAVEL_ORACLE),
     "layout_partition_evolution": inline_views(_SPECEVO_ORACLE),
     "layout_vacuum_orphans": inline_views(_VACUUM_ORACLE),

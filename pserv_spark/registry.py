@@ -145,6 +145,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "feat_hashing_trick",
     "privacy_l_diversity",
     "profile_psi_drift",
+    "pipeline_curate_e2e",
 )
 
 

@@ -244,3 +244,63 @@ def test_l_diversity_matches_python_recount(spark, sf_smoke):
         assert abs(r.top_sensitive_share - max(sens.values()) / size) < 1e-6
         total += size
     assert total == joined  # the audit covers the whole release
+
+
+def test_curate_funnel_matches_python_replay(spark, sf_smoke):
+    """Pure-Python replay of the composed curation funnel: every stage
+    (exact dedup by content hash, the four quality rules, per-language
+    1024-token bin packing) recomputed from the raw parquet, plus the
+    monotone-funnel invariant."""
+    import math
+
+    rows = {r.stage: r for r in _rows(spark, sf_smoke, "pipeline_curate_e2e")}
+    assert [rows[s].stage_ord for s in ("raw", "exact_dedup", "quality", "packed")] == [
+        1,
+        2,
+        3,
+        4,
+    ]
+    t = pq.read_table(
+        f"{sf_smoke}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    docs = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    )
+    ntok = {d: len(x.split(" ")) for d, _, x in docs}
+    assert rows["raw"].n_docs == len(docs)
+    assert rows["raw"].n_tokens == sum(ntok.values())
+
+    first_by_text = {}
+    for d, _, x in docs:
+        first_by_text.setdefault(x, d)
+    dd = {first_by_text[x] for x in first_by_text}
+    assert rows["exact_dedup"].n_docs == len(dd)
+    assert rows["exact_dedup"].n_tokens == sum(ntok[d] for d in dd)
+
+    kept = []
+    for d, lang, x in docs:
+        if d not in dd:
+            continue
+        ws = x.split(" ")
+        n = len(ws)
+        dr = len(set(ws)) / n
+        sr = sum(1 for w in ws if w in ("the", "a")) / n
+        if 15 <= n <= 500 and dr >= 0.35 and sr <= 0.12:
+            kept.append((d, lang, n))
+    assert rows["quality"].n_docs == len(kept)
+    assert rows["packed"].n_docs == len(kept)
+    assert rows["quality"].n_tokens == rows["packed"].n_tokens
+
+    bins = set()
+    cum = Counter()
+    for d, lang, n in kept:  # kept is doc_id-sorted
+        bins.add((lang, math.floor(cum[lang] / 1024)))
+        cum[lang] += n
+    assert rows["packed"].n_bins == len(bins)
+    # funnel is monotone and only the final stage reports bins
+    assert rows["raw"].n_docs >= rows["exact_dedup"].n_docs >= rows["quality"].n_docs
+    assert rows["raw"].n_bins == rows["exact_dedup"].n_bins == 0
