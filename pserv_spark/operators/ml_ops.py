@@ -493,6 +493,63 @@ def ml_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_auc_pr_sql())
 
 
+def _lift_gains_sql() -> str:
+    """Cumulative gains / lift table at score deciles — the fourth
+    member of the offline-eval quartet (`ml_auc_rank` ranks,
+    `ml_auc_pr` summarizes the PR curve, `ml_calibration_bins` checks
+    probability calibration; this is the campaign-targeting readout:
+    "contact the top d deciles by score, capture what share of the
+    positives?").
+
+    Same scale shape as the AUC pair: groupBy(score) reduces the data
+    to the distinct-score table; one descending cumulative window and
+    a 10-group fold run over that only.  Tie handling is exact and
+    order-free: a whole score-group lands in the decile of its LAST
+    cumulative row (CEIL(10*cumn/N)), so no within-tie ordering is
+    ever needed; deciles fully covered by one giant tie simply do not
+    emit a row — identically in both engines.
+
+    Determinism (§4.5): counts are BIGINTs end-to-end; gain and lift
+    are fixed double expressions over exact integers, rounded once."""
+    return (
+        "WITH e AS ("
+        "  SELECT value AS s,"
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+        "  FROM v_events WHERE value IS NOT NULL"
+        "), g AS ("
+        "  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,"
+        "    CAST(SUM(y) AS BIGINT) AS np"
+        "  FROM e GROUP BY s"
+        "), c AS ("
+        "  SELECT"
+        "    CAST(SUM(n) OVER (ORDER BY s DESC"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,"
+        "    CAST(SUM(np) OVER (ORDER BY s DESC"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cump"
+        "  FROM g"
+        "), t AS ("
+        "  SELECT CAST(MAX(cumn) AS BIGINT) AS nt,"
+        "    CAST(MAX(cump) AS BIGINT) AS pt FROM c"
+        "), d AS ("
+        "  SELECT CAST(CEIL(cumn * 10.0 / nt) AS BIGINT) AS decile,"
+        "    cumn, cump, nt, pt"
+        "  FROM c CROSS JOIN t"
+        ") SELECT decile,"
+        "  CAST(MAX(cumn) AS BIGINT) AS n_cum,"
+        "  CAST(MAX(cump) AS BIGINT) AS pos_cum,"
+        "  ROUND(CAST(MAX(cump) AS DOUBLE) / MAX(pt), 6) AS gain,"
+        "  ROUND((CAST(MAX(cump) AS DOUBLE) / MAX(pt))"
+        "    / (CAST(MAX(cumn) AS DOUBLE) / MAX(nt)), 6) AS lift"
+        "  FROM d GROUP BY decile"
+    )
+
+
+def ml_lift_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains + lift at score deciles (tie-exact)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_lift_gains_sql())
+
+
 QUERIES = {
     "ml_ols_normal_eq": ml_ols_normal_eq,
     "ml_nb_train_classify": ml_nb_train_classify,
@@ -502,6 +559,7 @@ QUERIES = {
     "ml_auc_rank": ml_auc_rank,
     "ml_calibration_bins": ml_calibration_bins,
     "ml_auc_pr": ml_auc_pr,
+    "ml_lift_gains_curve": ml_lift_gains_curve,
 }
 
 ORACLES = {
@@ -513,4 +571,5 @@ ORACLES = {
     "ml_auc_rank": inline_views(_auc_sql()),
     "ml_calibration_bins": inline_views(_calibration_sql()),
     "ml_auc_pr": inline_views(_auc_pr_sql()),
+    "ml_lift_gains_curve": inline_views(_lift_gains_sql()),
 }

@@ -957,6 +957,57 @@ def _curate_e2e_sql(splitfn: str, distinctfn: str, filterfn: str, lenfn: str) ->
     )
 
 
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the second vocabulary-free
+    featurizer beside `feat_hashing_trick`: replace a categorical
+    column with the mean of the target over the OTHER rows of the same
+    category, loo = (sum_cat - y_i) / (n_cat - 1).  The leave-one-out
+    form is what training pipelines use to avoid target leakage
+    (the naive per-category mean includes the row's own label).
+
+    Category = o_orderpriority, target = o_totalprice (held as exact
+    cent BIGINTs, the Q1 scaled-integer pattern).  Scale: one
+    map-side-combining groupBy reduces the data to |categories| rows,
+    broadcast back onto the scan — no second shuffle; the per-row
+    encode is one IEEE division of exact integers.  NULLIF guards the
+    degenerate n_cat = 1 class (encode undefined -> NULL)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rows = o.select(
+        "o_orderkey", F.col("o_orderpriority").alias("category"), cents.alias("yc")
+    )
+    stats = rows.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_cat"),
+        F.sum("yc").cast("long").alias("s_cat"),
+    )
+    return rows.join(F.broadcast(stats), "category").select(
+        "o_orderkey",
+        "category",
+        "n_cat",
+        F.round(
+            (F.col("s_cat") - F.col("yc")).cast("double")
+            / (F.lit(100.0) * F.nullif(F.col("n_cat") - 1, F.lit(0))),
+            6,
+        ).alias("loo_target_mean"),
+    )
+
+
+_TARGET_ENCODE_ORACLE = (
+    "WITH rows_ AS ("
+    "  SELECT o_orderkey, o_orderpriority AS category,"
+    "    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS yc"
+    "  FROM orders"
+    "), stats AS ("
+    "  SELECT category, CAST(COUNT(*) AS BIGINT) AS n_cat,"
+    "    CAST(SUM(yc) AS BIGINT) AS s_cat"
+    "  FROM rows_ GROUP BY category"
+    ") SELECT o_orderkey, category, n_cat,"
+    "  ROUND(CAST(s_cat - yc AS DOUBLE)"
+    "    / (100.0 * NULLIF(n_cat - 1, 0)), 6) AS loo_target_mean"
+    "  FROM rows_ JOIN stats USING (category)"
+)
+
+
 def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation funnel: exact dedup -> quality screen ->
     token-budget packing, one audit row per stage."""
@@ -968,6 +1019,7 @@ QUERIES = {
     "layout_bloom_file_skip": layout_bloom_file_skip,
     "feat_hashing_trick": feat_hashing_trick,
     "pipeline_curate_e2e": pipeline_curate_e2e,
+    "feat_target_encode": feat_target_encode,
     "layout_snapshot_timetravel": layout_snapshot_timetravel,
     "layout_partition_evolution": layout_partition_evolution,
     "layout_vacuum_orphans": layout_vacuum_orphans,
@@ -985,6 +1037,7 @@ QUERIES = {
 ORACLES = {
     "layout_bloom_file_skip": _BLOOMSKIP_ORACLE,
     "feat_hashing_trick": _hashing_trick_oracle(),
+    "feat_target_encode": _TARGET_ENCODE_ORACLE,
     "pipeline_curate_e2e": _curate_e2e_sql(
         "string_split", "list_distinct", "list_filter", "len"
     ),

@@ -146,6 +146,8 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "privacy_l_diversity",
     "profile_psi_drift",
     "pipeline_curate_e2e",
+    "ml_lift_gains_curve",
+    "feat_target_encode",
 )
 
 

@@ -49,6 +49,7 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "causal_diff_in_diff": "1-row midpoint broadcast",
     "ab_welch_ztest": "two 1-row group-moment frames",
     "ml_logit_newton": "1-row beta frames between Newton steps",
+    "ml_lift_gains_curve": "1-row totals broadcast",
     "ml_ols_normal_eq": "1-row moment frame",
     "serve_lambda_union": "1-row hi-day boundary broadcast",
     "survival_kaplan_meier": "1-row max-timestamp broadcast",

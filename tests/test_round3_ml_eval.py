@@ -304,3 +304,65 @@ def test_curate_funnel_matches_python_replay(spark, sf_smoke):
     # funnel is monotone and only the final stage reports bins
     assert rows["raw"].n_docs >= rows["exact_dedup"].n_docs >= rows["quality"].n_docs
     assert rows["raw"].n_bins == rows["exact_dedup"].n_bins == 0
+
+
+def test_lift_gains_matches_python_recount(spark, sf_smoke):
+    """Pure-Python replay of the gains/lift table: distinct-score
+    descending cumulative counts, tie groups assigned to the decile of
+    their last row, per-decile maxima — plus the structural
+    invariants (gain monotone, final gain = 1, final lift = 1)."""
+    import math
+
+    rows = sorted(
+        _rows(spark, sf_smoke, "ml_lift_gains_curve"), key=lambda r: r.decile
+    )
+    ev = [(et, v) for et, v in _events(sf_smoke) if v is not None]
+    by_score = Counter(v for _, v in ev)
+    pos_by_score = Counter(v for et, v in ev if et == "purchase")
+    nt = len(ev)
+    pt = sum(pos_by_score.values())
+    per_dec = {}
+    cumn = cump = 0
+    for s in sorted(by_score, reverse=True):
+        cumn += by_score[s]
+        cump += pos_by_score.get(s, 0)
+        dec = math.ceil(cumn * 10.0 / nt)
+        per_dec[dec] = (cumn, cump)  # later (larger-cum) rows win = MAX
+    assert [r.decile for r in rows] == sorted(per_dec)
+    for r in rows:
+        cn, cp = per_dec[r.decile]
+        assert (r.n_cum, r.pos_cum) == (cn, cp)
+        assert abs(r.gain - cp / pt) < 1e-6
+        assert abs(r.lift - (cp / pt) / (cn / nt)) < 1e-6
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains)  # cumulative gain is monotone
+    assert abs(rows[-1].gain - 1.0) < 1e-9  # all positives captured
+    assert abs(rows[-1].lift - 1.0) < 1e-9  # lift at 100% depth is 1
+
+
+def test_target_encode_matches_python_recount(spark, sf_smoke):
+    """Per-row leave-one-out replay over the raw parquet: every
+    encoded value equals (category sum - own label) / (n - 1)."""
+    t = pq.read_table(
+        f"{sf_smoke}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = {}
+    agg = defaultdict(lambda: [0, 0])  # category -> [n, sum_cents]
+    for k, cat, p in zip(
+        t.column("o_orderkey").to_pylist(),
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        c = int(Decimal(str(p)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        cents[k] = (cat, c)
+        agg[cat][0] += 1
+        agg[cat][1] += c
+    rows = _rows(spark, sf_smoke, "feat_target_encode")
+    assert len(rows) == t.num_rows
+    for r in rows:
+        cat, c = cents[r.o_orderkey]
+        n, s = agg[cat]
+        assert r.category == cat and r.n_cat == n
+        assert abs(r.loo_target_mean - (s - c) / (100.0 * (n - 1))) < 1e-6
