@@ -71,14 +71,31 @@ def prefix_filter_candidates(
     ).cast("int")
     prefixes = ordered.select(
         "__id",
+        "__n",
         F.explode(
             F.transform(F.slice("__osh", F.lit(1), prefix_len), lambda x: x["__w"])
         ).alias("__p"),
     )
+    # Length filter (the second ppjoin prune): J(A,B) >= t implies
+    # t*|A| <= |B| and t*|B| <= |A|, so size-mismatched pairs can be
+    # dropped inside the candidate join before the distinct.  The
+    # _CEIL_SLACK subtraction keeps it lossless under IEEE rounding
+    # (an ulp-high t*n could wrongly exclude an exact-boundary pair;
+    # slack only ever admits extra candidates).
     return (
         prefixes.alias("pa")
         .join(prefixes.alias("pb"), "__p")
-        .where(F.col("pa.__id") < F.col("pb.__id"))
+        .where(
+            (F.col("pa.__id") < F.col("pb.__id"))
+            & (
+                F.col("pa.__n")
+                >= F.lit(threshold) * F.col("pb.__n") - F.lit(_CEIL_SLACK)
+            )
+            & (
+                F.col("pb.__n")
+                >= F.lit(threshold) * F.col("pa.__n") - F.lit(_CEIL_SLACK)
+            )
+        )
         .select(F.col("pa.__id").alias("d1"), F.col("pb.__id").alias("d2"))
         .distinct()
     )
