@@ -664,14 +664,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still exercising every code path.
     probe = ordered.where(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("d_small"),
+        F.col("n_sh").alias("n_small"),
         F.explode(
             F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
         ).alias("w"),
     )
-    build = exploded.select(F.col("doc_id").alias("d_big"), "w")
+    build = exploded.select(
+        F.col("doc_id").alias("d_big"), F.col("n_sh").alias("n_big"), "w"
+    )
+    # The |A| < |B| side condition the verify step enforces anyway is
+    # pushed into the candidate join (exact integer compare, trivially
+    # lossless): it halves the candidate pairs before the distinct and
+    # the two shingle-array joins below.
     cand = (
         probe.join(build, "w")
-        .where(F.col("d_small") != F.col("d_big"))
+        .where(F.col("n_small") < F.col("n_big"))
         .select("d_small", "d_big")
         .distinct()
     )
