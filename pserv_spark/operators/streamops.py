@@ -25,6 +25,7 @@ from ..streaming import (
     stream_tumbling_complete,
     stream_tumbling_watermark,
     stream_jdbc_sink,
+    stream_psi_monitor,
 )
 
 QUERIES = {
@@ -42,9 +43,33 @@ QUERIES = {
     "stream_checkpoint_resume": stream_checkpoint_resume,
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_jdbc_sink": stream_jdbc_sink,
+    "stream_psi_monitor": stream_psi_monitor,
 }
 
 ORACLES = {
+    "stream_psi_monitor": (
+        # complete mode emits the full final state => the streaming
+        # store equals the batch per-(day, bin) histogram; the PSI
+        # readout is replayed with the same smoothing/quantization.
+        "WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bin "
+        "FROM events WHERE value IS NOT NULL), "
+        "store AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2), "
+        "td AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_day FROM store GROUP BY 1), "
+        "tb AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_bin FROM store GROUP BY 1), "
+        "na AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM store), "
+        "spine AS (SELECT day, n_day, UNNEST(generate_series(0, 9)) AS bin FROM td), "
+        "j AS (SELECT spine.day, n_day, COALESCE(store.n, 0) AS c, "
+        "COALESCE(tb.n_bin, 0) AS rc, n_all "
+        "FROM spine LEFT JOIN store ON spine.day = store.day AND spine.bin = store.bin "
+        "LEFT JOIN tb ON spine.bin = tb.bin CROSS JOIN na), "
+        "t AS (SELECT day, n_day, CAST(FLOOR(1000000000.0 * ("
+        "(CAST(c + 1 AS DOUBLE) / (n_day + 10) - CAST(rc + 1 AS DOUBLE) / (n_all + 10)) "
+        "* LN((CAST(c + 1 AS DOUBLE) / (n_day + 10)) / (CAST(rc + 1 AS DOUBLE) / (n_all + 10)))"
+        ")) AS BIGINT) AS tq FROM j) "
+        "SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_day, "
+        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000000.0, 6) AS psi FROM t GROUP BY day"
+    ),
     "stream_jdbc_sink": (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "

@@ -148,6 +148,7 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
     "pipeline_curate_e2e",
     "ml_lift_gains_curve",
     "feat_target_encode",
+    "stream_psi_monitor",
 )
 
 

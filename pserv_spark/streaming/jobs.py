@@ -430,6 +430,74 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — the online complement of the batch
+    ``profile_psi_drift`` gate: the stream maintains a per-day 10-bin
+    value histogram (complete-mode tumbling aggregation, the state a
+    monitoring job keeps hot), and the serving readout scores every
+    day's distribution against the all-time reference histogram with
+    the same Laplace-smoothed PSI fold — the per-window drift alarm a
+    score-monitoring dashboard polls.
+
+    Complete mode + ``availableNow`` emits the full final state, so
+    the streaming store equals the batch per-(day, bin) counts and the
+    whole operator has an exact ANSI oracle.  The readout runs on the
+    |days| x 10 store — bins absent from a day (or from the whole
+    corpus) enter through the spine with smoothed shares, exactly as
+    in the batch gate.
+
+    Determinism (SURVEY §4.5): counts are exact BIGINTs; shares are
+    single IEEE divisions of exact integers; each bin term is
+    floor-quantized to integer billionths before the cross-bin SUM;
+    the 1-row all-time total is an allowlisted scalar broadcast."""
+    ev = events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    binned = ev.select(
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long").alias("bin"),
+    )
+    agg = binned.groupBy("day", "bin").agg(F.count("*").cast("long").alias("n"))
+    store = run_to_memory(agg, "complete", "stream_psi")
+
+    tot_day = store.groupBy("day").agg(F.sum("n").cast("long").alias("n_day"))
+    tot_bin = store.groupBy("bin").agg(F.sum("n").cast("long").alias("n_bin"))
+    n_all = store.agg(F.sum("n").cast("long").alias("n_all"))
+    spine = tot_day.select(
+        "day", "n_day", F.explode(F.expr("sequence(0, 9)")).alias("bin_i")
+    ).select("day", "n_day", F.col("bin_i").cast("long").alias("bin"))
+    cells = store.select(
+        F.col("day").alias("c_day"), F.col("bin").alias("c_bin"), "n"
+    )
+    j = (
+        spine.join(
+            cells,
+            (spine.day == cells.c_day) & (spine.bin == cells.c_bin),
+            "left",
+        )
+        .join(F.broadcast(tot_bin), "bin", "left")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "day",
+            "n_day",
+            F.coalesce("n", F.lit(0).cast("long")).alias("c"),
+            F.coalesce("n_bin", F.lit(0).cast("long")).alias("rc"),
+            "n_all",
+        )
+    )
+    p_day = (F.col("c") + 1).cast("double") / (F.col("n_day") + 10)
+    p_ref = (F.col("rc") + 1).cast("double") / (F.col("n_all") + 10)
+    term_q = F.floor(
+        F.lit(1000000000.0) * ((p_day - p_ref) * F.log(p_day / p_ref))
+    ).cast("long")
+    return (
+        j.select("day", "n_day", term_q.alias("tq"))
+        .groupBy("day")
+        .agg(
+            F.max("n_day").cast("long").alias("n_day"),
+            F.round(F.sum("tq").cast("double") / 1000000000.0, 6).alias("psi"),
+        )
+    )
+
+
 def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → JDBC serving sink, exactly-once by idempotence: the
     complete-mode per-type aggregate is ``foreachBatch``-overwritten

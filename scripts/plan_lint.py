@@ -56,6 +56,7 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     "seq_markov_transitions": "1-row total-count broadcast",
     "profile_ks_drift": "1-row split-point broadcast",
     "profile_psi_drift": "1-row split-point broadcast",
+    "stream_psi_monitor": "1-row all-time total broadcast",
     "ts_winsorized_mean": "1-row percentile-bounds broadcast",
     "profile_benford_digits": "1-row total broadcast",
     "profile_entropy_gini": "per-column total broadcast",

@@ -71,7 +71,7 @@ def test_registry_size_and_order_are_pinned():
     )
 
     names = list(build_queries())
-    assert len(names) == 312, len(names)
+    assert len(names) == 313, len(names)
     assert len(names) == len(set(names))
     verified = set(DRIVER_VERIFIED)
     unverified_corpus = [n for n in corpus.QUERY_NAMES if n not in verified]

@@ -366,3 +366,16 @@ def test_target_encode_matches_python_recount(spark, sf_smoke):
         n, s = agg[cat]
         assert r.category == cat and r.n_cat == n
         assert abs(r.loo_target_mean - (s - c) / (100.0 * (n - 1))) < 1e-6
+
+
+def test_stream_psi_monitor_invariants(spark, sf_smoke):
+    """The streaming drift monitor's store must conserve event mass
+    (sum of per-day counts == non-null-value events) and every per-day
+    PSI vs the all-time reference is non-negative (each term is
+    (p-q)*ln(p/q) >= 0)."""
+    rows = _rows(spark, sf_smoke, "stream_psi_monitor")
+    ev = [v for _, v in _events(sf_smoke) if v is not None]
+    assert sum(r.n_day for r in rows) == len(ev)
+    assert len(rows) > 1  # multiple daily windows actually emitted
+    for r in rows:
+        assert r.psi >= 0.0
