@@ -50,21 +50,106 @@ def _sql_runner(name: str) -> QueryFn:
 #: rotated-out prefix stays covered by the local regression net
 #: (scripts/check_corpus.py full sweep + tests/test_corpus.py).
 DRIVER_VERIFIED: tuple[str, ...] = (
-    # rounds 1–2 (CORRECTNESS_r01 + r02): the first 50 corpus ids.
-    "scan_project", "filter_compound", "filter_null_logic", "case_when",
-    "join_inner", "join_broadcast_dim", "join_multiway_q5",
-    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_in_subquery", "join_theta_band",
-    "join_equi_residual", "join_interval", "join_cross", "join_asof",
-    "join_self_lineitem", "agg_global", "agg_groupby_q1", "agg_distinct",
-    "agg_having", "agg_grouping_sets", "agg_rollup", "agg_cube",
-    "agg_stats", "agg_corr", "agg_percentile", "agg_minmax_by",
-    "agg_filter_pivot", "agg_bool", "agg_string_sorted",
-    "win_topk_per_group", "win_rank_dense", "win_lag_lead",
-    "win_running_sum", "win_range_frame", "win_ntile_pctrank",
-    "win_first_last", "topk_global", "sort_multi_key_limit",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "distinct_rows", "fn_string", "fn_regex", "fn_math",
+    "scan_project",
+    "filter_compound",
+    "filter_null_logic",
+    "case_when",
+    "join_inner",
+    "join_broadcast_dim",
+    "join_multiway_q5",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_in_subquery",
+    "join_theta_band",
+    "join_equi_residual",
+    "join_interval",
+    "join_cross",
+    "join_asof",
+    "join_self_lineitem",
+    "agg_global",
+    "agg_groupby_q1",
+    "agg_distinct",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats",
+    "agg_corr",
+    "agg_percentile",
+    "agg_minmax_by",
+    "agg_filter_pivot",
+    "agg_bool",
+    "agg_string_sorted",
+    "win_topk_per_group",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_range_frame",
+    "win_ntile_pctrank",
+    "win_first_last",
+    "topk_global",
+    "sort_multi_key_limit",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    "fn_string",
+    "fn_regex",
+    "fn_math",
+    "fn_date",
+    "fn_cast_try",
+    "fn_json",
+    "fn_array",
+    "fn_explode_wordcount",
+    "fn_hash_md5",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_signature",
+    "tfidf",
+    "text_stats_by_lang",
+    "vec_cone_search",
+    "vec_crossmatch",
+    "vec_cosine_pairs",
+    "vec_knn",
+    "vec_centroid_per_label",
+    "lightcurve_stats",
+    "phase_fold_binning",
+    "sessionize",
+    "window_tumbling",
+    "window_hopping",
+    "udf_zscore_analog",
+    "funnel_conversion",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "stream_tumbling_watermark",
+    "merge_cdc_upsert",
+    "astro_conesearch_sph",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "mm_decode_meta",
+    "mm_feature_embed",
+    "mm_phash_near_dup",
+    "ingest_csv_roundtrip",
+    "source_fitslike_scan",
+    "source_jdbc_registry",
+    "stream_cdc_apply",
+    "astro_crossmatch_sph",
+    "vec_crossmatch_zoned",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "sketch_hll_estimate",
+    "rollup_serve_monthly",
 )
 
 
