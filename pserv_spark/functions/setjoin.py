@@ -59,8 +59,13 @@ def prefix_filter_candidates(
     # 18 s for dedup_jaccard) — the global sort of every exploded row
     # dominates, while the per-set arrays are bounded by document size
     # (never a scale hazard) and sort in-memory per group.
+    # Explicit broadcast of the frequency table: Catalyst's size
+    # estimate for the exploded side ignores the explode fan-out, so
+    # left to itself it broadcasts the (much larger) token stream —
+    # harmless at test scale, an OOM at 100 TB.  dfreq is bounded by
+    # the element universe, the side a frequency join must broadcast.
     ordered = (
-        exploded.join(dfreq, "__w")
+        exploded.join(F.broadcast(dfreq), "__w")
         .groupBy("__id", "__n")
         .agg(F.array_sort(F.collect_list(F.struct("__dfq", "__w"))).alias("__osh"))
     )

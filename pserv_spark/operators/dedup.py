@@ -651,7 +651,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
     dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
     ordered = (
-        exploded.join(dfreq, "w")
+        # Explicit broadcast: the exploded side's size estimate
+        # ignores the explode fan-out (see functions/setjoin.py) —
+        # dfreq is bounded by the shingle universe and is the side a
+        # frequency join must broadcast at scale.
+        exploded.join(F.broadcast(dfreq), "w")
         .groupBy("doc_id", "n_sh")
         .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
     )
