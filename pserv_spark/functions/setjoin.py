@@ -91,9 +91,17 @@ def prefix_filter_candidates(
     # _CEIL_SLACK subtraction keeps it lossless under IEEE rounding
     # (an ulp-high t*n could wrongly exclude an exact-boundary pair;
     # slack only ever admits extra candidates).
+    # The self-join is pinned to sort-merge: the static planner only
+    # sees the pre-explode size estimate for the prefix stream, so
+    # left alone it BROADCASTS one exploded side — a fan-out-blind
+    # static decision AQE never downgrades (it only upgrades shuffle
+    # joins to broadcast), i.e. an OOM at corpus scale.  SMJ on the
+    # prefix element is also the faster local plan (measured at
+    # sf0.1: word corpus 8.6 s vs 14.7 s broadcast) and stays
+    # AQE-skew-splittable on hot elements.
     matches = (
         prefixes.alias("pa")
-        .join(prefixes.alias("pb"), "__p")
+        .join(prefixes.alias("pb").hint("merge"), "__p")
         .where(
             (F.col("pa.__id") < F.col("pb.__id"))
             & (

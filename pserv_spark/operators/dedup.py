@@ -160,7 +160,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), "band_key")
+        .join(bands.alias("b").hint("merge"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
@@ -248,7 +248,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         bands.alias("a")
-        .join(bands.alias("b"), "band_key")
+        .join(bands.alias("b").hint("merge"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(hamming <= SIMHASH_MAX_HAMMING)
         .select(
@@ -681,7 +681,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lossless): it halves the candidate pairs before the distinct and
     # the two shingle-array joins below.
     cand = (
-        probe.join(build, "w")
+        probe.join(build.hint("merge"), "w")
         .where(F.col("n_small") < F.col("n_big"))
         .select("d_small", "d_big")
         .distinct()
@@ -783,7 +783,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), "band_key")
+        .join(bands.alias("b").hint("merge"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()

@@ -90,7 +90,7 @@ def join_interval_overlap(
 
     cand = (
         bucketed(a, "a_s", "a_e")
-        .join(bucketed(b, "b_s", "b_e"), "bucket")
+        .join(bucketed(b, "b_s", "b_e").hint("merge"), "bucket")
         .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
         # a pair overlapping several buckets is found several times —
         # keep it once via the canonical bucket of its overlap start

@@ -329,7 +329,7 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

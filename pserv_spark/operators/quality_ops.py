@@ -256,7 +256,7 @@ def _bigram_lm_sql(pos_clause: str) -> str:
     return (
         f"WITH toks AS ({pos_clause}),"
         " big AS ("
-        "  SELECT a.doc_id, a.token AS w1, b.token AS w2"
+        "  SELECT /*+ MERGE(b) */ a.doc_id, a.token AS w1, b.token AS w2"
         "  FROM toks a JOIN toks b"
         "    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
         "), c12 AS ("
@@ -264,7 +264,7 @@ def _bigram_lm_sql(pos_clause: str) -> str:
         "), c1 AS ("
         "  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot FROM c12 GROUP BY w1"
         "), scored AS ("
-        "  SELECT big.doc_id,"
+        "  SELECT /*+ BROADCAST(c12), BROADCAST(c1) */ big.doc_id,"
         "    CAST(COUNT(*) AS BIGINT) AS n_bigrams,"
         "    CAST(SUM(CAST(FLOOR(ln(CAST(c12.c AS DOUBLE) / c1.ctot)"
         "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS lp_q"

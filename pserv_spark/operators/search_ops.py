@@ -154,7 +154,7 @@ def _rake_full(pos_clause: str, phrase_agg: str, resplit: str) -> str:
         "    CAST(COUNT(*) AS BIGINT) AS plen"
         "  FROM flagged WHERE is_stop = 0 GROUP BY doc_id, run_id"
         "), pw AS ("
-        "  SELECT o.phrase, o.plen, w.token FROM occurrences o"
+        "  SELECT /*+ MERGE(w) */ o.phrase, o.plen, w.token FROM occurrences o"
         "  JOIN flagged w ON w.doc_id = o.doc_id AND w.run_id = o.run_id"
         "  WHERE w.is_stop = 0"
         "), wstat AS ("
@@ -166,7 +166,7 @@ def _rake_full(pos_clause: str, phrase_agg: str, resplit: str) -> str:
         "  GROUP BY phrase"
         f"), pexp AS ({resplit}),"
         " scored AS ("
-        "  SELECT pexp.phrase, pexp.n_occur,"
+        "  SELECT /*+ BROADCAST(ws) */ pexp.phrase, pexp.n_occur,"
         "    CAST(SUM(CAST(FLOOR(CAST(ws.deg AS DOUBLE) / ws.freq"
         "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q"
         "  FROM pexp JOIN wstat ws ON ws.token = pexp.w"

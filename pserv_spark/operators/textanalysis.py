@@ -263,7 +263,7 @@ def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kept.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"))
     b = kept.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
     pairs = (
-        a.join(b, "doc_id")
+        a.join(b.hint("merge"), "doc_id")
         .where(F.col("w1") < F.col("w2"))
         .groupBy("w1", "w2")
         .agg(
@@ -389,7 +389,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels; one broadcast-size matrix out."""
     preds = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
     docs = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
-    cells = docs.join(preds, "doc_id").groupBy("true_lang", "pred_lang").agg(
+    cells = docs.join(preds.hint("merge"), "doc_id").groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("long").alias("n")
     )
     row_tot = Window.partitionBy("true_lang")
@@ -433,7 +433,7 @@ def text_langid_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells; every derived total below aggregates that tiny table, so
     # the join/scan subtree is executed once, not once per total.
     cells = (
-        docs.join(preds, "doc_id")
+        docs.join(preds.hint("merge"), "doc_id")
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -69,7 +69,7 @@ def vec_crossmatch_zoned(spark: SparkSession, sf_dir: str, eps: float = EPS) -> 
     )
     return (
         pts.join(
-            right,
+            right.hint("merge"),
             (F.col("zx") == F.col("cx"))
             & (F.col("zy") == F.col("cy"))
             & (F.col("vec_id") < F.col("id2")),

@@ -10,6 +10,15 @@ Walks EVERY registry query, renders its physical plan, and flags:
   the slow lane; only the deliberate UDF-surface demos may use it
   (Arrow/pandas lanes show as ArrowEvalPython/FlatMapGroupsInPandas
   and are fine).
+- ``exploded_broadcast``: a STATIC ``BroadcastExchange`` whose subtree
+  contains a ``Generate`` (explode) with no size-bounding operator
+  (aggregate / limit) on the path between — the fan-out-blind estimate
+  trap: Catalyst sizes the exploded stream from its pre-explode child,
+  happily broadcasts a corpus-scale side at test scale, and AQE never
+  DOWNGRADES a planned broadcast (it only upgrades shuffle joins), so
+  the same plan OOMs on a cluster.  Allowed only where the exploded
+  side is bounded by construction (constant benchmark suites, 1-row
+  vector fan-outs, fixed query batches).
 
 Exit code 1 if any non-allowlisted hazard is found; prints a JSON
 report either way.  Usage: python scripts/plan_lint.py [sf_dir]
@@ -18,6 +27,7 @@ report either way.  Usage: python scripts/plan_lint.py [sf_dir]
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -126,6 +136,43 @@ PYTHON_ROW_UDF_ALLOWED: dict[str, str] = {
     "udtf_word_expand": "the deliberate Python UDTF lane demo",
 }
 
+#: Operators allowed to broadcast an exploded subtree: the exploded side
+#: is bounded by construction, so the static broadcast is the CORRECT
+#: plan at any corpus scale.
+EXPLODED_BROADCAST_ALLOWED: dict[str, str] = {
+    "decontaminate_ngram": "benchmark-suite gram side; constant size by declaration",
+    "vec_pca_power": "component fan-out of the 1-row eigvec frame",
+    "ann_lsh_topk": "bucketed QUERY batch; bounded by the probe set",
+}
+
+_BOUNDING = re.compile(
+    r"\b(HashAggregate|ObjectHashAggregate|SortAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit)\b"
+)
+
+
+def exploded_broadcast(plan: str) -> bool:
+    """True if a static BroadcastExchange has a Generate beneath it
+    with no size-bounding operator (aggregate/limit) between."""
+    stack: list[tuple[int, str]] = []  # (indent-depth, "bx" | "bound")
+    for line in plan.splitlines():
+        m = re.search(r"(?:\+|:)- ", line)
+        depth = m.start() if m else -1
+        label = line[m.end():] if m else line
+        while stack and stack[-1][0] >= depth >= 0:
+            stack.pop()
+        if "BroadcastExchange" in label:
+            stack.append((depth, "bx"))
+        elif _BOUNDING.search(label):
+            stack.append((depth, "bound"))
+        elif re.search(r"\bGenerate\b", label):
+            for _d, kind in reversed(stack):
+                if kind == "bound":
+                    break
+                if kind == "bx":
+                    return True
+    return False
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -155,6 +202,12 @@ def main() -> int:
             ok = name in PYTHON_ROW_UDF_ALLOWED
             flags["python_row_udf"] = (
                 f"allowed: {PYTHON_ROW_UDF_ALLOWED[name]}" if ok else "VIOLATION"
+            )
+            violations += 0 if ok else 1
+        if exploded_broadcast(plan):
+            ok = name in EXPLODED_BROADCAST_ALLOWED
+            flags["exploded_broadcast"] = (
+                f"allowed: {EXPLODED_BROADCAST_ALLOWED[name]}" if ok else "VIOLATION"
             )
             violations += 0 if ok else 1
         if flags:
