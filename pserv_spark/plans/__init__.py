@@ -8,6 +8,8 @@ from .inspect import (
     partition_filters,
     exchange_count,
     has_nested_loop,
+    exploded_broadcast,
+    has_exploded_broadcast,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "partition_filters",
     "exchange_count",
     "has_nested_loop",
+    "exploded_broadcast",
+    "has_exploded_broadcast",
 ]

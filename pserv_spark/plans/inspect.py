@@ -62,3 +62,46 @@ def exchange_count(df: DataFrame) -> int:
 def has_nested_loop(df: DataFrame) -> bool:
     plan = physical_plan(df)
     return "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+#: Operators that bound the size of everything beneath them, for the
+#: exploded-broadcast check.
+_BOUNDING = re.compile(
+    r"\b(HashAggregate|ObjectHashAggregate|SortAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit)\b"
+)
+
+
+def exploded_broadcast(plan: str) -> bool:
+    """True if a STATIC ``BroadcastExchange`` has a ``Generate``
+    (explode) beneath it with no size-bounding aggregate/limit on the
+    path between — the fan-out-blind estimate trap: Catalyst sizes the
+    exploded stream from its pre-explode child, and AQE never
+    DOWNGRADES a planned broadcast (it only upgrades shuffle joins),
+    so a locally-fine plan OOMs at cluster scale.  Fix sites pin the
+    partitioned join with ``hint("merge")`` (DataFrame) or a
+    ``/*+ MERGE(x) */`` comment hint (SQL — DuckDB oracles read it as
+    a plain comment, so shared strings stay identical)."""
+    stack: list[tuple[int, str]] = []  # (indent-depth, "bx" | "bound")
+    for line in plan.splitlines():
+        m = re.search(r"(?:\+|:)- ", line)
+        depth = m.start() if m else -1
+        label = line[m.end():] if m else line
+        while stack and stack[-1][0] >= depth >= 0:
+            stack.pop()
+        if "BroadcastExchange" in label:
+            stack.append((depth, "bx"))
+        elif _BOUNDING.search(label):
+            stack.append((depth, "bound"))
+        elif re.search(r"\bGenerate\b", label):
+            for _d, kind in reversed(stack):
+                if kind == "bound":
+                    break
+                if kind == "bx":
+                    return True
+    return False
+
+
+def has_exploded_broadcast(df: DataFrame) -> bool:
+    """DataFrame convenience wrapper over :func:`exploded_broadcast`."""
+    return exploded_broadcast(physical_plan(df))

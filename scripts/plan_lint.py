@@ -27,7 +27,6 @@ report either way.  Usage: python scripts/plan_lint.py [sf_dir]
 from __future__ import annotations
 
 import json
-import re
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -145,37 +144,9 @@ EXPLODED_BROADCAST_ALLOWED: dict[str, str] = {
     "ann_lsh_topk": "bucketed QUERY batch; bounded by the probe set",
 }
 
-_BOUNDING = re.compile(
-    r"\b(HashAggregate|ObjectHashAggregate|SortAggregate|"
-    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit)\b"
-)
-
-
-def exploded_broadcast(plan: str) -> bool:
-    """True if a static BroadcastExchange has a Generate beneath it
-    with no size-bounding operator (aggregate/limit) between."""
-    stack: list[tuple[int, str]] = []  # (indent-depth, "bx" | "bound")
-    for line in plan.splitlines():
-        m = re.search(r"(?:\+|:)- ", line)
-        depth = m.start() if m else -1
-        label = line[m.end():] if m else line
-        while stack and stack[-1][0] >= depth >= 0:
-            stack.pop()
-        if "BroadcastExchange" in label:
-            stack.append((depth, "bx"))
-        elif _BOUNDING.search(label):
-            stack.append((depth, "bound"))
-        elif re.search(r"\bGenerate\b", label):
-            for _d, kind in reversed(stack):
-                if kind == "bound":
-                    break
-                if kind == "bx":
-                    return True
-    return False
-
-
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pserv_spark.plans import exploded_broadcast
     from pserv_spark.registry import build_queries
     from pserv_spark.session import get_session
 

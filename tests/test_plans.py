@@ -456,3 +456,33 @@ def test_bloom_file_skip_actually_skips(spark, sf_oracle):
     audit = layout_bloom_file_skip.last_audit
     assert audit["n_files"] == 16
     assert audit["n_selected"] < audit["n_files"], audit
+
+
+def test_no_exploded_broadcast_in_candidate_joins(spark, sf_oracle):
+    """Regression pin for the fan-out-blind broadcast trap (round 4):
+    the banded/bucketed/prefix candidate self-joins must never plan a
+    STATIC BroadcastExchange over an unbounded exploded stream —
+    Catalyst sizes the exploded side from its pre-explode child, and
+    AQE never downgrades a planned broadcast, so such a plan OOMs at
+    cluster scale.  These ids carry explicit merge hints (or SQL
+    comment hints) that pin the partitioned join; this test fails if
+    a refactor drops one."""
+    from pserv_spark.plans import has_exploded_broadcast
+    from pserv_spark.registry import build_queries
+
+    qs = build_queries()
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard",
+        "dedup_containment",
+        "mm_phash_near_dup",
+        "vec_crossmatch_zoned",
+        "join_interval_overlap",
+        "text_cooccur_pmi",
+        "text_langid_confusion",
+        "text_bigram_logprob",
+        "text_rake_keyphrases",
+    ]:
+        assert not has_exploded_broadcast(qs[name](spark, sf_oracle)), name
