@@ -246,9 +246,15 @@ def _bigram_lm_sql(pos_clause: str) -> str:
     avg log-prob and high perplexity).
 
     Unsmoothed MLE: P(w₂|w₁) = c(w₁w₂)/c(w₁·) — no zeros, since the
-    scored stream is the training stream.  Count tables are
-    vocab²-bounded (broadcast-sized regardless of corpus scale, so
-    scoring is a map-side join at 100 TB); per-bigram ln terms are
+    scored stream is the training stream.  The count tables are NOT
+    broadcast-pinned: distinct bigrams grow roughly linearly with
+    corpus size (Heaps' law), so at 100 TB neither c12 nor c1 is
+    reliably broadcast-sized — the scoring joins carry MERGE hints
+    that pin the partitioned sort-merge plan (the same
+    exploded-broadcast-safe choice as the ppjoin family; AQE never
+    downgrades a static broadcast, so a hard BROADCAST(c12) hint is
+    exactly the estimate trap plans/inspect.py defends against).
+    Per-bigram ln terms are
     floor-quantized at 1e-9 before the per-doc SUM (DFT/Stetson
     pattern); avg log-prob is one exact-operand division, and
     perplexity exp(−avg) is floor-quantized at 1e-6.
@@ -264,7 +270,7 @@ def _bigram_lm_sql(pos_clause: str) -> str:
         "), c1 AS ("
         "  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot FROM c12 GROUP BY w1"
         "), scored AS ("
-        "  SELECT /*+ BROADCAST(c12), BROADCAST(c1) */ big.doc_id,"
+        "  SELECT /*+ MERGE(c12), MERGE(c1) */ big.doc_id,"
         "    CAST(COUNT(*) AS BIGINT) AS n_bigrams,"
         "    CAST(SUM(CAST(FLOOR(ln(CAST(c12.c AS DOUBLE) / c1.ctot)"
         "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS lp_q"

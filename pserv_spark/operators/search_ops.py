@@ -166,7 +166,7 @@ def _rake_full(pos_clause: str, phrase_agg: str, resplit: str) -> str:
         "  GROUP BY phrase"
         f"), pexp AS ({resplit}),"
         " scored AS ("
-        "  SELECT /*+ BROADCAST(ws) */ pexp.phrase, pexp.n_occur,"
+        "  SELECT /*+ MERGE(ws) */ pexp.phrase, pexp.n_occur,"
         "    CAST(SUM(CAST(FLOOR(CAST(ws.deg AS DOUBLE) / ws.freq"
         "      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q"
         "  FROM pexp JOIN wstat ws ON ws.token = pexp.w"
