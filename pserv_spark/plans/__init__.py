@@ -10,6 +10,8 @@ from .inspect import (
     has_nested_loop,
     exploded_broadcast,
     has_exploded_broadcast,
+    global_window_unbounded,
+    has_global_window_unbounded,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "has_nested_loop",
     "exploded_broadcast",
     "has_exploded_broadcast",
+    "global_window_unbounded",
+    "has_global_window_unbounded",
 ]

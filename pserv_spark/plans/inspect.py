@@ -105,3 +105,62 @@ def exploded_broadcast(plan: str) -> bool:
 def has_exploded_broadcast(df: DataFrame) -> bool:
     """DataFrame convenience wrapper over :func:`exploded_broadcast`."""
     return exploded_broadcast(physical_plan(df))
+
+
+#: Operators that bound row count for the global-window check — the
+#: exploded-broadcast set plus WindowGroupLimit (Spark's rank-limit
+#: pushdown keeps only k rows per map partition before the exchange).
+_WIN_BOUNDING = re.compile(
+    r"\b(HashAggregate|ObjectHashAggregate|SortAggregate|"
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit|"
+    r"WindowGroupLimit)\b"
+)
+
+
+def global_window_unbounded(plan: str) -> bool:
+    """True if an ``Exchange SinglePartition`` feeds a ``Window`` and
+    nothing in the exchange's subtree bounds its row count — the
+    single-partition window trap: an unpartitioned ``OVER (ORDER BY
+    ...)`` funnels the ENTIRE input through one task, fine at test
+    scale and a stuck straggler (or OOM) at 100 TB.  Safe shapes pass
+    automatically: a ``TakeOrderedAndProject``/limit planned below the
+    window (Catalyst's LimitPushDownThroughWindow), a
+    ``WindowGroupLimit`` rank-pushdown, or an aggregate whose output
+    (rollup/spine/metadata-sized frame) is what the window consumes.
+    Companion rule to :func:`exploded_broadcast`; same plan-string
+    walk."""
+    parsed: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = re.search(r"(?:\+|:)- ", line)
+        depth = m.start() if m else -1
+        parsed.append((depth, line[m.end():] if m else line))
+    stack: list[tuple[int, str]] = []  # (indent-depth, "win" | "bound" | "exch")
+    for i, (depth, label) in enumerate(parsed):
+        while stack and stack[-1][0] >= depth >= 0:
+            stack.pop()
+        if re.search(r"\bWindow(GroupLimit)?\b", label):
+            # WindowGroupLimit bounds; a plain Window marks the hazard.
+            kind = "bound" if "WindowGroupLimit" in label else "win"
+            stack.append((depth, kind))
+        elif _WIN_BOUNDING.search(label):
+            stack.append((depth, "bound"))
+        elif "Exchange" in label and "Reused" not in label:
+            if "SinglePartition" in label:
+                nearest = next((k for _d, k in reversed(stack)), None)
+                if nearest == "win":
+                    bounded = False
+                    for d2, l2 in parsed[i + 1:]:
+                        if 0 <= d2 <= depth:
+                            break  # left the exchange's subtree
+                        if _WIN_BOUNDING.search(l2):
+                            bounded = True
+                            break
+                    if not bounded:
+                        return True
+            stack.append((depth, "exch"))
+    return False
+
+
+def has_global_window_unbounded(df: DataFrame) -> bool:
+    """DataFrame convenience wrapper over :func:`global_window_unbounded`."""
+    return global_window_unbounded(physical_plan(df))

@@ -19,6 +19,15 @@ Walks EVERY registry query, renders its physical plan, and flags:
   the same plan OOMs on a cluster.  Allowed only where the exploded
   side is bounded by construction (constant benchmark suites, 1-row
   vector fan-outs, fixed query batches).
+- ``global_window``: an ``Exchange SinglePartition`` feeding a
+  ``Window`` with nothing row-bounding in the exchange's subtree — the
+  unpartitioned ``OVER (ORDER BY ...)`` funnels the whole input through
+  ONE task: fine at test scale, a straggler/OOM at 100 TB.  Safe
+  shapes (TakeOrderedAndProject/limit pushed below the window,
+  WindowGroupLimit, an aggregate whose rollup-sized output feeds the
+  window) pass the detector automatically; the allowlist is only for
+  inputs bounded by construction that the plan string can't show
+  (pre-materialized rollups, constant key-range filters).
 
 Exit code 1 if any non-allowlisted hazard is found; prints a JSON
 report either way.  Usage: python scripts/plan_lint.py [sf_dir]
@@ -144,9 +153,21 @@ EXPLODED_BROADCAST_ALLOWED: dict[str, str] = {
     "ann_lsh_topk": "bucketed QUERY batch; bounded by the probe set",
 }
 
+#: Operators allowed a single-partition window: the window input is
+#: bounded by construction in a way the plan string cannot show.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "report_growth_rates": (
+        "windows over the pre-materialized daily rollup (one row per "
+        "day x event_type) — the bounding aggregate ran in the "
+        "materialization job, invisible to this plan"
+    ),
+    "win_rank_dense": "constant key-range filter (o_orderkey < 300) bounds the frame",
+    "win_ntile_pctrank": "constant key-range filter (o_orderkey < 1000) bounds the frame",
+}
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from pserv_spark.plans import exploded_broadcast
+    from pserv_spark.plans import exploded_broadcast, global_window_unbounded
     from pserv_spark.registry import build_queries
     from pserv_spark.session import get_session
 
@@ -179,6 +200,12 @@ def main() -> int:
             ok = name in EXPLODED_BROADCAST_ALLOWED
             flags["exploded_broadcast"] = (
                 f"allowed: {EXPLODED_BROADCAST_ALLOWED[name]}" if ok else "VIOLATION"
+            )
+            violations += 0 if ok else 1
+        if global_window_unbounded(plan):
+            ok = name in GLOBAL_WINDOW_ALLOWED
+            flags["global_window"] = (
+                f"allowed: {GLOBAL_WINDOW_ALLOWED[name]}" if ok else "VIOLATION"
             )
             violations += 0 if ok else 1
         if flags:

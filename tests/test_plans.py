@@ -486,3 +486,78 @@ def test_no_exploded_broadcast_in_candidate_joins(spark, sf_oracle):
         "text_rake_keyphrases",
     ]:
         assert not has_exploded_broadcast(qs[name](spark, sf_oracle)), name
+
+
+def test_global_window_detector_on_synthetic_plans():
+    """String-level pins for the global-window detector: the hazard
+    shape flags; every bounded shape (limit pushed below the window,
+    WindowGroupLimit, aggregate feeding the window, partitioned
+    window) passes."""
+    from pserv_spark.plans import global_window_unbounded
+
+    hazard = (
+        "Window [row_number() windowspecdefinition(x ASC)], [x ASC]\n"
+        "+- Sort [x ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "      +- FileScan parquet [x] ...\n"
+    )
+    assert global_window_unbounded(hazard)
+
+    limit_below = hazard.replace(
+        "      +- FileScan parquet [x] ...\n",
+        "      +- TakeOrderedAndProject(limit=20, orderBy=[x ASC], output=[x])\n"
+        "         +- FileScan parquet [x] ...\n",
+    )
+    assert not global_window_unbounded(limit_below)
+
+    agg_below = hazard.replace(
+        "      +- FileScan parquet [x] ...\n",
+        "      +- HashAggregate(keys=[x], functions=[sum(y)])\n"
+        "         +- FileScan parquet [x, y] ...\n",
+    )
+    assert not global_window_unbounded(agg_below)
+
+    group_limit_below = hazard.replace(
+        "      +- FileScan parquet [x] ...\n",
+        "      +- WindowGroupLimit [x ASC], rank(x), 3, Partial\n"
+        "         +- FileScan parquet [x] ...\n",
+    )
+    assert not global_window_unbounded(group_limit_below)
+
+    partitioned = (
+        "Window [sum(y) windowspecdefinition(k, x ASC)], [k], [x ASC]\n"
+        "+- Sort [k ASC, x ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(k, 32), ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "      +- FileScan parquet [k, x, y] ...\n"
+    )
+    assert not global_window_unbounded(partitioned)
+
+
+def test_no_unbounded_global_window_in_registry_hot_paths(spark, sf_oracle):
+    """Regression pin for the single-partition-window trap (round 5):
+    an unpartitioned OVER (ORDER BY ...) funnels its whole input
+    through one task — fine locally, a straggler/OOM at cluster scale.
+    The sites below were individually audited as safe BECAUSE the plan
+    itself bounds the window input (TakeOrderedAndProject/aggregate/
+    spine below the single-partition exchange); this test fails if a
+    refactor un-bounds one.  The three by-construction-bounded sites
+    (report_growth_rates: pre-materialized days-sized rollup;
+    win_rank_dense / win_ntile_pctrank: constant key-range filters)
+    are allowlisted in scripts/plan_lint.py, not here."""
+    from pserv_spark.plans import has_global_window_unbounded
+    from pserv_spark.registry import build_queries
+
+    qs = build_queries()
+    for name in [
+        "sample_weighted_priority",
+        "gapfill_date_spine",
+        "ts_gap_fill_locf",
+        "interleave_sources",
+        "topk_global",
+        "sort_multi_key_limit",
+        "win_topk_per_group",
+        "ml_auc_rank",
+        "ml_lift_gains_curve",
+        "agg_weighted_percentile",
+    ]:
+        assert not has_global_window_unbounded(qs[name](spark, sf_oracle)), name
