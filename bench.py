@@ -52,12 +52,20 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # 1/5/15-min load averages so every recorded number carries its own
+    # contention disposition (driver benches have repeatedly absorbed
+    # sweep contention; see BASELINE.md round-4 notes).
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load = None
     print(json.dumps({
         "metric": "flagship_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": load,
     }))
 
 
