@@ -54,16 +54,25 @@ def probe_python() -> list[tuple[str, str]]:
 
 
 def probe_spark_avro() -> str:
-    """Check whether the spark-avro datasource jar is on the classpath."""
+    """Check whether the spark-avro datasource jar is on the classpath.
+
+    The write target is a fresh temp dir (removed afterwards) and the
+    save uses overwrite mode — a leftover path from a prior run must
+    never make a present datasource misreport as absent.
+    """
     code = (
+        "import shutil, tempfile\n"
         "from pyspark.sql import SparkSession\n"
         "s = (SparkSession.builder.master('local[1]')"
         ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "d = tempfile.mkdtemp(prefix='avro_probe_')\n"
         "try:\n"
-        "    s.range(1).write.format('avro').save('/tmp/_avro_probe')\n"
+        "    s.range(1).write.format('avro').mode('overwrite').save(d + '/t')\n"
         "    print('AVRO_OK')\n"
         "except Exception as e:\n"
         "    print('AVRO_ABSENT:' + type(e).__name__)\n"
+        "finally:\n"
+        "    shutil.rmtree(d, ignore_errors=True)\n"
         "s.stop()\n"
     )
     try:
