@@ -561,3 +561,42 @@ def test_no_unbounded_global_window_in_registry_hot_paths(spark, sf_oracle):
         "agg_weighted_percentile",
     ]:
         assert not has_global_window_unbounded(qs[name](spark, sf_oracle)), name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # ppjoin family: dfreq agg + ordered-set build + prefix self-join
+        # + explicit verify repartition — 8 passes, each load-bearing
+        ("dedup_ngram_jaccard", 8),
+        ("dedup_jaccard", 8),
+        ("dedup_containment", 5),
+        # banded signature equi-joins
+        ("dedup_minhash_lsh", 5),
+        ("dedup_simhash", 5),
+        ("dedup_fingerprint", 1),
+        # ANN serving paths: centroid/codebook broadcasts + cent_id joins
+        ("ann_ivf_topk", 5),
+        ("ann_pq_topk", 5),
+        ("ann_lsh_topk", 2),
+        # featurization / curation
+        ("tfidf", 6),
+        ("text_bpe_apply", 1),
+        ("decontaminate_ngram", 2),
+        ("feat_target_encode", 1),
+        ("pipeline_curate_e2e", 10),
+        ("vec_crossmatch_zoned", 2),
+        ("minhash_signature", 1),
+    ],
+)
+def test_heavy_spine_exchange_budget(spark, sf_oracle, name, max_exchanges):
+    """The dedup/ANN/curation spine: pin each operator's shuffle budget
+    at its audited round-5 value.  Every exchange is a full-data
+    network pass at 100 TB — a refactor that silently adds one (a lost
+    partitioning reuse, a hint dropped, a subquery deduplicated apart)
+    is a scale regression even when correctness stays green."""
+    from pserv_spark.registry import build_queries
+
+    df = build_queries()[name](spark, sf_oracle)
+    n = exchange_count(df)
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})"
