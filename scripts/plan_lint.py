@@ -31,6 +31,15 @@ Walks EVERY registry query, renders its physical plan, and flags:
 
 Exit code 1 if any non-allowlisted hazard is found; prints a JSON
 report either way.  Usage: python scripts/plan_lint.py [sf_dir]
+
+``--final`` mode (round 5): EXECUTES the merge-hinted / window-audited
+subset below and lints the AQE-FINAL plans with the same rules,
+writing PLANLINT_FINAL.json.  The static lint sees the initial plan;
+this verifies at runtime that AQE respects the pinned hints (it never
+replaces a user-hinted join) and that its own runtime BHJ conversions
+— which are actual-size-informed and therefore safe by mechanism —
+never produce a fan-out-blind broadcast or an unbounded global window
+in the executed plan.
 """
 
 from __future__ import annotations
@@ -165,9 +174,38 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "win_ntile_pctrank": "constant key-range filter (o_orderkey < 1000) bounds the frame",
 }
 
+#: The ids whose EXECUTED (AQE-final) plans --final re-lints: every
+#: merge-hint-pinned site from the round-4 exploded-broadcast fix plus
+#: the round-5 global-window sites.
+FINAL_LINT_IDS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard",
+    "dedup_containment",
+    "mm_phash_near_dup",
+    "vec_crossmatch_zoned",
+    "join_interval_overlap",
+    "text_cooccur_pmi",
+    "text_langid_confusion",
+    "text_langid_prf1",
+    "text_bigram_logprob",
+    "text_rake_keyphrases",
+    "report_growth_rates",
+    "win_rank_dense",
+    "win_ntile_pctrank",
+    "sample_weighted_priority",
+]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    final_mode = "--final" in args
+    if final_mode:
+        args.remove("--final")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pserv_spark.plans import exploded_broadcast, global_window_unbounded
+    from pserv_spark.plans import final_plan as _final_plan
     from pserv_spark.registry import build_queries
     from pserv_spark.session import get_session
 
@@ -176,10 +214,16 @@ def main() -> int:
 
     report: dict[str, dict] = {}
     violations = 0
-    for name, fn in build_queries().items():
+    queries = build_queries()
+    names = FINAL_LINT_IDS if final_mode else list(queries)
+    for name in names:
+        fn = queries[name]
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            if final_mode:
+                plan = _final_plan(df)  # executes, then reads the AQE plan
+            else:
+                plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             report[name] = {"err": repr(e)[:160]}
             continue
@@ -211,7 +255,13 @@ def main() -> int:
         if flags:
             report[name] = flags
 
-    print(json.dumps({"violations": violations, "flagged": report}, indent=1))
+    out = {"violations": violations, "flagged": report}
+    if final_mode:
+        out["mode"] = "final"
+        out["ids"] = names
+        with open(__file__.rsplit("/", 2)[0] + "/PLANLINT_FINAL.json", "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
     return 1 if violations else 0
 
 
