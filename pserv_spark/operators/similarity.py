@@ -436,7 +436,13 @@ def vec_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale 1/√k) — the cheap dimensionality reduction before ANN
     indexing.  Deterministic matrix ⇒ the oracle replays the same
     projection; per-component ROUND(·, 6).  tests bound the pairwise
-    distance distortion (the JL guarantee)."""
+    distance distortion (the JL guarantee).
+
+    The 16×64 literal-plane expression tree is deliberately map-side
+    (zero shuffles — the scale-correct shape); its local cost is JIT
+    warm-up, not data: measured 4.3→14.8→8.5→2.9→1.6→1.4 s across six
+    executions of one session at sf0.1 (profile_engine times it
+    min-of-2 warm for this reason)."""
     emb = _emb(spark, sf_dir)
     comps = []
     for j in range(JL_DIM):
