@@ -450,6 +450,9 @@ def stream_fitslike_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.processAllAvailable()
+        from ..streaming.jobs import _capture_stream_plan
+
+        _capture_stream_plan("stream_fitslike_tail", query)
     finally:
         query.stop()
     return spark.table(sink)

@@ -3,6 +3,7 @@
 from .inspect import (
     physical_plan,
     final_plan,
+    final_plan_section,
     pushed_filters,
     read_schema,
     partition_filters,
@@ -17,6 +18,7 @@ from .inspect import (
 __all__ = [
     "physical_plan",
     "final_plan",
+    "final_plan_section",
     "pushed_filters",
     "read_schema",
     "partition_filters",

@@ -27,6 +27,25 @@ def final_plan(df: DataFrame) -> str:
     return physical_plan(df)
 
 
+def final_plan_section(plan: str) -> str:
+    """Slice an ``AdaptiveSparkPlan`` rendering to its ``== Final Plan
+    ==`` section only.
+
+    ``executedPlan().toString()`` on an adaptive plan prints BOTH the
+    final (executed) plan and the ``== Initial Plan ==`` it replaced;
+    a detector run over the whole string would report a hazard that
+    exists only in the never-executed initial section — and the
+    indent-depth stacks in :func:`exploded_broadcast` /
+    :func:`global_window_unbounded` would leak state across the
+    section boundary (header lines carry depth -1 and never pop).
+    Non-adaptive plan strings are returned unchanged."""
+    m = re.search(r"^\s*\+?-?\s*== Final Plan ==\s*$", plan, flags=re.M)
+    if not m:
+        return plan
+    end = re.search(r"^\s*\+?-?\s*== Initial Plan ==\s*$", plan, flags=re.M)
+    return plan[m.end() : end.start() if end else len(plan)]
+
+
 def _scan_fields(plan: str, label: str) -> list[str]:
     # Scan metadata is rendered width-limited: a long filter list is cut
     # with "..." before its closing bracket, so accept either terminator.

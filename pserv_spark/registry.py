@@ -200,6 +200,55 @@ DRIVER_VERIFIED: tuple[str, ...] = (
     "vec_project_jl",
     "text_ngram_freq",
     "text_cooccur_pmi",
+    "text_url_normalize",
+    "text_zipf_slope",
+    "mm_audio_resample_meta",
+    "mm_scene_cuts",
+    "mm_frame_sample",
+    "mm_resize_meta",
+    "udf_weighted_mean_pandas",
+    "udf_scalar_magcal_pandas",
+    "udtf_word_expand",
+    "udf_arrow_scalar",
+    "stream_tumbling_complete",
+    "stream_hopping_complete",
+    "stream_dedup_keys",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_rollup_upsert",
+    "stream_topk_maintain",
+    "stream_late_drop_audit",
+    "stream_checkpoint_resume",
+    "ingest_jsonl_roundtrip",
+    "ingest_pk_dedup_layout",
+    "ingest_schema_evolution",
+    "ingest_registry_visits",
+    "ingest_badrows_quarantine",
+    "stream_fitslike_tail",
+    "set_intersect_all",
+    "set_except_all",
+    "fn_map_props",
+    "fn_bitwise",
+    "source_generate_series",
+    "fn_posexplode",
+    "dim_scd2_ranges",
+    "agg_mode_deterministic",
+    "agg_percentile_multi",
+    "win_running_distinct",
+    "fn_try_arith",
+    "join_scd2_pit",
+    "fn_json_struct",
+    "fn_collation_ci",
+    "fn_variant_json",
+    "merge_scd2_apply",
+    "join_null_safe",
+    "win_skyline_2d",
+    "sample_hash_split",
+    "sample_stratified_hash",
+    "gapfill_date_spine",
+    "ts_gap_fill_locf",
 )
 
 
@@ -287,7 +336,9 @@ RANKED_EXTENSIONS: tuple[str, ...] = (
 )
 
 
-def driver_window_order(all_names: list[str]) -> list[str]:
+def driver_window_order(
+    all_names: list[str], rows_only: tuple[str, ...] = ()
+) -> list[str]:
     """Registry emission order: not-yet-driver-verified ids first (the
     50-entry driver prefix = new hard-signal rows every round), ranked
     contract-first, then the already-verified ids in their original
@@ -297,14 +348,23 @@ def driver_window_order(all_names: list[str]) -> list[str]:
     order — the declared contract gets driver rows before any
     extension; (2) ``RANKED_EXTENSIONS`` in rank order; (3) the
     remaining extensions in registration order.
+
+    ``rows_only`` ids (registered with no ``oracle_sql()`` entry —
+    declared rows-only checks) are demoted behind the verified tail:
+    their driver row can never be fully green (``err:"no_oracle"``),
+    so letting one sit in the 50-entry prefix burns a hard-signal slot
+    every round for a check the local suite already covers (VERDICT r5
+    "What's wrong" #1).
     """
     verified = set(DRIVER_VERIFIED)
-    head: list[str] = [n for n in corpus.QUERY_NAMES if n not in verified]
-    head += [n for n in RANKED_EXTENSIONS if n not in verified]
+    demoted = verified | set(rows_only)
+    head: list[str] = [n for n in corpus.QUERY_NAMES if n not in demoted]
+    head += [n for n in RANKED_EXTENSIONS if n not in demoted]
     seen = set(head)
-    head += [n for n in all_names if n not in seen and n not in verified]
+    head += [n for n in all_names if n not in seen and n not in demoted]
     seen.update(head)
-    return head + [n for n in all_names if n not in seen]
+    tail = [n for n in all_names if n not in seen and n not in rows_only]
+    return head + tail + [n for n in all_names if n in set(rows_only)]
 
 
 def build_queries() -> dict[str, QueryFn]:
@@ -332,7 +392,8 @@ def build_queries() -> dict[str, QueryFn]:
     unknown = [n for n in DRIVER_VERIFIED if n not in out]
     if unknown:
         raise ValueError(f"DRIVER_VERIFIED ids not registered: {unknown}")
-    return {n: out[n] for n in driver_window_order(list(out))}
+    rows_only = tuple(n for n in out if n not in build_oracles())
+    return {n: out[n] for n in driver_window_order(list(out), rows_only)}
 
 
 def build_oracles() -> dict[str, str]:

@@ -40,6 +40,37 @@ from ..session import REQUIRED_SQL_CONFS
 
 _run_ids = itertools.count()
 
+#: Diagnostic hook (scripts/plan_lint.py --final): when set to a list,
+#: every finite streaming run appends ``(label, plan_string)`` rows —
+#: the micro-batch engine's LAST EXECUTED physical plan for the
+#: streaming query itself (``StreamingQuery.explainInternal``), plus
+#: the per-batch DataFrame plans built INSIDE ``foreachBatch``
+#: functions, which the query's own explain cannot see.  ``None``
+#: (default) = zero overhead on the product path.  This is what lets
+#: the plan lint audit the streaming family's executed micro-batch
+#: plans with the same hazard detectors as the batch registry.
+BATCH_PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def _capture_stream_plan(label: str, query) -> None:
+    if BATCH_PLAN_CAPTURE is None:
+        return
+    try:  # diagnostic-only: never fail the job over a plan rendering
+        BATCH_PLAN_CAPTURE.append((label, query._jsq.explainInternal(False)))
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _capture_batch_plan(label: str, df: DataFrame) -> None:
+    if BATCH_PLAN_CAPTURE is None:
+        return
+    try:
+        BATCH_PLAN_CAPTURE.append(
+            (label, df._jdf.queryExecution().executedPlan().toString())
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
 
 def _stream_source_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory*; stage one
@@ -166,6 +197,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = reduce_latest(cur.unionByName(cand)).where(
             F.col("bucket").isin(touched)
         )
+        _capture_batch_plan("stream_cdc_apply:batch", merged)
         merged = merged.localCheckpoint()  # materialize before overwriting source
         (
             merged.write.mode("overwrite")
@@ -182,6 +214,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.awaitTermination()
+        _capture_stream_plan("stream_cdc_apply", query)
     finally:
         query.stop()
     return (
@@ -205,6 +238,7 @@ def run_to_memory(stream_df: DataFrame, mode: str, name: str) -> DataFrame:
     )
     try:
         query.awaitTermination()
+        _capture_stream_plan(name, query)
     finally:
         query.stop()
     return spark.table(sink)
@@ -406,9 +440,10 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        staged = batch_df.withColumn("day_part", F.date_format("day", "yyyy-MM-dd"))
+        _capture_batch_plan("stream_rollup_upsert:batch", staged)
         (
-            batch_df.withColumn("day_part", F.date_format("day", "yyyy-MM-dd"))
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day_part")
             .parquet(out)
@@ -422,6 +457,7 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.awaitTermination()
+        _capture_stream_plan("stream_rollup_upsert", query)
     finally:
         query.stop()
     return spark.read.parquet(out).select(
@@ -523,6 +559,7 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def to_jdbc(batch_df: DataFrame, _batch_id: int) -> None:
+        _capture_batch_plan("stream_jdbc_sink:batch", batch_df)
         batch_df.write.mode("overwrite").jdbc(url, "serving_agg", properties=props)
 
     query = (
@@ -533,6 +570,7 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.awaitTermination()
+        _capture_stream_plan("stream_jdbc_sink", query)
     finally:
         query.stop()
     return spark.read.jdbc(url, "serving_agg", properties=props).select(
@@ -566,12 +604,9 @@ def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def publish(batch_df: DataFrame, _batch_id: int) -> None:
-        (
-            batch_df.orderBy(F.col("n").desc(), "user_id")
-            .limit(10)
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        topk = batch_df.orderBy(F.col("n").desc(), "user_id").limit(10)
+        _capture_batch_plan("stream_topk_maintain:batch", topk)
+        topk.write.mode("overwrite").parquet(out)
 
     query = (
         counts.writeStream.outputMode("complete")
@@ -581,6 +616,7 @@ def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.awaitTermination()
+        _capture_stream_plan("stream_topk_maintain", query)
     finally:
         query.stop()
     return spark.read.parquet(out).select("user_id", "n")
@@ -715,11 +751,9 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def publish(batch_df: DataFrame, batch_id: int) -> None:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(sink)
-            )
+            staged = batch_df.withColumn("batch_id", F.lit(batch_id))
+            _capture_batch_plan("stream_checkpoint_resume:batch", staged)
+            staged.write.mode("append").parquet(sink)
 
         q = (
             agg.writeStream.outputMode("update")
@@ -730,6 +764,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.awaitTermination()
+            _capture_stream_plan("stream_checkpoint_resume", q)
         finally:
             q.stop()
 

@@ -29,38 +29,43 @@ PKG = REPO / "pserv_spark"
 #: Driver-materialization methods that need a boundedness justification.
 ACTIONS = {"collect", "toPandas", "toLocalIterator"}
 
-#: file:function -> why every row set collected there is bounded
-#: regardless of corpus scale.
-ALLOWED: dict[str, str] = {
+#: file:function -> (expected site count, why every row set collected
+#: there is bounded regardless of corpus scale).  The count pins the
+#: audit per SITE, not per function: a NEW unbounded .collect() added
+#: inside an already-allowlisted function fails the audit (count grew)
+#: instead of inheriting the old site's justification silently
+#: (ADVICE r5).
+ALLOWED: dict[str, tuple[int, str]] = {
     # --- test / diagnostic surfaces (never on a production data path) ---
-    "testing.py:compare_df_to_duckdb": "the oracle comparator itself; sf0.01 test tiers only",
-    "testing.py:compare_frames": "the oracle comparator itself; sf0.01 test tiers only",
-    "plans/inspect.py:final_plan": "EXPLAIN diagnostic: executes to read the AQE-final plan",
+    "testing.py:compare_df_to_duckdb": (1, "the oracle comparator itself; sf0.01 test tiers only"),
+    "testing.py:compare_frames": (2, "the oracle comparator itself; sf0.01 test tiers only"),
+    "plans/inspect.py:final_plan": (1, "EXPLAIN diagnostic: executes to read the AQE-final plan"),
     # --- reference-surface API contract ---
     "api.py:apply": (
+        1,
         "DbConnection.apply(query, cursorFunc) parity: the REFERENCE's "
         "contract hands the cursor's rows to user code; callers choose "
-        "bounded queries, as they do on the reference"
+        "bounded queries, as they do on the reference",
     ),
     # --- 1-row / k-row scalar bounds and iteration state ---
-    "operators/extras.py:merge_scd2_apply": "1-row (min+max)/2 timestamp midpoint",
-    "operators/pipeline_ops.py:layout_snapshot_timetravel": "1-row snapshot boundary",
-    "operators/pipeline_ops.py:layout_partition_evolution": "1-row (lo, hi) day bounds",
-    "operators/pipeline_ops.py:layout_vacuum_orphans": "1-row (lo, hi) day bounds",
-    "operators/rollup.py:serve_lambda_union": "1-row hi-day boundary",
-    "streaming/jobs.py:stream_late_drop_audit": "1-row (lo, hi) day bounds",
-    "operators/iterative.py:cluster_kmeans_lloyd": "k=8 centroid rows per Lloyd step",
-    "operators/iterative.py:sample_coreset_kcenter": "1 seed row + k-center picks",
+    "operators/extras.py:merge_scd2_apply": (1, "1-row (min+max)/2 timestamp midpoint"),
+    "operators/pipeline_ops.py:layout_snapshot_timetravel": (1, "1-row snapshot boundary"),
+    "operators/pipeline_ops.py:layout_partition_evolution": (1, "1-row (lo, hi) day bounds"),
+    "operators/pipeline_ops.py:layout_vacuum_orphans": (1, "1-row (lo, hi) day bounds"),
+    "operators/rollup.py:serve_lambda_union": (1, "1-row hi-day boundary"),
+    "streaming/jobs.py:stream_late_drop_audit": (1, "1-row (lo, hi) day bounds"),
+    "operators/iterative.py:cluster_kmeans_lloyd": (2, "k=8 init rows + k centroid rows per Lloyd step"),
+    "operators/iterative.py:sample_coreset_kcenter": (2, "1 seed row + k-center picks"),
     # --- metadata-sized driver state (partition lists, manifests, dicts) ---
-    "streaming/jobs.py:apply_batch": "distinct touched-bucket ids (<= _BUCKETS)",
-    "operators/lifecycle_ops.py:purge_store": "distinct erased-user bucket ids (<= _BUCKETS)",
-    "operators/pipeline_ops.py:layout_zonemap_prune": "per-FILE min/max stats: file-count-sized manifest",
-    "operators/pipeline_ops.py:layout_bloom_file_skip": "per-FILE bloom bitsets: file-count-sized manifest",
-    "operators/tokenize_ops.py:_train_cached": "the BPE dictionary (VOCAB=150 words)",
+    "streaming/jobs.py:apply_batch": (1, "distinct touched-bucket ids (<= _BUCKETS)"),
+    "operators/lifecycle_ops.py:purge_store": (1, "distinct erased-user bucket ids (<= _BUCKETS)"),
+    "operators/pipeline_ops.py:layout_zonemap_prune": (1, "per-FILE min/max stats: file-count-sized manifest"),
+    "operators/pipeline_ops.py:layout_bloom_file_skip": (1, "per-FILE bloom bitsets: file-count-sized manifest"),
+    "operators/tokenize_ops.py:_train_cached": (1, "the BPE dictionary (VOCAB=150 words)"),
     # --- fixture builders (test-tier inputs written once to disk) ---
-    "operators/ingest_ops.py:_fitslike_fixture": "FITS fixture writer: constant filtered subset",
-    "operators/ingest_ops.py:ingest_badrows_quarantine": "DLQ CSV fixture: o_orderkey < 400 subset",
-    "operators/ingest_ops.py:source_fitslike_varlen": "varlen FITS fixture: user_id < 200 purchase subset",
+    "operators/ingest_ops.py:_fitslike_fixture": (1, "FITS fixture writer: constant filtered subset"),
+    "operators/ingest_ops.py:ingest_badrows_quarantine": (1, "DLQ CSV fixture: o_orderkey < 400 subset"),
+    "operators/ingest_ops.py:source_fitslike_varlen": (1, "varlen FITS fixture: user_id < 200 purchase subset"),
 }
 
 
@@ -91,15 +96,26 @@ def scan() -> list[dict]:
 def main() -> int:
     sites = scan()
     report, violations = {}, 0
+    counts: dict[str, int] = {}
     for s in sites:
-        reason = ALLOWED.get(s["site"])
+        counts[s["site"]] = counts.get(s["site"], 0) + 1
+        entry = ALLOWED.get(s["site"])
         key = f"{s['site']}:{s['line']}"
-        if reason is None:
+        if entry is None:
             report[key] = "VIOLATION: undocumented driver-side materialization"
             violations += 1
         else:
-            report[key] = f"allowed: {reason}"
-    stale = sorted(set(ALLOWED) - {s["site"] for s in sites})
+            report[key] = f"allowed: {entry[1]}"
+    # Per-function site-count pins: a new collect inside an allowlisted
+    # function must be re-justified here, not inherited.
+    grown = {
+        site: f"VIOLATION: {n} sites, {ALLOWED[site][0]} allowed"
+        for site, n in counts.items()
+        if site in ALLOWED and n != ALLOWED[site][0]
+    }
+    violations += len(grown)
+    report.update(grown)
+    stale = sorted(set(ALLOWED) - set(counts))
     out = {"violations": violations, "n_sites": len(sites), "stale_allowlist": stale, "sites": report}
     (REPO / "COLLECT_AUDIT.json").write_text(json.dumps(out, indent=1, sort_keys=True))
     print(json.dumps(out, indent=1, sort_keys=True))

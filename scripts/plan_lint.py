@@ -175,8 +175,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
 }
 
 #: The ids whose EXECUTED (AQE-final) plans --final re-lints: every
-#: merge-hint-pinned site from the round-4 exploded-broadcast fix plus
-#: the round-5 global-window sites.
+#: merge-hint-pinned site from the round-4 exploded-broadcast fix, the
+#: round-5 global-window sites, and (round 6, VERDICT r5 next-round #5)
+#: the full shuffle-budget-pinned dedup/ANN/curation spine from
+#: tests/test_plans.py::test_heavy_spine_exchange_budget — the static
+#: lint proves the hints exist; this proves AQE kept them at runtime.
 FINAL_LINT_IDS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -195,6 +198,48 @@ FINAL_LINT_IDS = [
     "win_rank_dense",
     "win_ntile_pctrank",
     "sample_weighted_priority",
+    # round-6 additions: the budget-pinned heavy spine
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_canonical_keeper",
+    "dedup_cluster_cc",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_lsh_topk",
+    "tfidf",
+    "minhash_signature",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "decontaminate_ngram",
+    "decontaminate_embedding",
+    "feat_hashing_trick",
+    "feat_target_encode",
+    "pipeline_curate_e2e",
+]
+
+#: Streaming ids whose EXECUTED micro-batch plans --final lints via the
+#: streaming.jobs.BATCH_PLAN_CAPTURE hook (round 6, VERDICT r5 #5): the
+#: StreamingQuery's last-executed plan (explainInternal) plus every
+#: foreachBatch-internal DataFrame plan — the parts of a streaming job
+#: the static registry lint cannot see (it only sees the post-stream
+#: RESULT DataFrame read back from the sink).
+STREAM_LINT_IDS = [
+    "stream_tumbling_complete",
+    "stream_hopping_complete",
+    "stream_dedup_keys",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_tumbling_watermark",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_rollup_upsert",
+    "stream_topk_maintain",
+    "stream_late_drop_audit",
+    "stream_checkpoint_resume",
+    "stream_cdc_apply",
+    "stream_psi_monitor",
+    "stream_jdbc_sink",
+    "stream_fitslike_tail",
 ]
 
 
@@ -204,7 +249,11 @@ def main() -> int:
     if final_mode:
         args.remove("--final")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    from pserv_spark.plans import exploded_broadcast, global_window_unbounded
+    from pserv_spark.plans import (
+        exploded_broadcast,
+        final_plan_section,
+        global_window_unbounded,
+    )
     from pserv_spark.plans import final_plan as _final_plan
     from pserv_spark.registry import build_queries
     from pserv_spark.session import get_session
@@ -212,53 +261,99 @@ def main() -> int:
     spark = get_session("plan_lint")
     spark.sparkContext.setLogLevel("ERROR")
 
-    report: dict[str, dict] = {}
-    violations = 0
-    queries = build_queries()
-    names = FINAL_LINT_IDS if final_mode else list(queries)
-    for name in names:
-        fn = queries[name]
-        try:
-            df = fn(spark, sf_dir)
-            if final_mode:
-                plan = _final_plan(df)  # executes, then reads the AQE plan
-            else:
-                plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as e:  # noqa: BLE001
-            report[name] = {"err": repr(e)[:160]}
-            continue
-        flags = {}
+    def lint_plan(name: str, plan: str, flags: dict) -> int:
+        n = 0
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             ok = name in NESTED_LOOP_ALLOWED
             flags["nested_loop"] = (
                 f"allowed: {NESTED_LOOP_ALLOWED[name]}" if ok else "VIOLATION"
             )
-            violations += 0 if ok else 1
+            n += 0 if ok else 1
         if "BatchEvalPython" in plan:
             ok = name in PYTHON_ROW_UDF_ALLOWED
             flags["python_row_udf"] = (
                 f"allowed: {PYTHON_ROW_UDF_ALLOWED[name]}" if ok else "VIOLATION"
             )
-            violations += 0 if ok else 1
+            n += 0 if ok else 1
         if exploded_broadcast(plan):
             ok = name in EXPLODED_BROADCAST_ALLOWED
             flags["exploded_broadcast"] = (
                 f"allowed: {EXPLODED_BROADCAST_ALLOWED[name]}" if ok else "VIOLATION"
             )
-            violations += 0 if ok else 1
+            n += 0 if ok else 1
         if global_window_unbounded(plan):
             ok = name in GLOBAL_WINDOW_ALLOWED
             flags["global_window"] = (
                 f"allowed: {GLOBAL_WINDOW_ALLOWED[name]}" if ok else "VIOLATION"
             )
-            violations += 0 if ok else 1
+            n += 0 if ok else 1
+        return n
+
+    report: dict[str, dict] = {}
+    violations = 0
+    queries = build_queries()
+    names = FINAL_LINT_IDS if final_mode else list(queries)
+    for name in names:
+        try:
+            # Lookup inside the try: a renamed/unregistered FINAL_LINT_IDS
+            # entry records a per-op err instead of aborting the lint.
+            df = queries[name](spark, sf_dir)
+            if final_mode:
+                # Executes, then reads the AQE plan — sliced to the
+                # '== Final Plan ==' section so a hazard present only
+                # in the never-executed Initial Plan isn't reported as
+                # an executed-plan violation.
+                plan = final_plan_section(_final_plan(df))
+            else:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            report[name] = {"err": repr(e)[:160]}
+            if final_mode:
+                violations += 1
+            continue
+        flags: dict = {}
+        violations += lint_plan(name, plan, flags)
         if flags:
             report[name] = flags
+
+    # Streaming section (--final only): re-run each streaming job with
+    # the micro-batch plan-capture hook enabled and lint every captured
+    # executed plan — StreamingQuery.explainInternal's last-batch plan
+    # plus the foreachBatch-internal DataFrame plans.
+    n_stream_plans = 0
+    if final_mode:
+        from pserv_spark.streaming import jobs as stream_jobs
+
+        for name in STREAM_LINT_IDS:
+            captured: list[tuple[str, str]] = []
+            stream_jobs.BATCH_PLAN_CAPTURE = captured
+            try:
+                queries[name](spark, sf_dir).collect()
+            except Exception as e:  # noqa: BLE001
+                report[name] = {"err": repr(e)[:160]}
+                violations += 1
+                continue
+            finally:
+                stream_jobs.BATCH_PLAN_CAPTURE = None
+            if not captured:
+                report[name] = {"err": "no micro-batch plan captured"}
+                violations += 1
+                continue
+            n_stream_plans += len(captured)
+            flags = {}
+            for label, plan in captured:
+                v = lint_plan(name, final_plan_section(plan), flags)
+                if v:
+                    flags["plan_source"] = label
+                violations += v
+            if flags:
+                report[name] = flags
 
     out = {"violations": violations, "flagged": report}
     if final_mode:
         out["mode"] = "final"
-        out["ids"] = names
+        out["ids"] = names + STREAM_LINT_IDS
+        out["n_stream_plans"] = n_stream_plans
         with open(__file__.rsplit("/", 2)[0] + "/PLANLINT_FINAL.json", "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

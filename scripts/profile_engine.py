@@ -28,18 +28,24 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
-OUT = os.path.join(__file__.rsplit("/", 2)[0], "ENGINE_PROFILE.json")
+OUT = str(REPO / "ENGINE_PROFILE.json")
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     compare_path = None
     if "--compare" in args:
-        compare_path = args[args.index("--compare") + 1]
-        del args[args.index("--compare"):args.index("--compare") + 2]
+        i = args.index("--compare")
+        if i + 1 >= len(args):
+            print("usage: profile_engine.py [sf_dir] [id ...] [--compare PRIOR.json]")
+            return 2
+        compare_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     only = set(args[1:])
 

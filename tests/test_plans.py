@@ -533,6 +533,45 @@ def test_global_window_detector_on_synthetic_plans():
     assert not global_window_unbounded(partitioned)
 
 
+def test_final_plan_section_slices_adaptive_rendering():
+    """ADVICE r5: an AdaptiveSparkPlan rendering carries BOTH the
+    '== Final Plan ==' and '== Initial Plan ==' sections; --final-mode
+    lint must judge only the executed section, or a hazard that AQE
+    optimized AWAY (present only in the initial plan) is reported as
+    an executed-plan violation — and the detectors' depth stacks leak
+    across the section header lines (depth -1, never popped)."""
+    from pserv_spark.plans import final_plan_section, global_window_unbounded
+
+    hazard_subtree = (
+        "   Window [row_number() windowspecdefinition(x ASC)], [x ASC]\n"
+        "   +- Sort [x ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "         +- FileScan parquet [x] ...\n"
+    )
+    safe_subtree = (
+        "   Window [row_number() windowspecdefinition(x ASC)], [x ASC]\n"
+        "   +- Sort [x ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "         +- TakeOrderedAndProject(limit=20, orderBy=[x ASC], output=[x])\n"
+        "            +- FileScan parquet [x] ...\n"
+    )
+    adaptive = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        + safe_subtree
+        + "+- == Initial Plan ==\n"
+        + hazard_subtree
+    )
+    # Whole string flags (hazard lives in the Initial section only);
+    # the sliced Final section does not.
+    assert global_window_unbounded(adaptive)
+    sliced = final_plan_section(adaptive)
+    assert "Initial Plan" not in sliced and "TakeOrderedAndProject" in sliced
+    assert not global_window_unbounded(sliced)
+    # Non-adaptive renderings pass through unchanged.
+    assert final_plan_section(hazard_subtree) == hazard_subtree
+
+
 def test_no_unbounded_global_window_in_registry_hot_paths(spark, sf_oracle):
     """Regression pin for the single-partition-window trap (round 5):
     an unpartitioned OVER (ORDER BY ...) funnels its whole input

@@ -12,6 +12,30 @@ from pserv_spark.streaming import (
 from pserv_spark.testing import compare_frames
 
 
+def test_batch_plan_capture_hook(spark, sf_smoke):
+    """The diagnostic micro-batch plan-capture hook (plan_lint --final
+    streaming section, round 6): with BATCH_PLAN_CAPTURE set, a finite
+    memory-sink run records the streaming engine's last-executed
+    physical plan; with it unset (the default), nothing is recorded
+    and behavior is unchanged."""
+    from pserv_spark.streaming import jobs as stream_jobs
+
+    captured: list[tuple[str, str]] = []
+    stream_jobs.BATCH_PLAN_CAPTURE = captured
+    try:
+        stream_tumbling_complete(spark, sf_smoke).collect()
+    finally:
+        stream_jobs.BATCH_PLAN_CAPTURE = None
+    assert captured, "memory-sink run captured no plan"
+    label, plan = captured[-1]
+    assert label == "stream_tumbling"
+    # The executed micro-batch plan, not the post-stream result read:
+    # complete-mode stateful agg renders StateStore operators.
+    assert "StateStore" in plan or "HashAggregate" in plan
+    # Hook off -> no capture, stream still runs.
+    assert stream_tumbling_complete(spark, sf_smoke).count() > 0
+
+
 def test_tumbling_stream_equals_batch(spark, sf_smoke):
     """Complete-mode tumbling agg == the batch window_tumbling query."""
     stream = stream_tumbling_complete(spark, sf_smoke)
