@@ -51,14 +51,28 @@ _run_ids = itertools.count()
 #: plans with the same hazard detectors as the batch registry.
 BATCH_PLAN_CAPTURE: list[tuple[str, str]] | None = None
 
+#: Companion hook (scripts/audit_stream_state.py): when set to a list,
+#: every finite streaming run appends ``(label, stateOperators)`` — the
+#: state-store metrics (numRowsTotal etc.) from the query's last
+#: progress event.  The state audit is the streaming counterpart of the
+#: collect audit: at 100 TB the failure mode of a stateful stream is
+#: UNBOUNDED STATE GROWTH (no watermark eviction, no key bound), which
+#: correctness checks can never see because every test run is finite.
+STATE_CAPTURE: list[tuple[str, list]] | None = None
+
 
 def _capture_stream_plan(label: str, query) -> None:
-    if BATCH_PLAN_CAPTURE is None:
-        return
-    try:  # diagnostic-only: never fail the job over a plan rendering
-        BATCH_PLAN_CAPTURE.append((label, query._jsq.explainInternal(False)))
-    except Exception:  # noqa: BLE001
-        pass
+    if BATCH_PLAN_CAPTURE is not None:
+        try:  # diagnostic-only: never fail the job over a plan rendering
+            BATCH_PLAN_CAPTURE.append((label, query._jsq.explainInternal(False)))
+        except Exception:  # noqa: BLE001
+            pass
+    if STATE_CAPTURE is not None:
+        try:
+            prog = query.lastProgress or {}
+            STATE_CAPTURE.append((label, prog.get("stateOperators") or []))
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def _capture_batch_plan(label: str, df: DataFrame) -> None:

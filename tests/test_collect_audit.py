@@ -34,3 +34,19 @@ def test_collect_allowlist_has_no_stale_entries():
     sites = {s["site"] for s in _MOD.scan()}
     stale = sorted(set(_MOD.ALLOWED) - sites)
     assert not stale, f"allowlist entries with no matching site: {stale}"
+
+
+def test_collect_site_counts_match_allowlist_pins():
+    """ADVICE r5: the allowlist pins an expected SITE COUNT per
+    function, so a second collect added inside an already-allowlisted
+    function must be re-justified instead of inheriting the old
+    site's reason silently."""
+    counts: dict[str, int] = {}
+    for s in _MOD.scan():
+        counts[s["site"]] = counts.get(s["site"], 0) + 1
+    drift = {
+        site: (n, _MOD.ALLOWED[site][0])
+        for site, n in counts.items()
+        if site in _MOD.ALLOWED and n != _MOD.ALLOWED[site][0]
+    }
+    assert not drift, f"collect-site count drift (found, pinned): {drift}"
