@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Measured scaling curves for the heavy spine — the 100× question.
+
+The plan audits argue each heavy operator is bucketed / banded /
+broadcast-bounded; this probe MEASURES it: warm runtime (min of 2, the
+profiler's JIT methodology) at sf0.001 / sf0.01 / sf0.1 and, per op,
+the 0.01→0.1 time ratio compared against the op's DRIVING TABLE's
+actual row-growth factor between those tiers (the tables do not grow
+uniformly: lineitem/events/documents grow 10×, embeddings only 4×).
+The gate: time_ratio > max(1.5 × data_factor, 3.0) flags the op as
+superlinear unless declared below.  The 1.5 slack covers n·log n and
+shuffle-width effects; the 3.0 floor keeps sub-second jitter out.
+
+Honesty note on the declared quadratics: at these test tiers (≤ 5k
+docs / 2k vectors) the quadratic exact baselines do NOT yet exhibit
+their asymptote — fixed task-launch overhead still dominates — so they
+are declared by construction, not demonstrated by measurement.  The
+measurement that matters is the other direction: every SERVING-path op
+stays inside its linear band while the same harness and the same
+machine would have shown a 10×-data op at 50× time had one regressed.
+
+Run:  python scripts/scale_curve.py [op ...]      # default: SPINE
+Writes SCALECURVE.json and exits 1 on undeclared superlinear ratios.
+Derby-free op set by default; still avoid running concurrently with
+other Spark work — timings are the product.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+TIERS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+#: op id -> the base table whose growth drives the op's input size.
+DRIVING_TABLE: dict[str, str] = {
+    "dedup_exact": "documents",
+    "dedup_fingerprint": "documents",
+    "dedup_minhash_lsh": "documents",
+    "dedup_simhash": "documents",
+    "dedup_jaccard": "documents",
+    "dedup_ngram_jaccard": "documents",
+    "dedup_containment": "documents",
+    "ann_ivf_topk": "embeddings",
+    "ann_pq_topk": "embeddings",
+    "ann_lsh_topk": "embeddings",
+    "tfidf": "documents",
+    "minhash_signature": "documents",
+    "text_bpe_apply": "documents",
+    "decontaminate_ngram": "documents",
+    "feat_target_encode": "events",
+    "pipeline_curate_e2e": "documents",
+    "vec_crossmatch_zoned": "embeddings",
+    "agg_groupby_q1": "lineitem",
+    "sessionize": "events",
+    "vec_cosine_pairs": "embeddings",
+    "dedup_embedding_cosine": "embeddings",
+}
+
+#: op id -> why a superlinear ratio is expected/acceptable for this op.
+SUPERLINEAR_DECLARED: dict[str, str] = {
+    "vec_cosine_pairs": (
+        "quadratic exact all-pairs baseline by construction (scale path: "
+        "vec_crossmatch_zoned / ann_*); at 2k test vectors the asymptote "
+        "is not yet visible above fixed overhead"
+    ),
+    "dedup_embedding_cosine": (
+        "quadratic blocked exact baseline by construction (scale path: "
+        "dedup_minhash_lsh / dedup_semantic_clustered)"
+    ),
+    "dedup_jaccard": (
+        "ppjoin whose TRUE-PAIR OUTPUT grows ~n^2 on this synthetic "
+        "corpus (964k pairs at sf0.1 — the dup-density is constant by "
+        "generation); on real corpora dup-density falls with size. "
+        "dedup_ngram_jaccard (prefix+positional filters) is the shape "
+        "that holds when output is sparse"
+    ),
+}
+
+
+def _rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def main() -> int:
+    ops = sys.argv[1:] or list(DRIVING_TABLE)
+
+    from pserv_spark.registry import build_queries
+    from pserv_spark.session import get_session
+
+    spark = get_session("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries()
+
+    report: dict[str, dict] = {}
+    violations = 0
+    for name in ops:
+        fn = queries[name]
+        table = DRIVING_TABLE.get(name)
+        if table is None:
+            report[name] = {"err": "no DRIVING_TABLE declared"}
+            violations += 1
+            continue
+        data_factor = _rows(TIERS[2], table) / max(_rows(TIERS[1], table), 1)
+        band = max(1.5 * data_factor, 3.0)
+        times = []
+        try:
+            for sf_dir in TIERS:
+                fn(spark, sf_dir).collect()  # cold: JIT + fixture build
+                t_best = float("inf")
+                for _ in range(2):  # warm = min of 2 (profiler methodology)
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    t_best = min(t_best, time.perf_counter() - t0)
+                times.append(round(t_best, 3))
+        except Exception as e:  # noqa: BLE001
+            report[name] = {"err": repr(e)[:160]}
+            violations += 1
+            continue
+        ratio = round(times[2] / max(times[1], 1e-9), 2)
+        row: dict = {
+            "warm_sec": dict(zip(["sf0.001", "sf0.01", "sf0.1"], times)),
+            "table": table,
+            "data_factor": round(data_factor, 1),
+            "time_ratio": ratio,
+            "band": round(band, 1),
+        }
+        if name in SUPERLINEAR_DECLARED:
+            row["verdict"] = f"declared superlinear: {SUPERLINEAR_DECLARED[name]}"
+        elif ratio > band:
+            row["verdict"] = "VIOLATION: undeclared superlinear scaling"
+            violations += 1
+        else:
+            row["verdict"] = "ok (within linear band)"
+        report[name] = row
+        print(
+            f"{name}: {times} ratio={ratio} vs band {band:.1f} "
+            f"({table} x{data_factor:.0f}) {row['verdict'][:30]}"
+        )
+
+    out = {
+        "violations": violations,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "ops": report,
+    }
+    (REPO / "SCALECURVE.json").write_text(json.dumps(out, indent=1, sort_keys=True))
+    print(json.dumps({"violations": violations, "n_ops": len(report)}))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
