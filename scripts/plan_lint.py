@@ -307,9 +307,10 @@ def main() -> int:
             else:
                 plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
+            # An op whose plan cannot even be rendered is a loud failure
+            # in BOTH modes: a silent err row would mask a lint hole.
             report[name] = {"err": repr(e)[:160]}
-            if final_mode:
-                violations += 1
+            violations += 1
             continue
         flags: dict = {}
         violations += lint_plan(name, plan, flags)

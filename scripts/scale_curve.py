@@ -61,6 +61,13 @@ DRIVING_TABLE: dict[str, str] = {
     "sessionize": "events",
     "vec_cosine_pairs": "embeddings",
     "dedup_embedding_cosine": "embeddings",
+    # round-6 session-2 widening: one representative per remaining family
+    "astro_crossmatch_sph": "embeddings",
+    "dedup_cluster_cc": "documents",
+    "sketch_hll_estimate": "events",
+    "text_langid": "documents",
+    "text_fingerprint": "documents",
+    "feat_hashing_trick": "documents",
 }
 
 #: op id -> why a superlinear ratio is expected/acceptable for this op.
