@@ -125,19 +125,17 @@ def test_pk_layout_files_are_object_clustered(spark, sf_oracle):
     property that gives row-group min/max stats their pruning power
     for per-object light-curve lookups."""
     import glob
-    import hashlib
     import os
-    import tempfile
 
     import pandas as pd
 
+    from pserv_spark.fixtures import fixture_path
     from pserv_spark.operators.ingest_ops import ingest_pk_dedup_layout
 
     ingest_pk_dedup_layout(spark, sf_oracle)  # (re)writes the store
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_pk_layout_{hashlib.md5(sf_oracle.encode()).hexdigest()[:8]}",
-    )
+    # the op's real store path (fingerprint-keyed since the ADVICE r2
+    # migration) — deriving it any other way checks a stale directory
+    out = fixture_path(sf_oracle, "pk_layout")
     files = glob.glob(os.path.join(out, "part-*.parquet"))
     assert len(files) > 1, "expected a multi-file clustered store"
     for f in files:
