@@ -34,7 +34,10 @@ report either way.  Usage: python scripts/plan_lint.py [sf_dir]
 
 ``--final`` mode (round 5): EXECUTES the merge-hinted / window-audited
 subset below and lints the AQE-FINAL plans with the same rules,
-writing PLANLINT_FINAL.json.  The static lint sees the initial plan;
+writing PLANLINT_FINAL.json.  ``--final --all`` (round 6) widens the
+executed-plan lint to EVERY registered id — each batch query runs to
+completion and its '== Final Plan ==' section is linted; streaming ids
+are covered by the micro-batch capture section instead.  The static lint sees the initial plan;
 this verifies at runtime that AQE respects the pinned hints (it never
 replaces a user-hinted join) and that its own runtime BHJ conversions
 — which are actual-size-informed and therefore safe by mechanism —
@@ -248,6 +251,9 @@ def main() -> int:
     final_mode = "--final" in args
     if final_mode:
         args.remove("--final")
+    all_mode = "--all" in args
+    if all_mode:
+        args.remove("--all")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pserv_spark.plans import (
         exploded_broadcast,
@@ -293,6 +299,13 @@ def main() -> int:
     violations = 0
     queries = build_queries()
     names = FINAL_LINT_IDS if final_mode else list(queries)
+    if final_mode and all_mode:
+        # --final --all (round 6): execute EVERY registered id and lint
+        # its AQE-final plan.  Streaming ids are excluded from this loop
+        # — the dedicated streaming section below lints their captured
+        # micro-batch plans, which is the executed plan that matters (the
+        # main loop would only see the post-stream sink re-read).
+        names = [n for n in queries if n not in set(STREAM_LINT_IDS)]
     for name in names:
         try:
             # Lookup inside the try: a renamed/unregistered FINAL_LINT_IDS
@@ -352,7 +365,7 @@ def main() -> int:
 
     out = {"violations": violations, "flagged": report}
     if final_mode:
-        out["mode"] = "final"
+        out["mode"] = "final-all" if all_mode else "final"
         out["ids"] = names + STREAM_LINT_IDS
         out["n_stream_plans"] = n_stream_plans
         with open(__file__.rsplit("/", 2)[0] + "/PLANLINT_FINAL.json", "w") as f:
