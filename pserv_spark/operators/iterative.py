@@ -175,6 +175,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint()  # reused every iteration; cut lineage
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     n_nodes = deg.count()  # driver scalar; every node appears as src
+    if n_nodes == 0:
+        # pruned-to-empty edge list: no nodes, no ranks (the oracle's
+        # final CTE joins against the same empty edge list)
+        return spark.createDataFrame([], "node string, rank double")
     base = 0.15 / float(n_nodes)
 
     rank = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("rank"))
@@ -365,7 +369,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-increasing — asserted in tests).
     """
     emb = catalog.v_emb(spark, sf_dir).select("vec_id", "emb")
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    head = emb.orderBy("vec_id").limit(1).collect()
+    if not head:
+        # pruned-to-empty vector table: no seed point, empty coreset
+        # (the oracle's p0 CTE is empty, so every pk is too)
+        return spark.createDataFrame([], "step int, vec_id bigint, sel_d2 double")
+    first = head[0]
     picks = [(0, int(first.vec_id), list(first.emb), 0.0)]
     schema = "cid int, cvec array<double>"
     for step in range(1, _KC_K):

@@ -82,6 +82,19 @@ def _partition_files(root: str) -> dict[str, tuple[int, float]]:
     return out
 
 
+def _laid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's logical layout (base columns + day/ub partition
+    keys) — also the authority for the store's on-disk schema, which
+    readers declare explicitly (a purge over a pruned-to-empty stream
+    leaves zero part files; inference would fail)."""
+    ev = catalog.v_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return ev.withColumn("day", F.to_date("ts")).withColumn(
+        "ub", F.pmod(F.hash("user_id"), F.lit(_BUCKETS))
+    )
+
+
 def purge_store(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Build the layout, run retention + erasure, return audit info.
 
@@ -89,12 +102,7 @@ def purge_store(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     were dropped / rewritten / untouched and the untouched partitions'
     file inventory before and after (must be identical).
     """
-    ev = catalog.v_events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    laid = ev.withColumn("day", F.to_date("ts")).withColumn(
-        "ub", F.pmod(F.hash("user_id"), F.lit(_BUCKETS))
-    )
+    laid = _laid_frame(spark, sf_dir)
     store = _store_dir(sf_dir)
     shutil.rmtree(store, ignore_errors=True)
     # Pre-repartition on the layout keys: a dynamic-partition write
@@ -123,7 +131,7 @@ def purge_store(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     erased_buckets = sorted(
         {
             r.ub
-            for r in ev.select("user_id")
+            for r in laid.select("user_id")
             .where(F.col("user_id") % _ERASE_MOD == 0)
             .select(F.pmod(F.hash("user_id"), F.lit(_BUCKETS)).alias("ub"))
             .distinct()
@@ -140,7 +148,9 @@ def purge_store(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
                 touched_dirs.append(os.path.relpath(part, store))
 
     surviving = (
-        spark.read.parquet(store)
+        # schema-explicit: a store built from a pruned-to-empty stream
+        # has no part files to infer from (empty purge = normal state)
+        spark.read.schema(laid.schema).parquet(store)
         .where(F.col("ub").isin([int(b) for b in erased_buckets]))
         .where(F.col("user_id") % _ERASE_MOD != 0)
     )
@@ -173,7 +183,7 @@ def purge_erasure_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving store (exact oracle = the global DELETE-WHERE filter)."""
     store, _audit = purge_store(spark, sf_dir)
     return (
-        spark.read.parquet(store)
+        spark.read.schema(_laid_frame(spark, sf_dir).schema).parquet(store)
         .groupBy("day")
         .agg(
             F.count("*").cast("long").alias("n"),

@@ -348,7 +348,11 @@ def layout_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_str").cast("date").alias("day"), "n_files"
     )
     rows = (
-        spark.read.parquet(out)
+        # schema-explicit read-back: an input pruned to zero rows writes
+        # no part files (only _SUCCESS), and a bare read would fail
+        # schema inference — at 100 TB an empty compaction window is a
+        # normal state, not an error
+        spark.read.schema(ev.schema).parquet(out)
         .groupBy(F.col("day").cast("date").alias("day"))
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
@@ -402,7 +406,9 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staging)
         )
         stats = (
-            spark.read.parquet(staging)
+            # schema-explicit: zero-row staging (pruned-to-empty input)
+            # has no part files to infer from
+            spark.read.schema(li.schema).parquet(staging)
             .groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.min("l_shipdate").cast("string").alias("mn"),
@@ -425,7 +431,13 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files": len(manifest),
         "n_selected": len(selected),
     }
-    pruned = spark.read.parquet(*selected).where(
+    if selected:
+        pruned = spark.read.parquet(*selected)
+    else:
+        # every file zone-skipped (or an empty store): the exact answer
+        # is the empty relation — no scan at all
+        pruned = spark.createDataFrame([], li.schema)
+    pruned = pruned.where(
         F.to_date("l_shipdate").between(lo, hi)  # residual filter stays on
     )
     return pruned.groupBy("l_returnflag").agg(
@@ -475,7 +487,10 @@ def layout_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min(day).alias("lo"), F.max(day).alias("hi")
     ).collect()[0]
-    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+    # pruned-to-empty stream: no bounds — any midpoint splits nothing
+    lo_b = bounds.lo if bounds.lo is not None else 0
+    hi_b = bounds.hi if bounds.hi is not None else 0
+    mid = lo_b + (hi_b - lo_b) // 2
 
     from ..fixtures import fixture_path, publish_dir, staging_path
 
@@ -500,8 +515,16 @@ def layout_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def as_of(manifest_path: str, version: int) -> DataFrame:
         with open(manifest_path) as fh:
             files = [os.path.join(out, "data", f) for f in json.load(fh)]
-        return (
+        # an empty manifest is a valid snapshot (zero committed files):
+        # the as-of scan is the empty relation, and the global aggregate
+        # below still emits its one summary row — same as the oracle
+        snap = (
             spark.read.parquet(*files)
+            if files
+            else spark.createDataFrame([], ev.schema)
+        )
+        return (
+            snap
             .agg(
                 F.lit(version).alias("version"),
                 F.count("*").cast("long").alias("n_rows"),
@@ -539,7 +562,9 @@ def layout_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
     day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
     bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
-    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+    lo_b = bounds.lo if bounds.lo is not None else 0
+    hi_b = bounds.hi if bounds.hi is not None else 0
+    mid = lo_b + (hi_b - lo_b) // 2
 
     out = fixture_path(sf_dir, "specevo")
     man_path = os.path.join(out, "_manifests.json")
@@ -575,7 +600,12 @@ def layout_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for m in manifests:
         root = os.path.join(out, m["root"])
-        df = spark.read.option("basePath", root).parquet(root)
+        # schema-explicit (base columns + this spec's partition column):
+        # a spec whose batch was pruned to zero rows has no part files
+        spec_schema = ev.withColumn(
+            m["col"], F.lit(0).cast("long")
+        ).schema
+        df = spark.read.schema(spec_schema).option("basePath", root).parquet(root)
         if m["spec"] == "day":
             # day-granular spec: partition predicate IS the filter
             pruned = df.where(
@@ -639,7 +669,9 @@ def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.v_events(spark, sf_dir).where(F.col("event_type") == "purchase")
     day = F.floor(F.col("ts_us") / F.lit(float(_TT_US_PER_DAY))).cast("long")
     bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi")).collect()[0]
-    mid = bounds.lo + (bounds.hi - bounds.lo) // 2
+    lo_b = bounds.lo if bounds.lo is not None else 0
+    hi_b = bounds.hi if bounds.hi is not None else 0
+    mid = lo_b + (hi_b - lo_b) // 2
 
     # rebuilt (and mutated — the whole point is deleting an orphan)
     # every call, so the path is per-process: concurrent runs each
@@ -664,11 +696,15 @@ def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan_stage = os.path.join(out, "_orphan_stage")
     ev.limit(100).coalesce(1).write.parquet(orphan_stage)
     part = next(
-        f for f in os.listdir(orphan_stage)
-        if f.endswith(".parquet") and not f.startswith(".")
+        (
+            f for f in os.listdir(orphan_stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ),
+        None,  # zero-row input writes no part file: nothing to plant
     )
-    orphan = os.path.join(data, "part-orphan-uncommitted.snappy.parquet")
-    shutil.move(os.path.join(orphan_stage, part), orphan)
+    if part is not None:
+        orphan = os.path.join(data, "part-orphan-uncommitted.snappy.parquet")
+        shutil.move(os.path.join(orphan_stage, part), orphan)
     shutil.rmtree(orphan_stage)
 
     referenced: set[str] = set()
@@ -688,7 +724,8 @@ def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     with open(m2p) as fh:
         v2 = json.load(fh)
-    return spark.read.parquet(*v2).agg(
+    snap = spark.read.parquet(*v2) if v2 else spark.createDataFrame([], ev.schema)
+    return snap.agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
         .cast("long")
@@ -803,9 +840,14 @@ def layout_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files": len(manifest),
         "n_selected": len(selected),
     }
-    if not selected:  # key absent everywhere — empty exact result
-        selected = [os.path.join(out, manifest[0][0])]
-    hit = spark.read.parquet(*selected).where(F.col("o_custkey") == _BLOOM_KEY)
+    if not manifest:
+        # zero-row table: no files, no bitsets — the lookup scans nothing
+        hit = spark.createDataFrame([], orders.schema)
+    else:
+        if not selected:  # key absent everywhere — empty exact result
+            selected = [os.path.join(out, manifest[0][0])]
+        hit = spark.read.parquet(*selected)
+    hit = hit.where(F.col("o_custkey") == _BLOOM_KEY)
     return hit.agg(
         F.count("*").cast("long").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))

@@ -68,10 +68,23 @@ def materialize_daily(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: On-disk rollup schema (month is the partition column).  Serving
+#: reads declare it explicitly: a rollup over a pruned-to-empty stream
+#: has zero part files, and a bare read would fail schema inference —
+#: an empty rollup store must serve as an empty frame.
+_DAILY_SCHEMA = (
+    "day date, event_type string, n long, sum_value decimal(18,2), month string"
+)
+
+
+def read_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-explicit read of the materialized daily rollup."""
+    return spark.read.schema(_DAILY_SCHEMA).parquet(materialize_daily(spark, sf_dir))
+
+
 def rollup_serve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly totals served FROM THE ROLLUP (raw events untouched)."""
-    path = materialize_daily(spark, sf_dir)
-    daily = spark.read.parquet(path)
+    daily = read_daily(spark, sf_dir)
     return (
         daily.groupBy("month", "event_type")
         .agg(
@@ -106,16 +119,15 @@ def serve_lambda_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth).  This is the read path that pairs with
     ``stream_rollup_upsert``'s write path.
     """
-    path = materialize_daily(spark, sf_dir)
     ev = catalog.v_events(spark, sf_dir)
     hi_day = ev.agg(F.max(F.col("ts").cast("date")).alias("d")).collect()[0].d
     batch = (
-        spark.read.parquet(path)
-        .where(F.col("day") < F.lit(hi_day))
+        read_daily(spark, sf_dir)
+        .where(F.col("day") < F.lit(hi_day).cast("date"))
         .select("day", "event_type", "n", "sum_value", F.lit("batch").alias("layer"))
     )
     speed = (
-        ev.where(F.col("ts").cast("date") == F.lit(hi_day))
+        ev.where(F.col("ts").cast("date") == F.lit(hi_day).cast("date"))
         .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -206,9 +218,8 @@ def report_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-7 window over the day series, growth as an exact-operand
     quotient (unrounded, §4.5 rule 2).  Days without a lag-7
     comparison emit NULL growth."""
-    path = materialize_daily(spark, sf_dir)
     daily = (
-        spark.read.parquet(path)
+        read_daily(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
         .select("day", "n", "sum_value")
     )

@@ -372,11 +372,18 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(F.col("mins")).alias("estimate"),
     )
 
-    a = sk.where(F.col("event_type") == "click").select(
-        F.col("mins").alias("ma"), F.col("n_exact").alias("na")
+    # Global aggregates (never filters of maybe-absent grouped rows):
+    # each side ALWAYS emits exactly one row — NULL sketch if the type
+    # is missing — so the set-algebra rows below survive an input where
+    # one or both streams were pruned to nothing (the oracle's scalar
+    # subqueries behave identically).  A filter+crossJoin here would
+    # silently drop the union/intersection estimates the moment one
+    # event type is absent from a partition-pruned scan.
+    a = sk.where(F.col("event_type") == "click").agg(
+        F.first("mins").alias("ma")
     )
-    b = sk.where(F.col("event_type") == "view").select(
-        F.col("mins").alias("mb"), F.col("n_exact").alias("nb")
+    b = sk.where(F.col("event_type") == "view").agg(
+        F.first("mins").alias("mb")
     )
     both = a.crossJoin(b).select(
         "ma",

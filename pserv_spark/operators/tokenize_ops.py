@@ -90,6 +90,10 @@ def _train_cached(sf_dir: str, _corpus_fingerprint: str) -> tuple[tuple, tuple]:
     ``text_bpe_train``/``text_bpe_apply`` which provide one."""
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     dict_rows = [(r.w, r.freq) for r in _dict_frame(spark, sf_dir).collect()]
+    if not dict_rows:
+        # pruned-to-empty corpus: no vocabulary, no merges — the
+        # oracle's CTE chain is empty for the same reason
+        return (), ()
 
     seqs = {w: " " + " ".join(w) + " _ " for w, _f in dict_rows}
     freqs = dict(dict_rows)

@@ -61,6 +61,21 @@ BATCH_PLAN_CAPTURE: list[tuple[str, str]] | None = None
 STATE_CAPTURE: list[tuple[str, list]] | None = None
 
 
+def _read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-explicit read of a foreachBatch-written parquet sink.
+
+    A source pruned to zero rows can legally produce ZERO micro-batches
+    (``availableNow`` lists no files → foreachBatch never fires → the
+    sink directory is never created) or an empty dynamic-partition
+    write (directory exists, no part files).  Both states must read
+    back as an empty frame of the sink's declared schema — on a real
+    cluster an empty trigger window is routine, not an error."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND / empty dir
+        return spark.createDataFrame([], schema)
+
+
 def _capture_stream_plan(label: str, query) -> None:
     if BATCH_PLAN_CAPTURE is not None:
         try:  # diagnostic-only: never fail the job over a plan rendering
@@ -232,7 +247,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return (
-        spark.read.parquet(out)
+        _read_sink(spark, out, store_schema)
         .where(~F.col("is_delete"))
         .select("user_id", "value", F.col("ts_us").alias("as_of_us"))
     )
@@ -474,7 +489,11 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _capture_stream_plan("stream_rollup_upsert", query)
     finally:
         query.stop()
-    return spark.read.parquet(out).select(
+    sink_schema = (
+        "day timestamp, event_type string, n long, "
+        "sum_value decimal(18,2), day_part string"
+    )
+    return _read_sink(spark, out, sink_schema).select(
         "day", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
     )
 
