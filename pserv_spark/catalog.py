@@ -147,6 +147,7 @@ SELECT vec_id,
        transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
        label
 FROM embeddings
+WHERE embedding IS NOT NULL
 """
 
 
@@ -252,11 +253,17 @@ def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with array<double> ``emb`` (SURVEY §4.5 rule 5)."""
+    """embeddings with array<double> ``emb`` (SURVEY §4.5 rule 5).
+
+    NULL vectors are excluded at this boundary (mirrored in the SQL
+    view and the oracle CTE): a missing embedding is a malformed input
+    for every vector operator — distances would be NULL in Spark and a
+    hard error in DuckDB's ``list_inner_product`` — so the canonical
+    view serves only well-formed vectors."""
     from pyspark.sql import functions as F
 
     raw = table(spark, sf_dir, "embeddings")
-    return raw.select(
+    return raw.where(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
         "label",

@@ -29,7 +29,7 @@ _DUCK_V_EVENTS = (
 )
 _DUCK_V_EMB = (
     "v_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
-    "FROM embeddings)"
+    "FROM embeddings WHERE embedding IS NOT NULL)"
 )
 
 
@@ -191,8 +191,8 @@ _q('win_topk_per_group',
    "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3")
 _q('win_rank_dense',
-   "SELECT o_orderkey, o_orderpriority, RANK() OVER (ORDER BY o_orderpriority) AS rnk, "
-   "DENSE_RANK() OVER (ORDER BY o_orderpriority) AS drnk FROM orders WHERE o_orderkey < 300")
+   "SELECT o_orderkey, o_orderpriority, RANK() OVER (ORDER BY o_orderpriority NULLS LAST) AS rnk, "
+   "DENSE_RANK() OVER (ORDER BY o_orderpriority NULLS LAST) AS drnk FROM orders WHERE o_orderkey < 300")
 _q('win_lag_lead',
    "SELECT event_id, user_id, value, "
    "LAG(value) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_v, "
@@ -209,9 +209,9 @@ _q('win_range_frame',
    "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour "
    "FROM v_events WHERE user_id < 30")
 _q('win_ntile_pctrank',
-   "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, "
-   "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr, "
-   "ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd "
+   "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey) AS quartile, "
+   "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey), 6) AS pr, "
+   "ROUND(CUME_DIST() OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey), 6) AS cd "
    "FROM orders WHERE o_orderkey < 1000")
 _q('win_first_last',
    "SELECT event_id, user_id, "

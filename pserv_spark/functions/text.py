@@ -52,6 +52,13 @@ def token_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
     sets are too coarse when documents share a vocabulary; word n-grams
     encode local order.  Documents with fewer than ``n`` tokens collapse
     to a single whole-document shingle.
+
+    NULL text yields a NULL array (so ``explode`` drops the document),
+    never a manufactured ``[NULL]`` shingle: a single shared sentinel
+    shingle would make every NULL document a near-duplicate of every
+    other — at 100 TB, one corrupt ingest batch would snowball into a
+    giant spurious duplicate cluster.  DuckDB's ``unnest(NULL)`` emits
+    zero rows, so the oracle side agrees by construction.
     """
     toks = tokens(col, sep)
     joined = F.transform(
@@ -60,11 +67,12 @@ def token_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
             "_", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.when(F.size(toks) >= n, joined).otherwise(
             F.array(F.array_join(toks, "_"))
         )
     )
+    return F.when(toks.isNotNull(), shingles)
 
 
 def token_hash32(col: Column | str) -> Column:

@@ -201,9 +201,14 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _collation_mixed(vchar: str) -> str:
-    """Deterministic case-diversified lang column."""
+    """Deterministic case-diversified lang column.
+
+    NULL lang stays NULL on the leading branch: Spark's CONCAT
+    propagates a NULL argument while DuckDB's skips it (yielding ''),
+    so the title-case arm must never see a NULL."""
     return (
-        "CASE WHEN doc_id % 3 = 0 THEN UPPER(lang)"
+        "CASE WHEN lang IS NULL THEN NULL"
+        " WHEN doc_id % 3 = 0 THEN UPPER(lang)"
         " WHEN doc_id % 3 = 1 THEN CONCAT(UPPER(SUBSTR(lang, 1, 1)),"
         f" CAST(SUBSTR(lang, 2) AS {vchar}))"
         " ELSE lang END"
@@ -349,7 +354,10 @@ def _skyline_sql() -> str:
         "WITH pts AS ("
         "  SELECT DISTINCT CAST(FLOOR(l_extendedprice) AS BIGINT) AS px,"
         "    CAST(FLOOR(l_quantity) AS BIGINT) AS qty"
+        # a point missing either coordinate cannot participate in
+        # dominance (and NULL sort placement differs per engine)
         "  FROM lineitem WHERE l_orderkey < 2000"
+        "    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL"
         "), swept AS ("
         "  SELECT px, qty,"
         "    MIN(qty) OVER (ORDER BY px, qty"
@@ -453,7 +461,11 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     counts = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    # NULLS LAST pinned: a NULL source group must lose count-ties the
+    # same way in both engines (Spark ASC defaults nulls FIRST)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.asc_nulls_last("source")
+    )
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -464,7 +476,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODE_ORACLE = (
     "SELECT lang, source AS mode_source, n FROM ("
     "SELECT lang, source, COUNT(*) AS n, "
-    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source) AS rn "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source NULLS LAST) AS rn "
     "FROM documents GROUP BY lang, source) t WHERE rn = 1"
 )
 
@@ -655,6 +667,10 @@ def _weighted_pctl_sql() -> str:
         "  SELECT l_returnflag, l_extendedprice AS v,"
         "    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS wt,"
         "    l_orderkey, l_linenumber FROM lineitem"
+        # a line missing the value or the weight cannot contribute to
+        # a weighted percentile (and NULL sort placement differs per
+        # engine under ORDER BY v)
+        "  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL"
         "), c AS ("
         "  SELECT l_returnflag, v, wt,"
         "    SUM(wt) OVER (PARTITION BY l_returnflag"

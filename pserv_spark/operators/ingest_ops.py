@@ -289,7 +289,9 @@ def source_fitslike_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FITSLIKE_ORACLE = (
     "SELECT user_id % 10 AS cohort, CAST(COUNT(*) AS BIGINT) AS n, "
-    "CAST(SUM(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    # a value is NULL after the round-trip if the fixture seeded a NaN
+    # there OR the source itself carried NULL (both encode as FITS NaN)
+    "CAST(SUM(CASE WHEN event_id % 101 = 0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
     "CAST(SUM(CASE WHEN event_id % 101 = 0 THEN NULL "
     "ELSE CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_value, "
     "CAST(MAX(ts_us) AS BIGINT) AS max_ts_us, MAX(event_type) AS etype "

@@ -60,9 +60,17 @@ def decode_stub(payload: bytes, codec: str = "raw") -> bytes:
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents as (doc_id, payload binary) — deterministic fake media."""
+    """Documents as (doc_id, payload binary) — deterministic fake media.
+
+    NULL payloads are excluded at this boundary (mirrored by ``WHERE
+    text IS NOT NULL`` in every mm oracle): an asset without bytes is
+    malformed input for every decode/feature lane — the Arrow batch
+    loops would crash on ``bytes(None)`` — the same canonical-view
+    contract ``catalog.v_emb`` applies to NULL vectors."""
     docs = catalog.table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
 
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +94,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECODE_META_ORACLE = (
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
     f"lower(hex(encode(substr(text, 1, {HEADER_BYTES})))) AS header_hex "
-    "FROM documents"
+    "FROM documents WHERE text IS NOT NULL"
 )
 
 
@@ -120,7 +128,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_SAMPLE_ORACLE = (
     "WITH idx AS (SELECT doc_id, text, "
     f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1, "
-    f"{FRAME_STRIDE})) AS frame_idx FROM documents) "
+    f"{FRAME_STRIDE})) AS frame_idx FROM documents WHERE text IS NOT NULL) "
     "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
     f"md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5 "
     "FROM idx"
@@ -164,7 +172,7 @@ def mm_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEATURE_EMBED_ORACLE = (
     "WITH codes AS (SELECT doc_id, length(text) AS n, "
     "list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)) // 16) AS bins "
-    "FROM documents) "
+    "FROM documents WHERE text IS NOT NULL) "
     f"SELECT doc_id, CAST(b AS INT) AS bin, "
     "len(list_filter(bins, x -> x = b)) / CAST(n AS DOUBLE) AS frac "
     f"FROM codes CROSS JOIN (SELECT unnest(generate_series(0, {N_FEAT_BINS - 1})) AS b) g"
@@ -203,7 +211,7 @@ def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_META_ORACLE = (
     "WITH dims AS (SELECT doc_id, "
     "320 + (doc_id * 7) % 1600 AS src_w, "
-    "240 + (octet_length(encode(text)) * 13) % 840 AS src_h FROM documents) "
+    "240 + (octet_length(encode(text)) * 13) % 840 AS src_h FROM documents WHERE text IS NOT NULL) "
     "SELECT doc_id, src_w, src_h, "
     f"(src_w * {RESIZE_MAX_SIDE}) // greatest(src_w, src_h) AS out_w, "
     f"(src_h * {RESIZE_MAX_SIDE}) // greatest(src_w, src_h) AS out_h "
@@ -255,7 +263,7 @@ def mm_audio_resample_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIO_RESAMPLE_ORACLE = (
     "WITH a AS (SELECT doc_id, octet_length(encode(text)) // 2 AS n_samples, "
-    "8000 + (doc_id * 441) % 40000 AS src_hz FROM documents) "
+    "8000 + (doc_id * 441) % 40000 AS src_hz FROM documents WHERE text IS NOT NULL) "
     "SELECT doc_id, src_hz, n_samples, "
     f"(n_samples * {AUDIO_TARGET_HZ}) // src_hz AS out_samples, "
     "(n_samples * 1000000) // src_hz "
@@ -362,7 +370,7 @@ _PHASH_ORACLE = (
     + " AS h"
     "  FROM documents, unnest(generate_series(1,"
     f"   length(text) - {PHASH_GRAM - 1})) AS t(gp)"
-    "  WHERE doc_id % 5 = 0"
+    "  WHERE doc_id % 5 = 0 AND text IS NOT NULL"
     "), votes AS ("
     "  SELECT doc_id, b,"
     "    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v"
@@ -429,7 +437,7 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCENE_CUT_ORACLE = (
     "WITH idx AS (SELECT doc_id, text, "
     f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
-    "AS frame_idx FROM documents), "
+    "AS frame_idx FROM documents WHERE text IS NOT NULL), "
     "f AS (SELECT doc_id, frame_idx, "
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
     f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "
@@ -523,7 +531,7 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAMES_CTE = (
     "idx AS (SELECT doc_id, text, "
     f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
-    "AS frame_idx FROM documents), "
+    "AS frame_idx FROM documents WHERE text IS NOT NULL), "
     "fr AS (SELECT doc_id, frame_idx, "
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
     f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "

@@ -72,7 +72,9 @@ def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window — the position is arithmetic over per-source ranks,
     so it parallelizes at any scale."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    # sourceless docs are not routable to an interleave slot (and a
+    # NULL source would take a different index slot per engine)
+    docs = t["documents"].where(F.col("source").isNotNull())
     ranked = docs.select(
         "doc_id",
         "source",
@@ -148,6 +150,9 @@ def win_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "event_id")
         .rowsBetween(-19, 0)
     )
+    # collect_list SKIPS NULLs (the EWMA runs over observed values);
+    # an all-NULL frame therefore collects an EMPTY list, which must
+    # decay to NULL — not feed slice() a negative length.
     lst = F.collect_list(F.col("value")).over(w)
     return ev.select(
         "event_id",
@@ -158,9 +163,10 @@ def win_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(
             F.expr(
+                "CASE WHEN size(lst) = 0 THEN NULL ELSE "
                 "aggregate(slice(lst, 2, size(lst) - 1), "
                 "CAST(element_at(lst, 1) AS DOUBLE), "
-                "(acc, x) -> acc * 0.9 + x)"
+                "(acc, x) -> acc * 0.9 + x) END"
             ),
             6,
         ).alias("decayed"),
@@ -1133,12 +1139,17 @@ ORACLES = {
         "FROM tok"
     ),
     "interleave_sources": (
+        # sourceless docs are not routable (NULL never equi-joins the
+        # source index anyway); excluding them explicitly also keeps
+        # the 0-based source indexes engine-agnostic — Spark would
+        # order a NULL source FIRST, DuckDB LAST, shifting every sidx
         "WITH ranked AS (SELECT doc_id, source, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY source "
-        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM documents), "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk "
+        "FROM documents WHERE source IS NOT NULL), "
         "src AS (SELECT source AS s2, "
         "CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx "
-        "FROM (SELECT DISTINCT source FROM documents) d), "
+        "FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL) d), "
         "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM src) "
         "SELECT doc_id, source, rk, "
         "CAST((rk - 1) * ns + sidx AS BIGINT) AS position "
@@ -1153,11 +1164,14 @@ ORACLES = {
         "SELECT doc_id, lang, rk FROM ranked CROSS JOIN k WHERE rk <= k"
     ),
     "win_ewma_decay": inline_views(
+        # DuckDB's list() window KEEPS NULLs (Spark's collect_list
+        # skips them): filter them out, and an all-NULL frame is NULL
         "SELECT event_id, user_id, "
-        "ROUND(list_reduce(lst, (acc, x) -> acc * 0.9 + x), 6) AS decayed FROM "
+        "ROUND(CASE WHEN len(nlst) = 0 THEN NULL ELSE "
+        "list_reduce(nlst, (acc, x) -> acc * 0.9 + x) END, 6) AS decayed FROM "
         "(SELECT event_id, user_id, "
-        "list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
-        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst "
+        "list_filter(list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), x -> x IS NOT NULL) AS nlst "
         "FROM v_events WHERE user_id < 30) t"
     ),
     "win_rolling_median": inline_views(

@@ -174,9 +174,13 @@ def _fingerprint_oracle() -> str:
     return (
         "SELECT doc_id, "
         "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp, "
+        # NULL text -> NULL fingerprint, explicitly: DuckDB's
+        # list_prepend(0, NULL) yields [0] (the fold would return 0)
+        # where Spark's aggregate over a NULL array yields NULL
+        "CASE WHEN text IS NULL THEN NULL ELSE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(string_split(text, ' '), w -> {hv})), "
-        f"(a, h) -> (a * 31 + h) % {ROLLING_MOD}) AS rfp "
+        f"(a, h) -> (a * 31 + h) % {ROLLING_MOD}) END AS rfp "
         "FROM documents"
     )
 
@@ -317,7 +321,11 @@ def _url_sql(vchar: str) -> str:
         f" '?utm_source=feed&id=', CAST(doc_id AS {vchar}), '&utm_medium=x#sec-2')"
     )
     return (
-        f"WITH u AS (SELECT doc_id, {url} AS url FROM documents)"
+        # a NULL source cannot synthesize a URL — and CONCAT diverges
+        # on NULL args (Spark propagates, DuckDB skips), so the row
+        # must be excluded, not left to produce engine-shaped garbage
+        f"WITH u AS (SELECT doc_id, {url} AS url FROM documents"
+        " WHERE source IS NOT NULL)"
         " SELECT doc_id,"
         "  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,"
         "  regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,"

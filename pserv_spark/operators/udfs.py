@@ -83,9 +83,16 @@ def udf_weighted_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        num = int(
-            (np.rint(v.to_numpy() * 1e6).astype(np.int64) * w.to_numpy()).sum()
-        )
+        # SQL aggregate NULL semantics, explicitly: NULL values drop
+        # out of the numerator (a NaN would cast to garbage int64),
+        # the weight sum stays over all rows (w is never NULL here),
+        # and an all-NULL group is NULL — matching the oracle's
+        # SUM(NULL products) / SUM(w).
+        vv, ww = v.to_numpy(), w.to_numpy()
+        keep = ~np.isnan(vv)
+        if not keep.any():
+            return None
+        num = int((np.rint(vv[keep] * 1e6).astype(np.int64) * ww[keep]).sum())
         return (float(num) / 1e6) / float(w.sum())
 
     return ev.groupBy("user_id").agg(wmean("value", "w").alias("wmean"))
@@ -107,13 +114,20 @@ def udf_scalar_magcal_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def to_mag(v: pd.Series) -> pd.Series:
-        return (-2.5 * np.log10(v.clip(lower=1e-9)) + 25.0).round(6)
+        # NULL flux -> NULL magnitude (Arrow keeps float NaN as NaN,
+        # not null, so the missing mask must be re-applied explicitly
+        # via a nullable dtype)
+        mag = (-2.5 * np.log10(v.clip(lower=1e-9)) + 25.0).round(6)
+        return mag.astype("Float64").mask(v.isna())
 
     return ev.select("event_id", to_mag("value").alias("mag"))
 
 
 _MAGCAL_ORACLE = (
-    "SELECT event_id, ROUND(-2.5 * LOG10(GREATEST(value, 1e-9)) + 25.0, 6) AS mag "
+    # explicit NULL propagation: DuckDB's GREATEST skips NULL args
+    # (would calibrate a missing flux to the 1e-9 floor)
+    "SELECT event_id, CASE WHEN value IS NULL THEN NULL ELSE "
+    "ROUND(-2.5 * LOG10(GREATEST(value, 1e-9)) + 25.0, 6) END AS mag "
     "FROM v_events"
 )
 
@@ -127,6 +141,8 @@ def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, word string, wlen int")
     class WordExpand:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL doc expands to no rows, like unnest
+                return
             for w in text.split(" "):
                 yield doc_id, w, len(w)
 

@@ -32,7 +32,9 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    w = Window.orderBy("o_orderpriority")
+    # explicit null placement: Spark ASC defaults NULLS FIRST where
+    # DuckDB defaults NULLS LAST — pin it so NULL priorities rank last
+    w = Window.orderBy(F.asc_nulls_last("o_orderpriority"))
     return o.where(F.col("o_orderkey") < 300).select(
         "o_orderkey",
         "o_orderpriority",
@@ -88,7 +90,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.orderBy(F.asc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
     return o.where(F.col("o_orderkey") < 1000).select(
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),

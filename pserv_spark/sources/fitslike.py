@@ -286,6 +286,16 @@ def write_fitslike(
                 elems = list(v or ())
                 off = len(heap)
                 for e in elems:
+                    if e is None:
+                        # FITS undefined floating values are IEEE NaN
+                        # (the loader maps them back to NULL); integer
+                        # heap columns would need a TNULLn sentinel.
+                        if col.base_fmt[-1] not in "fd":
+                            raise ValueError(
+                                f"NULL element in integer varlen column "
+                                f"({col.code}) requires TNULL support"
+                            )
+                        e = float("nan")
                     heap += struct.pack(col.base_fmt, e)
                 main_parts.append(
                     struct.pack(">" + col.row_fmt, len(elems), off)
@@ -438,9 +448,13 @@ class _RowCodec:
                     f.seek(self.heap_base + off)
                     data = f.read(cnt * c.base_width)
                     f.seek(cur)
-                    out.append(
-                        list(struct.unpack(">" + c.base_fmt[1:] * cnt, data))
-                    )
+                    elems = list(struct.unpack(">" + c.base_fmt[1:] * cnt, data))
+                    if self.nan_as_null and c.base_fmt[-1] in "fd":
+                        # same NaN-is-undefined rule as scalar floats
+                        elems = [
+                            None if math.isnan(e) else e for e in elems
+                        ]
+                    out.append(elems)
                 else:
                     out.append([])
             elif c.kind == "arr":
