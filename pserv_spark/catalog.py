@@ -139,6 +139,7 @@ SELECT event_id,
        unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
        user_id, event_type, value, props
 FROM events
+WHERE ts IS NOT NULL
 """
 
 _V_EMB_SQL = """
@@ -240,8 +241,13 @@ def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with canonical µs timestamp + ts_us long (SURVEY §1.2)."""
     from pyspark.sql import functions as F
 
+    # NULL timestamps are excluded at this boundary (mirrored in the
+    # SQL view and the oracle CTE): an event without a time cannot
+    # participate in any window, session, watermark, or as-of join —
+    # and its sort placement under ORDER BY ts differs per engine.
+    # Same canonical-view contract as v_emb's NULL-vector exclusion.
     raw = table(spark, sf_dir, "events")
-    return raw.select(
+    return raw.where(F.col("ts").isNotNull()).select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),

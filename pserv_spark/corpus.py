@@ -25,7 +25,7 @@ from __future__ import annotations
 # ``unix_micros(CAST(ts AS TIMESTAMP))`` under a UTC session zone.
 _DUCK_V_EVENTS = (
     "v_events AS (SELECT event_id, ts, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
-    "user_id, event_type, value, props FROM events)"
+    "user_id, event_type, value, props FROM events WHERE ts IS NOT NULL)"
 )
 _DUCK_V_EMB = (
     "v_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label "
@@ -223,7 +223,7 @@ _q('win_first_last',
 _q('topk_global',
    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
 _q('sort_multi_key_limit',
-   "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 25")
+   "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber LIMIT 25")
 _q('set_union_all',
    "SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier")
 _q('set_union_distinct',

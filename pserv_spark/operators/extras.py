@@ -32,7 +32,8 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAP_ORACLE = (
-    "WITH v_events AS (SELECT event_id, user_id, props FROM events) "
+    "WITH v_events AS (SELECT event_id, user_id, props FROM events "
+    "WHERE ts IS NOT NULL) "
     "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys, "
     "CAST(json_extract(props, '$.k') AS INT) AS k_val "
     "FROM v_events WHERE user_id < 40"
@@ -758,10 +759,14 @@ def agg_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAP_ENTRIES_ORACLE = (
+    # an undated order belongs to NO half-year (the engine's two
+    # predicates month<=6 / month>6 are both NULL for it); a bare
+    # CASE ELSE would silently file it under h2
     "SELECT o_orderpriority, "
     "CASE WHEN month(o_orderdate) <= 6 THEN 'h1' ELSE 'h2' END AS half, "
     "o_orderstatus AS status, COUNT(*) AS n "
-    "FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5"
+    "FROM orders WHERE o_orderdate IS NOT NULL "
+    "GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5"
 )
 
 

@@ -370,7 +370,7 @@ def layout_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_ORACLE = (
     "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows, "
     f"CAST(CEIL(COUNT(*) / {_COMPACT_TARGET}.0) AS BIGINT) AS n_files "
-    "FROM events GROUP BY 1"
+    "FROM events WHERE ts IS NOT NULL GROUP BY 1"
 )
 
 

@@ -53,7 +53,7 @@ ORACLES = {
         # readout is replayed with the same smoothing/quantization.
         "WITH ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         "CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bin "
-        "FROM events WHERE value IS NOT NULL), "
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE value IS NOT NULL), "
         "store AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2), "
         "td AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_day FROM store GROUP BY 1), "
         "tb AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_bin FROM store GROUP BY 1), "
@@ -73,7 +73,7 @@ ORACLES = {
     "stream_jdbc_sink": (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
-        "FROM events GROUP BY event_type"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type"
     ),
     # Complete mode emits all windows ⇒ equals the batch tumbling query.
     "stream_tumbling_complete": ORACLE_SQL["window_tumbling"],
@@ -82,14 +82,14 @@ ORACLES = {
         "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value "
-        "FROM events GROUP BY 1, 2"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2"
     ),
-    "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_dedup_keys": "SELECT DISTINCT user_id, event_type FROM (SELECT * FROM events WHERE ts IS NOT NULL) events",
     # Two checkpointed runs with no double-processing == one batch agg.
     "stream_checkpoint_resume": (
         "SELECT user_id % 10 AS cohort, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
-        "FROM events WHERE event_type = 'purchase' GROUP BY 1"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase' GROUP BY 1"
     ),
     # Late-data dropping, replayed exactly: on-time rows always count;
     # a late row survives iff its window end exceeds the watermark in
@@ -98,7 +98,7 @@ ORACLES = {
     "stream_late_drop_audit": (
         "WITH p AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
         "CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d "
-        "FROM events WHERE event_type = 'purchase'), "
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events WHERE event_type = 'purchase'), "
         "b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM p), "
         "lab AS (SELECT p.*, ((d = lo OR d = hi) AND event_id % 2 = 1) AS late "
         "FROM p CROSS JOIN b), "
@@ -115,9 +115,9 @@ ORACLES = {
     # <= the final watermark (max event time − delay) — verified to
     # reproduce the engine output bit-for-bit at sf0.001/0.01/0.1.
     "stream_tumbling_watermark": (
-        "WITH m AS (SELECT MAX(ts) AS mt FROM events), "
+        "WITH m AS (SELECT MAX(ts) AS mt FROM (SELECT * FROM events WHERE ts IS NOT NULL) events), "
         "w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2) "
         "SELECT day, event_type, n FROM w CROSS JOIN m "
         "WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mt - INTERVAL 1 HOUR"
     ),
@@ -125,11 +125,11 @@ ORACLES = {
     # session is emitted once the watermark passes that end.  The
     # LAG/flag sessionization below re-derives the same sessions.
     "stream_session_window": (
-        "WITH m AS (SELECT MAX(ts) AS mt FROM events), "
+        "WITH m AS (SELECT MAX(ts) AS mt FROM (SELECT * FROM events WHERE ts IS NOT NULL) events), "
         "lagd AS (SELECT user_id, ts, "
         "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "> INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess FROM (SELECT * FROM events WHERE ts IS NOT NULL) events), "
         "sess AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id "
         "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM lagd), "
         "agg AS (SELECT user_id, sid, MIN(ts) AS sess_start, "
@@ -143,14 +143,14 @@ ORACLES = {
         "SELECT user_id, n FROM ("
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
         "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk "
-        "FROM events GROUP BY user_id) t WHERE rk <= 10"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id) t WHERE rk <= 10"
     ),
     # Batch-order-independent final state == batch latest-per-key query.
     "stream_cdc_apply": (
         "WITH latest AS (SELECT user_id, value, "
         "CAST(epoch_us(ts) AS BIGINT) AS as_of_us, event_type, "
         "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) "
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM (SELECT * FROM events WHERE ts IS NOT NULL) events) "
         "SELECT user_id, value, as_of_us FROM latest "
         "WHERE rn = 1 AND event_type != 'error'"
     ),
@@ -158,7 +158,7 @@ ORACLES = {
     # both candidate starts with integer µs arithmetic and unnest.
     "stream_hopping_complete": (
         "WITH ev AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value "
-        "FROM events), "
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events), "
         "cand AS (SELECT UNNEST([ (ts_us // 3600000000) * 3600000000, "
         "(ts_us // 3600000000) * 3600000000 - 3600000000 ]) AS start_us, "
         "event_type, value FROM ev) "
@@ -170,17 +170,18 @@ ORACLES = {
     # Single-batch availableNow ⇒ final state == batch GROUP BY counts.
     "stream_stateful_counts": (
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
-        "FROM events GROUP BY user_id"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY user_id"
     ),
     # Stateless stream-static join ⇒ append mode emits the plain join.
     "stream_static_join": (
         "SELECT event_id, user_id, c_mktsegment "
-        "FROM events JOIN customer ON user_id = c_custkey"
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events JOIN customer ON user_id = c_custkey"
     ),
     # Inner stream-stream joins emit every match in a bounded run.
     "stream_stream_join": (
         "SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id "
-        "FROM events p JOIN events s ON p.user_id = s.user_id "
+        "FROM (SELECT * FROM events WHERE ts IS NOT NULL) p "
+        "JOIN (SELECT * FROM events WHERE ts IS NOT NULL) s ON p.user_id = s.user_id "
         "AND p.event_type='purchase' AND s.event_type='signup' "
         "AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY"
     ),

@@ -27,7 +27,11 @@ def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.select("l_orderkey", "l_linenumber", "l_shipdate")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # NULLS LAST pinned: a NULL ship date must not claim top-25
+        # slots on one engine only (Spark ASC defaults nulls first)
+        .orderBy(
+            F.asc_nulls_last("l_shipdate"), "l_orderkey", "l_linenumber"
+        )
         .limit(25)
     )
 

@@ -125,7 +125,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(_stream_source_dir(sf_dir))
     )
-    return raw.select(
+    # same NULL-timestamp exclusion as the batch view: a time-less
+    # event has no window/watermark placement
+    return raw.where(F.col("ts").isNotNull()).select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -760,6 +762,9 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.read.schema(SCHEMAS["events"])
         .parquet(_stream_source_dir(sf_dir))
+        # same canonical gate as events_stream: a time-less event never
+        # enters a stream (even though this aggregation ignores ts)
+        .where(F.col("ts").isNotNull())
         .select("event_id", "user_id", "event_type", "value")
         .where(F.col("event_type") == "purchase")
     )

@@ -14,13 +14,15 @@ NULLs, so any divergence is a real semantic difference, not noise.
 Injection policy (documented, deliberate):
 
 - MEASURE and free-attribute columns only (amounts, quantities, text,
-  categorical labels, embedding vectors).  Never surrogate/join keys —
+  categorical labels, embedding vectors), plus the TIME columns
+  (events.ts, o_orderdate, l_shipdate).  Never surrogate/join keys —
   a NULL key row is malformed input for this schema, and equality
   joins/groupings drop or group NULLs identically in both engines
-  anyway — and never the timestamp columns used as window ORDER BY
-  keys: Spark defaults to NULLS FIRST on ascending sorts where DuckDB
-  defaults to NULLS LAST, so nullable order keys would measure the
-  engines' DEFAULTS, not this repo's code.
+  anyway.  NULL event timestamps are excluded at the canonical
+  ``v_events`` boundary (a time-less event has no window/watermark/
+  as-of placement, and its ORDER BY placement differs per engine
+  default); the order/ship dates flow through range predicates, which
+  drop NULLs identically in both engines.
 - Deterministic mask: a row's value in column ``c`` is NULLed iff
   ``md5(f"{first_column_value}|{c}")`` starts with '0' (~6.25%).  The
   first column of every table is its never-nulled key, so the mask is
@@ -56,9 +58,9 @@ NULL_COLS: dict[str, list[str]] = {
     "customer": ["c_acctbal", "c_mktsegment"],
     "supplier": ["s_acctbal"],
     "part": ["p_retailprice", "p_brand"],
-    "orders": ["o_totalprice", "o_orderpriority"],
-    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    "events": ["value", "props"],
+    "orders": ["o_totalprice", "o_orderpriority", "o_orderdate"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    "events": ["value", "props", "ts"],
     "documents": ["text", "lang", "source"],
     "embeddings": ["embedding", "label"],
 }
