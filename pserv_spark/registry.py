@@ -249,6 +249,56 @@ DRIVER_VERIFIED: tuple[str, ...] = (
     "sample_stratified_hash",
     "gapfill_date_spine",
     "ts_gap_fill_locf",
+    "agg_salted_twophase",
+    "agg_histogram_bins",
+    "sample_weighted_priority",
+    "sample_time_embargo_split",
+    "cte_recursive",
+    "join_lateral_topk",
+    "subquery_scalar_corr",
+    "unpivot_metrics",
+    "agg_regr",
+    "join_q3_toprevenue",
+    "fn_higher_order",
+    "lightcurve_structfn",
+    "lightcurve_periodogram",
+    "agg_skew_kurt",
+    "fn_datetime_extras",
+    "agg_count_distribution",
+    "join_theta_band_binned",
+    "join_q18_bigqty",
+    "join_q21_lastship",
+    "subquery_q22_balance",
+    "subquery_q2_mincost",
+    "agg_q6_forecast",
+    "join_q4_priority",
+    "join_q7_volume",
+    "join_q8_marketshare",
+    "join_q9_profit",
+    "join_q10_returned",
+    "agg_q11_important",
+    "agg_q12_shipmode",
+    "agg_q14_promo",
+    "join_q15_topsupplier",
+    "agg_q16_suppcnt",
+    "join_q19_disc_revenue",
+    "join_q20_excess",
+    "layout_snapshot_timetravel",
+    "layout_partition_evolution",
+    "layout_vacuum_orphans",
+    "layout_zorder_keys",
+    "text_chunk_sliding",
+    "ts_resample_ohlc",
+    "pack_sequential_bins",
+    "interleave_sources",
+    "class_balance_downsample",
+    "win_ewma_decay",
+    "win_rolling_median",
+    "layout_compact_smallfiles",
+    "layout_zonemap_prune",
+    "lightcurve_outlier_mad",
+    "astro_mag_from_flux",
+    "astro_box_search",
 )
 
 
