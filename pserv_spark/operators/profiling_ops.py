@@ -324,7 +324,14 @@ def _dq_sql(distinct_pair: str) -> str:
         " CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,"
         " CAST(MAX(l_discount) AS DOUBLE) AS max_disc,"
         " CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,"
-        f" CAST({distinct_pair} AS BIGINT) AS n_pk"
+        f" CAST({distinct_pair} AS BIGINT) AS n_pk,"
+        # quarantine visibility for the v_events boundary: every events
+        # row the canonical view silently excludes (ts IS NULL) is
+        # counted here, so a production feed with missing timestamps
+        # flips a named gate instead of shrinking results invisibly.
+        # One extra single-column aggregate scan (ts only, pushed).
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts IS NULL)"
+        "   AS ts_null_events"
         " FROM lineitem"
     )
     checks = [
@@ -333,6 +340,7 @@ def _dq_sql(distinct_pair: str) -> str:
         ("discount_max_bound", "max_disc", 0.5, "<="),
         ("quantity_min_bound", "min_qty", 1.0, ">="),
         ("pk_duplicate_rows_max", "CAST(n - n_pk AS DOUBLE)", 0.0, "<="),
+        ("events_null_ts_excluded", "CAST(ts_null_events AS DOUBLE)", 0.0, "<="),
     ]
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS check_name, {obs} AS observed,"

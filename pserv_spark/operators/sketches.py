@@ -379,11 +379,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subqueries behave identically).  A filter+crossJoin here would
     # silently drop the union/intersection estimates the moment one
     # event type is absent from a partition-pruned scan.
+    # F.min, not F.first: sk carries at most one row per event_type, but
+    # min is order-insensitive by contract (arrays compare lexically),
+    # so a future edit that keeps per-salt partials can't silently make
+    # this non-deterministic the way first() would.
     a = sk.where(F.col("event_type") == "click").agg(
-        F.first("mins").alias("ma")
+        F.min("mins").alias("ma")
     )
     b = sk.where(F.col("event_type") == "view").agg(
-        F.first("mins").alias("mb")
+        F.min("mins").alias("mb")
     )
     both = a.crossJoin(b).select(
         "ma",

@@ -34,6 +34,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..catalog import SCHEMAS
 from ..session import REQUIRED_SQL_CONFS
@@ -72,8 +73,20 @@ def _read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
     cluster an empty trigger window is routine, not an error."""
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND / empty dir
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        # Only the two legitimate zero-batch shapes may read as empty;
+        # any other analysis error (corrupt footer, permission, schema
+        # clash) must surface, not masquerade as an empty trigger window.
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in cond
+            or "UNABLE_TO_INFER_SCHEMA" in cond
+            or "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def _capture_stream_plan(label: str, query) -> None:
@@ -189,7 +202,11 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    changes = raw.select(
+    # same canonical NULL-timestamp gate as events_stream / v_events: a
+    # time-less change has no last-writer-wins position, and the oracle
+    # excludes it.  Gated on the stream (not only the staged fixture) so
+    # a src directory cached by an earlier run is still filtered.
+    changes = raw.where(F.col("ts").isNotNull()).select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "user_id",

@@ -1049,13 +1049,50 @@ def test_dq_expectations_catch_the_real_defect(spark, sf_oracle):
     from pserv_spark.operators.profiling_ops import dq_expectations
 
     rows = {r.check_name: r for r in dq_expectations(spark, sf_oracle).collect()}
-    assert len(rows) == 5
+    assert len(rows) == 6
     n = load_tables(spark, sf_oracle)["lineitem"].count()
     assert rows["row_count_min"].observed == n and rows["row_count_min"].passed
     for name in ("quantity_null_rate_max", "discount_max_bound", "quantity_min_bound"):
         assert rows[name].passed, name
     pk = rows["pk_duplicate_rows_max"]
     assert not pk.passed and pk.observed > 0
+    # the v_events quarantine counter: clean testdata has zero NULL-ts
+    # events, so the gate passes with an exact-zero observation
+    nts = rows["events_null_ts_excluded"]
+    assert nts.passed and nts.observed == 0.0
+
+
+def test_dq_null_ts_gate_flips_on_missing_timestamps(spark, tmp_path):
+    """A feed with NULL timestamps must flip the events_null_ts_excluded
+    gate with the exact excluded-row count — the observability contract
+    for the v_events ts-IS-NOT-NULL boundary (VERDICT r6 #5)."""
+    import shutil
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.profiling_ops import dq_expectations
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_nullts"
+    d.mkdir()
+    for name in catalog.TABLE_NAMES:
+        shutil.copy(f"{src}/{name}.parquet", d / f"{name}.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    from pyspark.sql import functions as F
+
+    ev.withColumn(
+        "ts", F.when(F.col("event_id") % 10 == 0, None).otherwise(F.col("ts"))
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    expected = ev.where(F.col("event_id") % 10 == 0).count()
+    assert expected > 0
+    catalog._REGISTERED.pop(id(spark), None)
+    try:
+        rows = {
+            r.check_name: r for r in dq_expectations(spark, str(d)).collect()
+        }
+        gate = rows["events_null_ts_excluded"]
+        assert not gate.passed and gate.observed == float(expected)
+    finally:
+        catalog._REGISTERED.pop(id(spark), None)
 
 
 def test_lambda_union_layers_partition_the_days(spark, sf_oracle):
