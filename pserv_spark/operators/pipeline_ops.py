@@ -427,10 +427,15 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_dir(staging, out, sentinel="_manifest.json")
 
     manifest = json.load(open(manifest_path))
+    # A file whose sort key is entirely NULL has NULL zone stats (min/max
+    # skip NULLs) — per Delta/Iceberg semantics a file without usable
+    # stats can NEVER be skipped; the residual filter below still drops
+    # its rows, so conservatism costs a read, not correctness.
     selected = [
         os.path.join(out, fname)
         for fname, mn, mx in manifest
-        if not (mx < lo or mn >= hi_excl)  # ISO strings order correctly
+        if mn is None or mx is None
+        or not (mx < lo or mn >= hi_excl)  # ISO strings order correctly
     ]
     # surface the skipping stats for the audit test
     layout_zonemap_prune.last_audit = {  # type: ignore[attr-defined]

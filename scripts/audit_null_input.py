@@ -27,6 +27,15 @@ Injection policy (documented, deliberate):
   ``md5(f"{first_column_value}|{c}")`` starts with '0' (~6.25%).  The
   first column of every table is its never-nulled key, so the mask is
   stable across runs, engines, and partitionings.
+- GROUP WIPEOUT (round 7, after ADVICE r6 found the blind spot): the
+  per-row mask can never NULL *every* row of one grouping key, so an
+  operator that mishandles a key whose entire group lost its values
+  (e.g. a user all of whose events are time-less) passed the round-6
+  sweep by luck.  A second deterministic mask now NULLs the target
+  column on EVERY row of ~6.25% of grouping keys
+  (``md5(f"{group_value}|wipe|{c}")`` starts with '0'): whole users
+  lose all timestamps, whole orders lose every ship date, whole
+  customers lose every order date.
 
 Ids that raise, or disagree with the oracle, fail unless allowlisted
 with a written reason.  Writes NULLINPUT.json; exit 1 on unexplained
@@ -65,6 +74,14 @@ NULL_COLS: dict[str, list[str]] = {
     "embeddings": ["embedding", "label"],
 }
 
+#: table -> (grouping column, target columns wiped for ~6.25% of the
+#: grouping keys).  The group column itself is never nulled.
+WIPEOUT_COLS: dict[str, tuple[str, list[str]]] = {
+    "events": ("user_id", ["ts", "value"]),
+    "lineitem": ("l_orderkey", ["l_shipdate"]),
+    "orders": ("o_custkey", ["o_orderdate"]),
+}
+
 #: id -> why a divergence under injected NULLs is accepted (engine
 #: semantics or a declared data contract), with the evidence.
 NULL_ALLOWED: dict[str, str] = {}
@@ -74,6 +91,15 @@ def _null_mask(keys, col: str) -> list[bool]:
     return [
         hashlib.md5(f"{k}|{col}".encode()).hexdigest()[0] == "0" for k in keys
     ]
+
+
+def _wipe_mask(group_vals, col: str) -> list[bool]:
+    wiped = {
+        g
+        for g in set(group_vals)
+        if hashlib.md5(f"{g}|wipe|{col}".encode()).hexdigest()[0] == "0"
+    }
+    return [g in wiped for g in group_vals]
 
 
 def build_null_tier(schema_sf_dir: str, dst: str) -> dict[str, int]:
@@ -86,17 +112,34 @@ def build_null_tier(schema_sf_dir: str, dst: str) -> dict[str, int]:
     for t in TABLES:
         tbl = pq.read_table(f"{schema_sf_dir}/{t}.parquet")
         keys = tbl.column(0).to_pylist()
+        group_col, wipe_targets = WIPEOUT_COLS.get(t, (None, []))
+        group_vals = tbl.column(group_col).to_pylist() if group_col else None
         cols, n_inj = {}, 0
         for field in tbl.schema:
             col = tbl.column(field.name)
-            if field.name in NULL_COLS.get(t, ()):
-                mask = _null_mask(keys, field.name)
-                vals = col.to_pylist()
-                vals = [None if m else v for v, m in zip(vals, mask)]
-                n_inj += sum(mask)
-                cols[field.name] = pa.array(vals, type=field.type)
-            else:
+            row_mask = (
+                _null_mask(keys, field.name)
+                if field.name in NULL_COLS.get(t, ())
+                else None
+            )
+            wipe = (
+                _wipe_mask(group_vals, field.name)
+                if field.name in wipe_targets
+                else None
+            )
+            if row_mask is None and wipe is None:
                 cols[field.name] = col
+                continue
+            if row_mask is None:
+                mask = wipe
+            elif wipe is None:
+                mask = row_mask
+            else:
+                mask = [a or b for a, b in zip(row_mask, wipe)]
+            vals = col.to_pylist()
+            vals = [None if m else v for v, m in zip(vals, mask)]
+            n_inj += sum(mask)
+            cols[field.name] = pa.array(vals, type=field.type)
         out = pa.table(cols, schema=tbl.schema)
         pq.write_table(out, f"{dst}/{t}.parquet")
         injected[t] = n_inj

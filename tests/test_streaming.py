@@ -129,3 +129,51 @@ def test_checkpoint_resume_processes_each_file_once(spark, sf_oracle):
     batch_ids = sorted(r.batch_id for r in slices.select("batch_id").distinct().collect())
     assert len(batch_ids) >= 2  # one commit per run, monotone batch ids
     assert batch_ids == sorted(set(batch_ids))
+
+
+def test_cdc_apply_drops_all_null_ts_user(spark, tmp_path):
+    """ADVICE r6: a user whose EVERY change has a NULL timestamp must be
+    absent from the CDC store (no NULL as_of_us row) — the oracle
+    excludes NULL-ts events, and the engine now gates the change stream
+    on the same canonical ts-IS-NOT-NULL boundary."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pserv_spark import catalog
+    from pserv_spark.streaming import stream_cdc_apply
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_cdc_nullts"
+    d.mkdir()
+    for name in catalog.TABLE_NAMES:
+        shutil.copy(f"{src}/{name}.parquet", d / f"{name}.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    victim = ev.groupBy("user_id").count().orderBy("count", "user_id").first().user_id
+    ev.withColumn(
+        "ts", F.when(F.col("user_id") == victim, None).otherwise(F.col("ts"))
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    catalog._REGISTERED.pop(id(spark), None)
+    try:
+        store = stream_cdc_apply(spark, str(d))
+        rows = store.collect()
+        assert all(r.user_id != victim for r in rows), victim
+        assert all(r.as_of_us is not None for r in rows)
+        # and the store still equals the batch latest-per-key oracle on
+        # the surviving (dated) changes
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        expect = {
+            (r.user_id, r.value, r.ts_us)
+            for r in catalog.v_events(spark, str(d))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1 AND event_type != 'error'")
+            .select("user_id", "value", "ts_us")
+            .collect()
+        }
+        assert {(r.user_id, r.value, r.as_of_us) for r in rows} == expect
+    finally:
+        catalog._REGISTERED.pop(id(spark), None)
