@@ -80,6 +80,8 @@ WIPEOUT_COLS: dict[str, tuple[str, list[str]]] = {
     "events": ("user_id", ["ts", "value"]),
     "lineitem": ("l_orderkey", ["l_shipdate"]),
     "orders": ("o_custkey", ["o_orderdate"]),
+    "documents": ("source", ["text"]),
+    "embeddings": ("label", ["embedding"]),
 }
 
 #: id -> why a divergence under injected NULLs is accepted (engine
