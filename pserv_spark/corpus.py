@@ -167,8 +167,12 @@ _q('agg_corr',
 _q('agg_percentile',
    spark="SELECT event_type, ROUND(percentile(value, 0.5), 4) AS p50, ROUND(percentile(value, 0.9), 4) AS p90 FROM v_events GROUP BY event_type",
    duck="SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, ROUND(quantile_cont(value, 0.9), 4) AS p90 FROM v_events GROUP BY event_type")
+# tie-pinned ordering key (ties-tier audit, round 7): cents * 2^32 +
+# orderkey resolves equal prices deterministically in both engines.
 _q('agg_minmax_by',
-   "SELECT o_custkey, MAX_BY(o_orderkey, o_totalprice) AS best_order, MIN_BY(o_orderkey, o_totalprice) AS worst_order "
+   "SELECT o_custkey, "
+   "MAX_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 4294967296 + o_orderkey) AS best_order, "
+   "MIN_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 4294967296 + o_orderkey) AS worst_order "
    "FROM orders GROUP BY o_custkey")
 _q('agg_filter_pivot',
    "SELECT user_id, "

@@ -195,10 +195,21 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ordering key composes (price, orderkey) into one BIGINT so the
+    # winner among TIED prices is pinned (highest key for best, lowest
+    # for worst) — bare MAX_BY/MIN_BY on price alone picks an arbitrary
+    # tie member, which the round-7 ties-tier audit caught diverging
+    # between engines.  Cents are exact at <2^27; the 2^32 shift leaves
+    # headroom for any orderkey this schema can hold.
     o = load_tables(spark, sf_dir)["orders"]
+    rank = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(4294967296).cast("long")
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.max_by("o_orderkey", rank).alias("best_order"),
+        F.min_by("o_orderkey", rank).alias("worst_order"),
     )
 
 

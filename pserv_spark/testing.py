@@ -26,7 +26,12 @@ def _canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        # ±0.0 are the SAME value (IEEE ==, SQL =) but repr differently;
+        # engines legitimately disagree on the zero's sign (Spark's
+        # HALF_UP round of -1e-9 at 6dp gives +0.0, DuckDB's gives -0.0
+        # — found by the ties-tier audit, round 7).  `+ 0.0` maps -0.0
+        # to +0.0 and is the identity on every other double.
+        return repr(v + 0.0)
     if isinstance(v, _dec.Decimal):
         s = format(v, "f")
         if "." in s:
