@@ -23,11 +23,15 @@ from ._oracle import inline_views
 def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     ev = spark.table("v_events")
-    m = F.from_json("props", "map<string,int>")
+    # Parse as map<string,string> and cast the ONE field we need: with
+    # map<string,int>, a single non-int value (production props carry
+    # mixed types) nulls the ENTIRE parsed map — keys and all — where
+    # the oracle's json_keys still sees them (hostile-text audit, r7).
+    m = F.from_json("props", "map<string,string>")
     return ev.where(F.col("user_id") < 40).select(
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
-        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.try_element_at(m, F.lit("k")).cast("int").alias("k_val"),
     )
 
 

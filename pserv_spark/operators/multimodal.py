@@ -21,8 +21,14 @@ shape — to be real and tested):
   frame-sampling shape (seek → sample → hash/embed).
 
 Both carry exact DuckDB oracles: the fake media is deterministic, so
-the oracle recomputes the same bytes SQL-side (ascii text ⇒ byte
-offsets == char offsets).
+the oracle recomputes the same bytes SQL-side.  All oracle byte work
+goes through ``hex(encode(text))`` — two hex chars per byte — so the
+parity is BYTE-true even for multi-byte UTF-8 content (the round-7
+hostile-text audit caught the earlier char-offset oracles assuming
+ascii).  Content digests are defined as ``md5(lowercase hex of the
+bytes)`` rather than md5 of the raw bytes: the same pure function of
+the payload, but computable in any SQL oracle (DuckDB's md5 only
+accepts VARCHAR).
 
 At 100 TB: payloads stay columnar in Parquet; the Arrow boundary moves
 one batch at a time (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -46,6 +52,19 @@ from ._oracle import DUCK_HASH32
 FRAME_BYTES = 16
 FRAME_STRIDE = 4
 HEADER_BYTES = 8
+
+
+def _duck_byte_sum(hx_expr: str) -> str:
+    """DuckDB: sum of the byte values encoded in an UPPERCASE hex
+    string (two chars per byte) — the byte-true luma the Python lane
+    computes with ``sum(data)``."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({hx_expr}) // 2), "
+        f"j -> CAST((strpos('0123456789ABCDEF', substr({hx_expr}, 2*j - 1, 1)) - 1) * 16 "
+        f"+ strpos('0123456789ABCDEF', substr({hx_expr}, 2*j, 1)) - 1 AS BIGINT))), "
+        "(a, b) -> a + b)"
+    )
 
 
 def decode_stub(payload: bytes, codec: str = "raw") -> bytes:
@@ -92,8 +111,10 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECODE_META_ORACLE = (
+    # header = first 8 BYTES (hex slice), not first 8 chars: multi-byte
+    # text diverges otherwise (hostile-text audit, round 7)
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-    f"lower(hex(encode(substr(text, 1, {HEADER_BYTES})))) AS header_hex "
+    f"lower(substr(hex(encode(text)), 1, {2 * HEADER_BYTES})) AS header_hex "
     "FROM documents WHERE text IS NOT NULL"
 )
 
@@ -117,7 +138,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frame = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
                     out_doc.append(doc_id)
                     out_idx.append(i)
-                    out_md5.append(hashlib.md5(frame).hexdigest())
+                    # digest = md5 of the frame's lowercase hex (module
+                    # doc: byte-pure AND SQL-oracle-computable)
+                    out_md5.append(hashlib.md5(frame.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
             )
@@ -126,11 +149,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_SAMPLE_ORACLE = (
-    "WITH idx AS (SELECT doc_id, text, "
-    f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1, "
-    f"{FRAME_STRIDE})) AS frame_idx FROM documents WHERE text IS NOT NULL) "
+    # byte-true framing over the hex encoding; digest = md5(lower hex)
+    # per the module contract
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx "
+    "FROM documents WHERE text IS NOT NULL), "
+    "idx AS (SELECT doc_id, hx, frame_idx FROM b, "
+    f"unnest(generate_series(0, (length(hx) // 2 + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1, "
+    f"{FRAME_STRIDE})) AS t(frame_idx)) "
     "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
-    f"md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5 "
+    f"md5(lower(substr(hx, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES}))) AS frame_md5 "
     "FROM idx"
 )
 
@@ -148,6 +175,10 @@ def mm_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python body.  Fractions are emitted unrounded: exact IEEE quotients
     are bit-identical across engines (SURVEY §4.5 rule 2)."""
     assets = _assets(spark, sf_dir)
+
+    # A zero-byte asset has no feature distribution (0/0) — excluded at
+    # the operator boundary, both sides (hostile-text audit, round 7).
+    assets = assets.where(F.length("payload") > 0)
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,9 +201,13 @@ def mm_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FEATURE_EMBED_ORACLE = (
-    "WITH codes AS (SELECT doc_id, length(text) AS n, "
-    "list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)) // 16) AS bins "
-    "FROM documents WHERE text IS NOT NULL) "
+    # bin = BYTE high nibble == the byte's first hex digit; zero-byte
+    # assets excluded per the operator contract
+    "WITH codes AS (SELECT doc_id, length(hx) // 2 AS n, "
+    "list_transform(generate_series(1, length(hx) // 2), "
+    "j -> strpos('0123456789ABCDEF', substr(hx, 2*j - 1, 1)) - 1) AS bins "
+    "FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents "
+    "WHERE text IS NOT NULL AND octet_length(encode(text)) > 0) s) "
     f"SELECT doc_id, CAST(b AS INT) AS bin, "
     "len(list_filter(bins, x -> x = b)) / CAST(n AS DOUBLE) AS frac "
     f"FROM codes CROSS JOIN (SELECT unnest(generate_series(0, {N_FEAT_BINS - 1})) AS b) g"
@@ -289,7 +324,10 @@ def phash32(payload: bytes) -> int:
     DuckDB oracle able to recompute it SQL-side."""
     votes = [0] * PHASH_BITS
     for i in range(len(payload) - PHASH_GRAM + 1):
-        h = int(hashlib.md5(payload[i : i + PHASH_GRAM]).hexdigest()[:8], 16)
+        # gram key = lowercase hex of the 4 bytes (module doc: byte-pure
+        # and VARCHAR-md5-computable in the oracle)
+        gram_hex = payload[i : i + PHASH_GRAM].hex().encode()
+        h = int(hashlib.md5(gram_hex).hexdigest()[:8], 16)
         for b in range(PHASH_BITS):
             votes[b] += 1 if (h >> b) & 1 else -1
     return sum(1 << b for b in range(PHASH_BITS) if votes[b] > 0)
@@ -305,7 +343,14 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, 4 band keys), never payloads, and radius < bands
     makes the banding exact, not approximate.  Residual check is
     JVM-side ``bit_count(h1 ^ h2)``."""
-    assets = _assets(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    # Assets shorter than one gram have no content to hash (phash would
+    # degenerate to 0 and spuriously pair every such asset — hostile-
+    # text audit, round 7): excluded from candidacy, both sides.
+    assets = (
+        _assets(spark, sf_dir)
+        .where(F.col("doc_id") % 5 == 0)
+        .where(F.length("payload") >= PHASH_GRAM)
+    )
 
     def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -364,13 +409,16 @@ _PHASH_ORACLE = (
     # NB the position column must NOT be named `i` — DUCK_HASH32's
     # hex-fold lambda uses `i` and would capture/shadow it (observed:
     # every gram hashed the lambda index instead of its position).
-    "WITH grams AS ("
-    "  SELECT doc_id, "
-    + DUCK_HASH32.format(expr=f"substr(text, gp, {PHASH_GRAM})")
-    + " AS h"
-    "  FROM documents, unnest(generate_series(1,"
-    f"   length(text) - {PHASH_GRAM - 1})) AS t(gp)"
+    "WITH src AS ("
+    "  SELECT doc_id, hex(encode(text)) AS hx FROM documents"
     "  WHERE doc_id % 5 = 0 AND text IS NOT NULL"
+    f"  AND octet_length(encode(text)) >= {PHASH_GRAM}"
+    "), grams AS ("
+    "  SELECT doc_id, "
+    + DUCK_HASH32.format(expr=f"lower(substr(hx, 2*gp - 1, {2 * PHASH_GRAM}))")
+    + " AS h"
+    "  FROM src, unnest(generate_series(1,"
+    f"   length(hx) // 2 - {PHASH_GRAM - 1})) AS t(gp)"
     "), votes AS ("
     "  SELECT doc_id, b,"
     "    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v"
@@ -435,14 +483,16 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCENE_CUT_ORACLE = (
-    "WITH idx AS (SELECT doc_id, text, "
-    f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
-    "AS frame_idx FROM documents WHERE text IS NOT NULL), "
-    "f AS (SELECT doc_id, frame_idx, "
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
-    f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "
-    f"j -> CAST(ascii(substr(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), j, 1)) AS BIGINT))), "
-    "(a, b) -> a + b) AS luma FROM idx), "
+    # byte-true frames via the hex encoding (shared shape with
+    # _FRAMES_CTE below; inline because that constant is defined later)
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx "
+    "FROM documents WHERE text IS NOT NULL), "
+    "idx AS (SELECT doc_id, "
+    f"substr(hx, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES}) AS fhx, "
+    "frame_idx FROM b, "
+    f"unnest(generate_series(0, (length(hx) // 2 + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
+    "AS t(frame_idx)), "
+    "f AS (SELECT doc_id, frame_idx, " + _duck_byte_sum("fhx") + " AS luma FROM idx), "
     "lagd AS (SELECT doc_id, luma, "
     "LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM f) "
     "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, "
@@ -529,14 +579,14 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAMES_CTE = (
-    "idx AS (SELECT doc_id, text, "
-    f"unnest(generate_series(0, (length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
-    "AS frame_idx FROM documents WHERE text IS NOT NULL), "
-    "fr AS (SELECT doc_id, frame_idx, "
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
-    f"generate_series(1, length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))), "
-    f"j -> CAST(ascii(substr(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}), j, 1)) AS BIGINT))), "
-    "(a, b) -> a + b) AS luma FROM idx)"
+    "b AS (SELECT doc_id, hex(encode(text)) AS hx "
+    "FROM documents WHERE text IS NOT NULL), "
+    "idx AS (SELECT doc_id, "
+    f"substr(hx, frame_idx * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES}) AS fhx, "
+    "frame_idx FROM b, "
+    f"unnest(generate_series(0, (length(hx) // 2 + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) "
+    "AS t(frame_idx)), "
+    "fr AS (SELECT doc_id, frame_idx, " + _duck_byte_sum("fhx") + " AS luma FROM idx)"
 )
 
 _KEYFRAME_ORACLE = (

@@ -46,9 +46,16 @@ _MAX_TOP_WORD_FRAC = 0.3
 
 
 def _bigrams(toks) -> F.Column:
+    # try_element_at, not element_at: a 1-token document indexes past the
+    # array end (ANSI element_at throws — hostile-text audit, round 7);
+    # concat_ws skips the NULL, so the degenerate "bigram" is the lone
+    # token — exactly what the DuckDB oracle's NULL-on-overrun list
+    # indexing + concat_ws already produces.
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        lambda i: F.concat_ws(
+            "_", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
     )
 
 
@@ -85,11 +92,14 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
     toks = tokens("text")
+    # try_element_at: documents shorter than n tokens index past the
+    # array end (same hostile-text finding as _bigrams); the partial
+    # gram concat matches the oracle's NULL-skipping concat_ws.
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(
-                "_", *[F.element_at(toks, i + k) for k in range(n)]
+                "_", *[F.try_element_at(toks, i + k) for k in range(n)]
             ),
         )
     )

@@ -284,7 +284,10 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id as total-order tiebreak (SURVEY §4.5 rule 4); a 1-ulp
     libm `ln` difference flips a rounded key only on a measure-zero
     boundary."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    # zero-weight items have inclusion probability 0 in DLT sampling —
+    # and an EMPTY document (n_chars = 0) would divide by zero under
+    # ANSI (hostile-text audit, round 7): exclude up front, both sides.
+    docs = load_tables(spark, sf_dir)["documents"].where(F.col("n_chars") > 0)
     u = (_split_hash(F.concat(F.lit("wps:"), F.col("doc_id").cast("string"))) + 1).cast(
         "double"
     ) / (4294967296.0 + 1)
@@ -306,7 +309,7 @@ _WPS_HASH = duck_hash32("concat('split:', concat('wps:', CAST(doc_id AS VARCHAR)
 _WPS_ORACLE = (
     "WITH keyed AS (SELECT doc_id, n_chars, "
     f"ROUND(-ln(CAST({_WPS_HASH} + 1 AS DOUBLE) / (4294967296.0 + 1)) "
-    "/ CAST(n_chars AS DOUBLE), 9) AS priority_key FROM documents), "
+    "/ CAST(n_chars AS DOUBLE), 9) AS priority_key FROM documents WHERE n_chars > 0), "
     "ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority_key, doc_id) AS rn "
     "FROM keyed) "
     "SELECT doc_id, n_chars, priority_key, CAST(rn AS INT) AS rn "

@@ -113,16 +113,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     alpha_chars = F.length(F.regexp_replace("text", "[^a-z]", ""))
     avg_tok_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    # NULLIF: an EMPTY document has length 0 (ANSI division throws —
+    # hostile-text audit, round 7); its alpha_ratio is honestly NULL and
+    # keep stays FALSE because n_tokens >= 10 already fails (FALSE AND
+    # NULL = FALSE in both engines).  n_tokens is never 0: split('')
+    # yields [''].
+    n_chars = F.nullif(F.length("text"), F.lit(0))
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(avg_tok_len, 6).alias("avg_token_len"),
         F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
-        F.round(alpha_chars.cast("double") / F.length("text"), 6).alias("alpha_ratio"),
+        F.round(alpha_chars.cast("double") / n_chars, 6).alias("alpha_ratio"),
         (
             (n_tokens >= 10)
             & (n_tokens <= 500)
-            & (alpha_chars.cast("double") / F.length("text") > 0.7)
+            & (alpha_chars.cast("double") / n_chars > 0.7)
         ).alias("keep"),
     )
 
@@ -133,9 +139,9 @@ _QUALITY_ORACLE = (
     "ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len, "
     "ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) "
     "/ len(string_split(text, ' ')), 6) AS stopword_ratio, "
-    "ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio, "
+    "ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0), 6) AS alpha_ratio, "
     "(len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 500 "
-    "AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) > 0.7) AS keep "
+    "AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) > 0.7) AS keep "
     "FROM documents"
 )
 
