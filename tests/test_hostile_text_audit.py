@@ -1,0 +1,144 @@
+"""Hostile-string robustness: a 100 TB crawl carries unicode,
+metacharacters, embedded structure, and empty/degenerate documents that
+the pure-``[a-z ]`` synthetic corpus never shows.
+scripts/audit_hostile_text.py sweeps all 313 ids against an injected
+mirror tier at round close (HOSTILETEXT.json); these tests pin the tier
+builder and the specific regression classes the first round-7 sweep
+found and fixed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import tempfile
+from pathlib import Path
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "audit_hostile_text",
+    Path(__file__).resolve().parent.parent / "scripts" / "audit_hostile_text.py",
+)
+_MOD = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_MOD)
+
+
+@pytest.fixture(scope="module")
+def hostile_tier(sf_smoke) -> str:
+    tmp = tempfile.mkdtemp(prefix="pserv_hostile_pin_")
+    _MOD.build_hostile_tier(sf_smoke, tmp)
+    return tmp
+
+
+@pytest.fixture()
+def fresh_catalog(spark):
+    from pserv_spark.catalog import _REGISTERED
+
+    _REGISTERED.pop(id(spark), None)
+    yield
+    _REGISTERED.pop(id(spark), None)
+
+
+def test_tier_contains_every_payload_class(spark, hostile_tier):
+    """Each of the ten hostile classes must land in at least one doc,
+    and n_chars must stay consistent with the new text (codepoints)."""
+    docs = spark.read.parquet(f"{hostile_tier}/documents.parquet").collect()
+    by_class: dict[int, int] = {}
+    for r in docs:
+        if r.text is None:
+            continue
+        assert r.n_chars == len(r.text), r.doc_id
+        k = r.doc_id % 11
+        if k < 10 and (
+            r.text == _MOD.PAYLOADS[k] or r.text.endswith(" " + _MOD.PAYLOADS[k])
+        ):
+            by_class[k] = by_class.get(k, 0) + 1
+    assert sorted(by_class) == list(range(10)), by_class
+
+
+def test_allowlist_entries_are_registered_and_reasoned():
+    from pserv_spark.registry import build_queries
+
+    names = set(build_queries())
+    for name, reason in _MOD.HOSTILE_ALLOWED.items():
+        assert name in names, f"stale HOSTILE_ALLOWED entry: {name}"
+        assert len(reason) > 20, f"{name}: reason too thin to review"
+
+
+def test_one_token_documents_do_not_crash_ngram_ops(spark, hostile_tier, fresh_catalog):
+    """Finding #1: ANSI element_at threw on 1-token docs (the 1-kB
+    unbroken token and the empty string).  The degenerate bigram is the
+    lone token — same as the oracle's NULL-skipping concat_ws."""
+    from pserv_spark.operators.quality_ops import text_repetition_ratio
+
+    rows = {r.doc_id: r for r in text_repetition_ratio(spark, hostile_tier).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{hostile_tier}/documents.parquet").collect()
+    }
+    lone = [d for d, t in docs.items() if t is not None and " " not in t]
+    assert lone, "vacuous: no single-token docs in the tier"
+    for d in lone:
+        assert rows[d].dup_word_frac == 0.0
+        assert rows[d].top_word_frac == 1.0
+
+
+def test_empty_document_quality_score_is_null_not_crash(
+    spark, hostile_tier, fresh_catalog
+):
+    """Finding #2: length(text)=0 divided by zero under ANSI.  The
+    alpha ratio is honestly NULL and keep stays False."""
+    from pserv_spark.operators.textanalysis import text_quality_score
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{hostile_tier}/documents.parquet").collect()
+    }
+    empty = [d for d, t in docs.items() if t == ""]
+    assert empty, "vacuous: no empty docs in the tier"
+    rows = {r.doc_id: r for r in text_quality_score(spark, hostile_tier).collect()}
+    for d in empty:
+        assert rows[d].alpha_ratio is None
+        assert rows[d].keep is False
+
+
+def test_mixed_type_props_keep_their_keys(spark, hostile_tier, fresh_catalog):
+    """Finding #3: from_json(map<string,int>) nulled the ENTIRE map
+    when one value was a string; keys must survive and k_val still
+    parse."""
+    from pserv_spark.operators.extras import fn_map_props
+
+    rows = fn_map_props(spark, hostile_tier).collect()
+    with_s = [r for r in rows if r.keys == "k,s"]
+    assert with_s, "vacuous: no mixed-type props rows under user_id < 40"
+    for r in with_s:
+        assert r.k_val == r.event_id % 100
+
+
+def test_frame_digest_is_byte_true_for_multibyte_text(
+    spark, hostile_tier, fresh_catalog
+):
+    """Finding #4: the mm oracles indexed CHARS; frames are BYTES.  The
+    engine digest must equal a direct byte-slice recompute for docs
+    whose UTF-8 length differs from their codepoint length."""
+    import hashlib
+
+    from pserv_spark.operators.multimodal import FRAME_BYTES, mm_frame_sample
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{hostile_tier}/documents.parquet").collect()
+    }
+    multi = {
+        d: t.encode()
+        for d, t in docs.items()
+        if t is not None and len(t.encode()) != len(t)
+    }
+    assert multi, "vacuous: no multi-byte docs in the tier"
+    got: dict = {}
+    for r in mm_frame_sample(spark, hostile_tier).collect():
+        got.setdefault(r.doc_id, {})[r.frame_idx] = r.frame_md5
+    for d, data in multi.items():
+        for idx, digest in got[d].items():
+            frame = data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+            assert digest == hashlib.md5(frame.hex().encode()).hexdigest(), (d, idx)
