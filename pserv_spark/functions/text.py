@@ -61,12 +61,22 @@ def token_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
     zero rows, so the oracle side agrees by construction.
     """
     toks = tokens(col, sep)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(toks, i + k) for k in range(n)]
-        ),
-    )
+    # zip_with fold, NOT element_at(toks, i+k) inside a transform
+    # lambda: Spark re-evaluates a non-attribute expression embedded in
+    # a higher-order-function body PER ELEMENT, so the index form
+    # re-splits the text O(tokens) times — O(tokens²) per document
+    # (found by the round-7 megabyte-document stress: a 200k-token doc
+    # burned 15 min; this form takes seconds).  zip_with children are
+    # evaluated once per ROW; the fold costs n split evaluations total.
+    joined = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        joined = F.zip_with(
+            joined, shifted, lambda a, b: F.concat_ws("_", a, b)
+        )
+    # positions past size-(n-1) hold partial grams (NULL-padded zips);
+    # the slice keeps full grams only, matching the sequence-form count
+    joined = F.slice(joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     shingles = F.array_distinct(
         F.when(F.size(toks) >= n, joined).otherwise(
             F.array(F.array_join(toks, "_"))

@@ -46,17 +46,21 @@ _MAX_TOP_WORD_FRAC = 0.3
 
 
 def _bigrams(toks) -> F.Column:
-    # try_element_at, not element_at: a 1-token document indexes past the
-    # array end (ANSI element_at throws — hostile-text audit, round 7);
-    # concat_ws skips the NULL, so the degenerate "bigram" is the lone
-    # token — exactly what the DuckDB oracle's NULL-on-overrun list
-    # indexing + concat_ws already produces.
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            "_", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
-        ),
-    )
+    """Bigram list: ``greatest(n-1, 1)`` entries; a 1-token document's
+    degenerate "bigram" is the lone token (the NULL-padded zip's
+    concat_ws skips the NULL) — exactly what the DuckDB oracle's
+    NULL-on-overrun list indexing + concat_ws produces.
+
+    zip_with, NOT element_at-inside-a-lambda: an embedded non-attribute
+    expression is re-evaluated per element (O(tokens²) per doc when
+    ``toks`` is the split itself — round-7 megabyte-doc finding)."""
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    zipped = F.zip_with(toks, shifted, lambda a, b: F.concat_ws("_", a, b))
+    sliced = F.slice(zipped, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+    # NULL text: one '' bigram, NOT a NULL array — the established
+    # engine/oracle contract for this op (both sides' NULL-skipping
+    # greatest() yields a single empty gram, so dup_bigram_frac = 0.0)
+    return F.when(toks.isNull(), F.array(F.lit(""))).otherwise(sliced)
 
 
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,15 +70,34 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_bigram_frac = 1 - |distinct bigrams| / |bigrams|
     top_word_frac   = max token multiplicity / |tokens|
     """
-    docs = catalog.table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # Materialize the token array ONCE as a projection column: every
+    # downstream lambda then references a bound attribute instead of
+    # re-splitting the text per element (round-7 megabyte-doc finding).
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
     bgs = _bigrams(toks)
     n_tok = F.size(toks).cast("double")
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # max token multiplicity as a LINEAR run-length pass over the
+    # sorted array — the distinct×filter form is O(|distinct|·|tokens|)
+    # comparisons per doc, quadratic on high-entropy documents.  The
+    # lit("") init prev is harmless: matching it makes the first run 1
+    # (0+1), which is what a first occurrence scores anyway.
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     dup_word = 1.0 - F.size(F.array_distinct(toks)) / n_tok
     dup_bigram = 1.0 - F.size(F.array_distinct(bgs)) / F.size(bgs)
@@ -91,18 +114,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngrams_df(docs: DataFrame, n: int) -> DataFrame:
-    toks = tokens("text")
-    # try_element_at: documents shorter than n tokens index past the
-    # array end (same hostile-text finding as _bigrams); the partial
-    # gram concat matches the oracle's NULL-skipping concat_ws.
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                "_", *[F.try_element_at(toks, i + k) for k in range(n)]
-            ),
-        )
-    )
+    # token_shingles IS this op's gram set: distinct word n-grams with
+    # the whole-document fallback for sub-n docs (its zip_with fold is
+    # linear in tokens — round-7 megabyte-doc finding; its NULL-padded
+    # partial-gram handling is the hostile-text fix).
+    from ..functions.text import token_shingles
+
+    grams = token_shingles("text", n)
     return docs.select("doc_id", F.explode(grams).alias("gram")).select(
         "doc_id", F.md5("gram").alias("gh")
     )
@@ -150,12 +168,17 @@ _REPETITION_ORACLE = (
 
 
 def _duck_ngrams(n: int) -> str:
+    # text IS NOT NULL: a NULL document has no shingles (token_shingles'
+    # NULL contract) — without the filter, DuckDB's NULL-skipping
+    # greatest() manufactures one '' gram per NULL doc and every pair of
+    # NULL docs "contaminates" each other through the empty sentinel
     parts = ", ".join(f"ts[i + {k}]" for k in range(n))
     return (
         f"SELECT doc_id, md5(UNNEST(list_distinct("
         f"list_transform(generate_series(1, greatest(len(ts) - {n - 1}, 1)), "
         f"i -> concat_ws('_', {parts}))))) AS gh "
-        f"FROM (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents WHERE source {{op}} '{_BENCH_SOURCE}')"
+        f"FROM (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents "
+        f"WHERE text IS NOT NULL AND source {{op}} '{_BENCH_SOURCE}')"
     )
 
 

@@ -202,10 +202,11 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = tokens("text")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda _, i: F.concat_ws("_", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-    )
+    # zip_with, not element_at-inside-a-lambda: the embedded split would
+    # re-evaluate per element — O(tokens²) per doc (round-7 finding)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    zipped = F.zip_with(toks, shifted, lambda a, b: F.concat_ws("_", a, b))
+    bigrams = F.slice(zipped, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     counts = (
         docs.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")

@@ -142,3 +142,54 @@ def test_frame_digest_is_byte_true_for_multibyte_text(
         for idx, digest in got[d].items():
             frame = data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
             assert digest == hashlib.md5(frame.hex().encode()).hexdigest(), (d, idx)
+
+
+def test_megabyte_document_flows_through_text_family(spark, tmp_path, fresh_catalog):
+    """A single pathological ~1 MB document (one crawl page) must flow
+    through the tokenizer/shingle/quality lanes without error — gram
+    expansion is linear in bytes, never quadratic.
+
+    NB the fixture is written with pyarrow, NOT a Spark ``F.lit(big)``
+    patch: a megabyte literal embedded in the Catalyst plan stalls
+    constant-handling/codegen for many minutes (measured) — data of
+    that size must arrive as DATA, never as plan constants."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pserv_spark import catalog
+    from pserv_spark.operators.quality_ops import text_repetition_ratio
+    from pserv_spark.operators.textanalysis import text_quality_score
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_bigdoc"
+    d.mkdir()
+    for name in catalog.TABLE_NAMES:
+        shutil.copy(f"{src}/{name}.parquet", d / f"{name}.parquet")
+    big = ("lorem ipsum dolor sit amet " * 40000).strip()  # ~1.05 MB
+    # doc 1: the adversarial opposite — 100k DISTINCT tokens (pins the
+    # linear run-length top_count; the distinct×filter form is
+    # quadratic on high-entropy docs)
+    entropy = " ".join(f"w{i}" for i in range(100_000))
+    tbl = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    tbl.loc[tbl.doc_id == 0, "text"] = big
+    tbl.loc[tbl.doc_id == 0, "n_chars"] = len(big)
+    tbl.loc[tbl.doc_id == 1, "text"] = entropy
+    tbl.loc[tbl.doc_id == 1, "n_chars"] = len(entropy)
+    pq.write_table(
+        pa.Table.from_pandas(tbl, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    import time
+
+    t0 = time.time()
+    rep = {r.doc_id: r for r in text_repetition_ratio(spark, str(d)).collect()}
+    # 5 distinct tokens over 200k tokens: extreme repetition, kept exact
+    assert rep[0].dup_word_frac > 0.99 and rep[0].keep is False
+    # 100k distinct tokens: zero repetition, max multiplicity 1
+    assert rep[1].dup_word_frac == 0.0 and rep[1].top_word_frac == 1.0 / 100_000
+    q = {r.doc_id: r for r in text_quality_score(spark, str(d)).collect()}
+    assert q[0].n_tokens == 200000 and q[0].keep is False  # > 500-token cap
+    # regression guard: the pre-fix quadratic took >900 s on this input
+    assert time.time() - t0 < 120, "megabyte-doc path regressed to quadratic"
