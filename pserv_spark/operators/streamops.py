@@ -159,8 +159,12 @@ ORACLES = {
     "stream_hopping_complete": (
         "WITH ev AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value "
         "FROM (SELECT * FROM events WHERE ts IS NOT NULL) events), "
-        "cand AS (SELECT UNNEST([ (ts_us // 3600000000) * 3600000000, "
-        "(ts_us // 3600000000) * 3600000000 - 3600000000 ]) AS start_us, "
+        # floored hour multiple via non-negative mod: DuckDB's integer
+        # `//` TRUNCATES toward zero, mis-bucketing pre-1970 (negative
+        # epoch) timestamps where Spark's window() floors — found by the
+        # round-7 temporal-edge audit
+        "cand AS (SELECT UNNEST([ ts_us - ((ts_us % 3600000000) + 3600000000) % 3600000000, "
+        "ts_us - ((ts_us % 3600000000) + 3600000000) % 3600000000 - 3600000000 ]) AS start_us, "
         "event_type, value FROM ev) "
         "SELECT make_timestamp(start_us) AS win_start, event_type, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
