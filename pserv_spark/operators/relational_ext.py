@@ -195,8 +195,12 @@ def lightcurve_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows × n_periods map-side, collapsed to users × periods × 8 bins);
     no self-join, no window.  Determinism: phases are integer µs
     arithmetic; per-bin sums are DECIMAL; the per-bin scatter (one
-    double division) is cast back to DECIMAL before the cross-bin SUM,
-    so bin order cannot move ulps (SURVEY §4.5 rule 1)."""
+    double division) is FLOOR-quantized at 1e-6 into a BIGINT before
+    the cross-bin SUM — floor of the same IEEE product is bit-identical
+    in both engines, where a double→DECIMAL cast rounds the true binary
+    value in Java but the shortest decimal representation in DuckDB and
+    flips one ulp on exact 6dp half-boundaries (round-7 knife-edge
+    audit; same §4.5 technique as the PSI/AUC ops)."""
     load_tables(spark, sf_dir)
     hour_us = 3_600_000_000
     ev = (
@@ -229,10 +233,13 @@ def lightcurve_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     )
+    # scatter is mathematically >= 0; ·1e6 summed per (user, period)
+    # stays far inside BIGINT for any per-user series length
+    scatter_q = F.floor(scatter * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         bins.groupBy("user_id", "period_h")
         .agg(
-            F.sum(scatter.cast("decimal(24,6)")).cast("double").alias("dispersion"),
+            (F.sum(scatter_q).cast("double") / F.lit(1000000.0)).alias("dispersion"),
             F.sum("n").cast("long").alias("n_obs"),
         )
     )
@@ -391,8 +398,8 @@ ORACLES = {
         "SUM(CAST(value * value AS DECIMAL(24,6))) AS s2 "
         "FROM ev GROUP BY user_id, period_h, bin) "
         "SELECT user_id, CAST(period_h AS INT) AS period_h, "
-        "CAST(SUM(CAST(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n "
-        "AS DECIMAL(24,6))) AS DOUBLE) AS dispersion, "
+        "CAST(SUM(CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS dispersion, "
         "CAST(SUM(n) AS BIGINT) AS n_obs "
         "FROM bins GROUP BY user_id, period_h"
     ),
