@@ -28,10 +28,15 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixed types) nulls the ENTIRE parsed map — keys and all — where
     # the oracle's json_keys still sees them (hostile-text audit, r7).
     m = F.from_json("props", "map<string,string>")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a non-int
+    # 'k' value would throw at runtime; try_cast yields NULL, matching
+    # the oracle's TRY_CAST (ADVICE r7 #1).  Both engines NULL a JSON
+    # string like "5.7"; only a bare fractional JSON number would
+    # diverge (DuckDB rounds, Spark's map<string,string> stringifies).
     return ev.where(F.col("user_id") < 40).select(
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
-        F.try_element_at(m, F.lit("k")).cast("int").alias("k_val"),
+        F.try_element_at(m, F.lit("k")).try_cast("int").alias("k_val"),
     )
 
 
@@ -39,7 +44,7 @@ _MAP_ORACLE = (
     "WITH v_events AS (SELECT event_id, user_id, props FROM events "
     "WHERE ts IS NOT NULL) "
     "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys, "
-    "CAST(json_extract(props, '$.k') AS INT) AS k_val "
+    "TRY_CAST(json_extract(props, '$.k') AS INT) AS k_val "
     "FROM v_events WHERE user_id < 40"
 )
 

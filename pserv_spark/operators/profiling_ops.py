@@ -309,11 +309,16 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dq_sql(distinct_pair: str) -> str:
     """Declarative data-quality gate (the Great-Expectations /
-    dbt-tests shape): a suite of named assertions evaluated from ONE
-    scan's aggregate moments, each emitting (check, observed,
-    threshold, passed).  At 100 TB this runs as a single
-    partial-aggregated pass regardless of how many checks share it.
-    All observed values are exact (counts or exact quotients).
+    dbt-tests shape): a suite of named assertions, each emitting
+    (check, observed, threshold, passed).  The five lineitem checks
+    are evaluated from ONE scan's aggregate moments; a sixth check
+    (`events_null_ts_excluded`, round 7) adds one uncorrelated scalar
+    subquery — a single-column COUNT over events.ts — so the suite is
+    one lineitem pass plus one pushed events-column probe, six rows
+    total (ADVICE r7 #3 pins this contract).  At 100 TB the lineitem
+    side stays a single partial-aggregated pass regardless of how many
+    checks share it.  All observed values are exact (counts or exact
+    quotients).
 
     NB the PK-uniqueness expectation legitimately FAILS on the driver
     data (the synthetic lineitem has ~0.24% duplicate

@@ -233,9 +233,13 @@ def lightcurve_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     )
-    # scatter is mathematically >= 0; ·1e6 summed per (user, period)
-    # stays far inside BIGINT for any per-user series length
-    scatter_q = F.floor(scatter * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    # scatter is mathematically >= 0 but the double cancellation
+    # s2 − s²/n can dip slightly negative for large-magnitude sums, so
+    # clamp at 0 on BOTH sides (ADVICE r7 #2); ·1e6 summed per
+    # (user, period) stays far inside BIGINT for any series length
+    scatter_q = F.floor(
+        F.greatest(scatter, F.lit(0.0)) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
     return (
         bins.groupBy("user_id", "period_h")
         .agg(
@@ -398,7 +402,7 @@ ORACLES = {
         "SUM(CAST(value * value AS DECIMAL(24,6))) AS s2 "
         "FROM ev GROUP BY user_id, period_h, bin) "
         "SELECT user_id, CAST(period_h AS INT) AS period_h, "
-        "CAST(SUM(CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) "
+        "CAST(SUM(CAST(FLOOR(GREATEST(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) "
         "* 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS dispersion, "
         "CAST(SUM(n) AS BIGINT) AS n_obs "
         "FROM bins GROUP BY user_id, period_h"

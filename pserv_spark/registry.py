@@ -299,6 +299,56 @@ DRIVER_VERIFIED: tuple[str, ...] = (
     "lightcurve_outlier_mad",
     "astro_mag_from_flux",
     "astro_box_search",
+    "astro_ellipse_search",
+    "astro_epoch_propagation",
+    "astro_healpix_ring",
+    "astro_galactic_coords",
+    "astro_xmatch_best",
+    "astro_density_knn",
+    "astro_poly_search",
+    "astro_wcs_tan_project",
+    "astro_depth_map",
+    "text_repetition_ratio",
+    "text_pii_redact",
+    "text_bigram_logprob",
+    "quality_composite_filter",
+    "profile_table_stats",
+    "profile_value_counts",
+    "profile_ks_drift",
+    "profile_entropy_gini",
+    "profile_corr_matrix",
+    "dq_expectations",
+    "profile_benford_digits",
+    "ts_winsorized_mean",
+    "profile_chi2_independence",
+    "cluster_kmeans_lloyd",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "vec_pca_power",
+    "graph_bfs_frontier",
+    "graph_common_neighbors",
+    "sample_coreset_kcenter",
+    "graph_degree_distribution",
+    "dedup_semantic_clustered",
+    "serve_lambda_union",
+    "cohort_retention",
+    "report_growth_rates",
+    "cohort_ltv_curve",
+    "sketch_countmin_topk",
+    "sketch_bloom_prune",
+    "sketch_kmv_distinct",
+    "sketch_sampled_quantile",
+    "agg_bitmap_rollup",
+    "lightcurve_dft_power",
+    "lightcurve_dcf_lag",
+    "seq_funnel_3step",
+    "seq_markov_transitions",
+    "win_anomaly_rolling_z",
+    "ts_seasonal_dow",
+    "ts_changepoint_cusum",
+    "join_asof_nearest",
+    "ts_max_concurrency",
+    "lightcurve_lomb_scargle",
 )
 
 

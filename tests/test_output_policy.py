@@ -86,8 +86,13 @@ def test_registry_size_and_order_are_pinned():
     unranked = [n for n in RANKED_EXTENSIONS if n not in demoted]
     expected_head = unverified_corpus + unranked
     assert names[: len(expected_head)] == expected_head
-    # No already-verified or rows-only id may occupy a window slot.
-    assert not set(names[:50]) & demoted
+    # Endgame (round 8+): fewer than 50 unverified ids remain, so
+    # verified ids necessarily backfill the window — but never ahead of
+    # an unverified one, and rows-only ids still never burn a slot.
+    if len(expected_head) >= 50:
+        assert not set(names[:50]) & demoted
+    else:
+        assert not set(names[:50]) & rows_only
     # Every registered id is either in the head or verified-tail zone.
     assert set(names[len(expected_head) :]) >= verified
     assert names[-len(rows_only) :] == sorted(rows_only)
