@@ -93,25 +93,19 @@ def test_spark_window_floors_negative_epochs(spark):
     assert floored == got[1]
 
 
-def test_pre_epoch_events_are_dropped_by_watermark_but_kept_by_batch(
-    spark, tmp_path
-):
-    """Finding #2 (the allowlist contract): Spark initializes the
-    event-time watermark at epoch 0, so a pre-1970 event is
-    structurally late for every watermarked stateful op — while the
-    BATCH window aggregation keeps it exactly."""
+@pytest.fixture(scope="module")
+def preepoch_tier(tmp_path_factory) -> str:
+    """sf0.001 mirror with every event_id % 10 == 0 event relocated to
+    1950 (pre-epoch), all other tables copied unchanged."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pserv_spark import catalog
-    from pserv_spark.queries.events import window_tumbling
-    from pserv_spark.streaming.jobs import stream_tumbling_watermark
 
     src = "/root/testdata/sf0.001"
-    d = tmp_path / "sf_preepoch"
-    d.mkdir()
+    d = tmp_path_factory.mktemp("sf_preepoch")
     for name in catalog.TABLE_NAMES:
         shutil.copy(f"{src}/{name}.parquet", d / f"{name}.parquet")
     tbl = pq.read_table(f"{src}/events.parquet").to_pandas()
@@ -124,13 +118,67 @@ def test_pre_epoch_events_are_dropped_by_watermark_but_kept_by_batch(
         pa.Table.from_pandas(tbl, preserve_index=False),
         str(d / "events.parquet"),
     )
+    return str(d)
+
+
+@pytest.fixture()
+def _fresh_catalog(spark):
+    from pserv_spark import catalog
+
     catalog._REGISTERED.pop(id(spark), None)
-    try:
-        batch = window_tumbling(spark, str(d))
-        n_batch_pre = batch.where("EXTRACT(YEAR FROM day) = 1950").count()
-        assert n_batch_pre > 0  # batch keeps pre-epoch windows exactly
-        stream = stream_tumbling_watermark(spark, str(d))
-        n_stream_pre = stream.where("EXTRACT(YEAR FROM day) = 1950").count()
-        assert n_stream_pre == 0  # watermarked stream drops them all
-    finally:
-        catalog._REGISTERED.pop(id(spark), None)
+    yield
+    catalog._REGISTERED.pop(id(spark), None)
+
+
+def test_pre_epoch_events_are_dropped_by_watermark_but_kept_by_batch(
+    spark, preepoch_tier, _fresh_catalog
+):
+    """Finding #2 (the allowlist contract): Spark initializes the
+    event-time watermark at epoch 0, so a pre-1970 event is
+    structurally late for every watermarked stateful op — while the
+    BATCH window aggregation keeps it exactly."""
+    from pserv_spark.queries.events import window_tumbling
+    from pserv_spark.streaming.jobs import stream_tumbling_watermark
+
+    batch = window_tumbling(spark, preepoch_tier)
+    n_batch_pre = batch.where("EXTRACT(YEAR FROM day) = 1950").count()
+    assert n_batch_pre > 0  # batch keeps pre-epoch windows exactly
+    stream = stream_tumbling_watermark(spark, preepoch_tier)
+    n_stream_pre = stream.where("EXTRACT(YEAR FROM day) = 1950").count()
+    assert n_stream_pre == 0  # watermarked stream drops them all
+    assert stream.count() > 0  # the job itself still emits on-time data
+
+
+def test_pre_epoch_contract_session_window(spark, preepoch_tier, _fresh_catalog):
+    """VERDICT r7 #4: the TEMPORALEDGE allowlist claims ALL four
+    watermarked stateful ops drop pre-epoch rows; pin each one so a
+    Spark upgrade that changes watermark initialization fails loudly."""
+    from pserv_spark.streaming.jobs import stream_session_window
+
+    out = stream_session_window(spark, preepoch_tier)
+    assert out.where("EXTRACT(YEAR FROM sess_start) = 1950").count() == 0
+    assert out.count() > 0
+
+
+def test_pre_epoch_contract_stream_stream_join(
+    spark, preepoch_tier, _fresh_catalog
+):
+    """Both join sides are watermarked, so a relocated (pre-epoch)
+    purchase or signup must never reach the joined output."""
+    from pserv_spark.streaming.jobs import stream_stream_join
+
+    out = stream_stream_join(spark, preepoch_tier)
+    assert out.where("p_id % 10 = 0 OR s_id % 10 = 0").count() == 0
+    assert out.count() > 0
+
+
+def test_pre_epoch_contract_late_drop_audit(spark, preepoch_tier, _fresh_catalog):
+    """The deterministic late-drop job replays the purchase feed in
+    controlled files; pre-epoch purchases are below the epoch-0 initial
+    watermark and must produce no 1950 window (its `day` column is an
+    epoch-day index, so pre-epoch days are negative)."""
+    from pserv_spark.streaming.jobs import stream_late_drop_audit
+
+    out = stream_late_drop_audit(spark, preepoch_tier)
+    assert out.where("day < 0").count() == 0
+    assert out.count() > 0
