@@ -641,8 +641,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (document frequency asc, the ppjoin order reused from
     ``dedup_ngram_jaccard``), a set with containment ≥ t in ANY
     superset must collide within its first |A| − ⌈t·|A|⌉ + 1 shingles;
-    the candidate join is prefix(A) ⋈ all-shingles(B) — lossless, and
-    an equi-join on the shingle key like every banded operator here.
+    the candidate join is prefix(A) ⋈ shingles(B) — lossless, and an
+    equi-join on the shingle key like every banded operator here.
+
+    Round 8 (sf1 scale-curve finding): on the synthetic corpus the
+    5-char shingle universe is tiny (~2k distinct at sf0.1), so the
+    prefix filter alone is non-selective and candidates degenerate
+    toward all-pairs (measured 18.9× time for 10× docs).  The fix is
+    the standard POSITIONAL filter (Vernica et al. / ppjoin): both
+    sides carry each shingle's 0-based rank in their rarity order,
+    and an occurrence survives only if
+    ``min(|A| − pa, |B| − pb) ≥ ⌈t·|A|⌉`` — the ordered-intersection
+    upper bound through that element.  Lossless: for a true pair the
+    FIRST common element lies in A's prefix (else |A∩B| < ⌈t·|A|⌉),
+    and for it the whole intersection sits at ranks ≥ pa / ≥ pb, so
+    the bound passes (hypothesis-tested vs an all-pairs recount).
+    When documents are similar length this cuts B's effective join
+    side to ~(1−t) of its shingles — the candidate set scales with
+    the true-match density again (measured: back inside the linear
+    band at sf1).
     """
     docs = _docs(spark, sf_dir)
     sh = docs.select(
@@ -669,20 +686,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ordered.where(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("d_small"),
         F.col("n_sh").alias("n_small"),
-        F.explode(
+        F.posexplode(
             F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
-        ).alias("w"),
+        ).alias("pa", "w"),
     )
-    build = exploded.select(
-        F.col("doc_id").alias("d_big"), F.col("n_sh").alias("n_big"), "w"
+    build = ordered.select(
+        F.col("doc_id").alias("d_big"),
+        F.col("n_sh").alias("n_big"),
+        F.posexplode(F.transform("osh", lambda x: x["w"])).alias("pb", "w"),
     )
     # The |A| < |B| side condition the verify step enforces anyway is
     # pushed into the candidate join (exact integer compare, trivially
     # lossless): it halves the candidate pairs before the distinct and
-    # the two shingle-array joins below.
+    # the two shingle-array joins below.  The positional filter (see
+    # docstring) bounds the ordered intersection through the matched
+    # occurrence at ranks pa/pb; the required count is ⌈t·|A|⌉.
     cand = (
         probe.join(build.hint("merge"), "w")
         .where(F.col("n_small") < F.col("n_big"))
+        .where(
+            F.least(
+                F.col("n_small") - F.col("pa"), F.col("n_big") - F.col("pb")
+            )
+            >= F.ceil(F.lit(CONTAINMENT_T) * F.col("n_small"))
+        )
         .select("d_small", "d_big")
         .distinct()
     )

@@ -659,6 +659,42 @@ _SPECEVO_ORACLE = (
 )
 
 
+def vacuum_data_dir(data_dir: str, manifest_paths: list[str]) -> dict:
+    """The VACUUM core, shared by ``layout_vacuum_orphans`` and the
+    crash-consistency audit: delete every ``*.parquet`` under
+    ``data_dir`` that no manifest references (crashed-writer debris —
+    complete-but-uncommitted files, torn partial writes, hidden
+    ``.part-*`` temporaries).  Non-parquet entries (manifests, Spark
+    ``_SUCCESS``/``_temporary``, staging ``*.json.tmp.*``) are never
+    touched: manifest hygiene is the publisher's job, not vacuum's.
+    Both sides of the set difference are file-listing-sized at any
+    scale.  Returns an audit dict (counts + removed names)."""
+    import json
+    import os
+
+    referenced: set[str] = set()
+    for mp in manifest_paths:
+        with open(mp) as fh:
+            names = json.load(fh)
+        # manifests may hold absolute paths or data/-relative names
+        referenced.update(
+            n if os.path.isabs(n) else os.path.join(data_dir, n) for n in names
+        )
+    listed = {
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    }
+    orphans = sorted(listed - referenced)
+    for f in orphans:
+        os.remove(f)
+    return {
+        "n_listed": len(listed),
+        "n_orphans_removed": len(orphans),
+        "orphans": orphans,
+    }
+
+
 def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM: delete data files not referenced by the current
     manifest (failed-commit debris, the other half of the
@@ -718,21 +754,7 @@ def layout_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(os.path.join(orphan_stage, part), orphan)
     shutil.rmtree(orphan_stage)
 
-    referenced: set[str] = set()
-    for mp in (m1p, m2p):
-        with open(mp) as fh:
-            referenced.update(json.load(fh))
-    listed = {
-        os.path.join(data, f) for f in os.listdir(data) if f.endswith(".parquet")
-    }
-    orphans = sorted(listed - referenced)
-    for f in orphans:
-        os.remove(f)
-    layout_vacuum_orphans.last_audit = {
-        "n_listed": len(listed),
-        "n_orphans_removed": len(orphans),
-        "orphans": orphans,
-    }
+    layout_vacuum_orphans.last_audit = vacuum_data_dir(data, [m1p, m2p])
     with open(m2p) as fh:
         v2 = json.load(fh)
     snap = spark.read.parquet(*v2) if v2 else spark.createDataFrame([], ev.schema)

@@ -20,16 +20,19 @@ Construction (deterministic, no RNG outside fixed seeds):
   user_id -> c_custkey.  Non-key attributes (dates, prices, flags,
   props) are byte-identical across replicas: per-key group sizes,
   skew shape, and duplicate-PK density stay exactly sf0.1's.
-- documents: 10 replicas; doc_id shifted; in replica i > 0 every
-  token whose crc32 hashes to 0 mod 3 (~1/3 of tokens, selected by
-  CONTENT, not position) gets an ``<i>`` suffix, and n_chars is
-  recomputed.  Content-based tagging transforms identical tokens
-  identically, so WITHIN a replica every exact-dup group and every
-  near-dup similarity is preserved bit-for-bit (dup density stays
-  sf0.1's), while ACROSS replicas ~70% of 3-token shingles differ,
-  pushing cross-replica Jaccard far below dedup thresholds -- pair
-  output grows 10x with the data instead of 100x (which would
-  measure output explosion, not operator scaling).
+- documents: 10 replicas; doc_id shifted; in replica i > 0 EVERY
+  token gets an ``<i>`` suffix, and n_chars is recomputed.
+  Content-based tagging transforms identical tokens identically, so
+  WITHIN a replica every exact-dup group and every near-dup
+  similarity is preserved bit-for-bit (dup density stays sf0.1's).
+  ACROSS replicas both token and character shingles are disjoint,
+  which is the Heaps-law behavior of a real 10x corpus: rare
+  shingles STAY rare (per-shingle document frequency is constant,
+  vocabulary grows ~10x) instead of every df inflating 10x.  A
+  partial tagging (the first version tagged 1/3 of tokens) leaves
+  untagged rare shingles shared by all 10 replicas, which inflates
+  frequency-ordered candidate joins ~100x -- an artifact of
+  replication, not a property any growing corpus exhibits.
 - embeddings: 4 replicas (matching the observed 0.01 -> 0.1 growth
   factor of 4); vec_id shifted; replica > 0 vectors get seeded
   N(0, 0.01) jitter so ANN/cosine ops see distinct points rather
@@ -42,7 +45,6 @@ Rerunning overwrites; byte-deterministic given the same sf0.1 input.
 from __future__ import annotations
 
 import sys
-import zlib
 from pathlib import Path
 
 import numpy as np
@@ -98,10 +100,7 @@ def _replicate(table: str, src: pa.Table) -> pa.Table:
                 [
                     None
                     if t is None
-                    else " ".join(
-                        w + tag if zlib.crc32(w.encode()) % 3 == 0 else w
-                        for w in t.split(" ")
-                    )
+                    else " ".join(w + tag for w in t.split(" "))
                     for t in rep.column("text").to_pylist()
                 ],
                 type=src.schema.field("text").type,

@@ -128,9 +128,15 @@ def main() -> int:
             report[name] = {"err": "no DRIVING_TABLE declared"}
             violations += 1
             continue
+        declared = name in SUPERLINEAR_DECLARED
+        # A declared-quadratic baseline gets no sf1 point: its band
+        # never gates, so the 4th measurement would only burn tens of
+        # sweep-minutes proving what the declaration already states.
+        # The LINEAR claims (everything else) are what sf1 verifies.
+        op_tiers = tiers[:3] if declared else tiers
         times = []
         try:
-            for sf_dir in tiers:
+            for sf_dir in op_tiers:
                 fn(spark, sf_dir).collect()  # cold: JIT + fixture build
                 t_best = float("inf")
                 for _ in range(2):  # warm = min of 2 (profiler methodology)
@@ -150,10 +156,11 @@ def main() -> int:
             "table": table,
         }
         segs = []
-        declared = name in SUPERLINEAR_DECLARED
         bad = False
         for hi in range(2, len(times)):
-            data_factor = _rows(tiers[hi], table) / max(_rows(tiers[hi - 1], table), 1)
+            data_factor = _rows(op_tiers[hi], table) / max(
+                _rows(op_tiers[hi - 1], table), 1
+            )
             band = max(1.5 * data_factor, 3.0)
             ratio = round(times[hi] / max(times[hi - 1], 1e-9), 2)
             segs.append(

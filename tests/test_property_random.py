@@ -88,8 +88,10 @@ def test_cone_search_matches_python_for_random_cones(
 def test_containment_prefix_filter_lossless_for_random_threshold(
     spark, sf_oracle, t
 ):
-    """The one-sided ppjoin prefix filter stays lossless for any
-    threshold: engine pairs == Python all-pairs recount."""
+    """The one-sided ppjoin prefix filter + the round-8 POSITIONAL
+    filter stay lossless together for any threshold: engine pairs ==
+    Python all-pairs recount (the positional bound
+    min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉ must never drop a true pair)."""
     from pserv_spark import catalog
     from pserv_spark.functions.text import char_shingles
     from pyspark.sql import Window
@@ -112,14 +114,25 @@ def test_containment_prefix_filter_lossless_for_random_threshold(
     ).cast("int")
     probe = ordered.select(
         F.col("doc_id").alias("d_small"),
-        F.explode(
+        F.col("n_sh").alias("n_small"),
+        F.posexplode(
             F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
-        ).alias("w"),
+        ).alias("pa", "w"),
     )
-    build = exploded.select(F.col("doc_id").alias("d_big"), "w")
+    build = ordered.select(
+        F.col("doc_id").alias("d_big"),
+        F.col("n_sh").alias("n_big"),
+        F.posexplode(F.transform("osh", lambda x: x["w"])).alias("pb", "w"),
+    )
     cand = (
         probe.join(build, "w")
         .where(F.col("d_small") != F.col("d_big"))
+        .where(
+            F.least(
+                F.col("n_small") - F.col("pa"), F.col("n_big") - F.col("pb")
+            )
+            >= F.ceil(F.lit(t) * F.col("n_small"))
+        )
         .select("d_small", "d_big")
         .distinct()
     )
