@@ -17,9 +17,15 @@ Construction (deterministic, no RNG outside fixed seeds):
   referential integrity holds within each replica (o_custkey moves
   with c_custkey, l_orderkey with o_orderkey, ...).  events.user_id
   shares the custkey offset because the streaming static-join maps
-  user_id -> c_custkey.  Non-key attributes (dates, prices, flags,
-  props) are byte-identical across replicas: per-key group sizes,
-  skew shape, and duplicate-PK density stay exactly sf0.1's.
+  user_id -> c_custkey.  KEY-DERIVED attributes move with their key:
+  c_name/s_name encode the entity key ("Customer#%09d"), so they are
+  re-rendered from the shifted key — otherwise every name appears 10
+  times and any name-blocked join (er_fuzzy_blocked) degenerates
+  100x, a replication artifact (found by the r8 scale sweep: 0.36 s
+  -> 18 s).  Genuinely non-key attributes (dates, prices, flags,
+  props, p_name's word pairs) stay byte-identical across replicas:
+  per-key group sizes, skew shape, and duplicate-PK density stay
+  exactly sf0.1's.
 - documents: 10 replicas; doc_id shifted; in replica i > 0 EVERY
   token gets an ``<i>`` suffix, and n_chars is recomputed.
   Content-based tagging transforms identical tokens identically, so
@@ -94,6 +100,21 @@ def _replicate(table: str, src: pa.Table) -> pa.Table:
                 col = shifted.cast(src.schema.field(name).type)
             cols.append(col)
         rep = pa.table(dict(zip(src.column_names, cols)), schema=src.schema)
+        if table in ("customer", "supplier") and i:
+            key, namecol, prefix = {
+                "customer": ("c_custkey", "c_name", "Customer#"),
+                "supplier": ("s_suppkey", "s_name", "Supplier#"),
+            }[table]
+            names = pa.array(
+                [
+                    None if k is None else f"{prefix}{k:09d}"
+                    for k in rep.column(key).to_pylist()
+                ],
+                type=src.schema.field(namecol).type,
+            )
+            rep = rep.set_column(
+                rep.schema.get_field_index(namecol), namecol, names
+            )
         if table == "documents" and i:
             tag = str(i)
             txt = pa.array(

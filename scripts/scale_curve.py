@@ -75,6 +75,23 @@ DRIVING_TABLE: dict[str, str] = {
     "text_langid": "documents",
     "text_fingerprint": "documents",
     "feat_hashing_trick": "documents",
+    # round-8 widening, with the sf1 tier live: the remaining heavy
+    # families — iterative graph, skew-salting, TPC-H multiway, BPE
+    # training, OHLC resample, packing/interleave, search, rollup
+    "graph_pagerank": "lineitem",
+    "er_fuzzy_blocked": "customer",
+    "join_salted_skew": "lineitem",
+    "join_q9_profit": "lineitem",
+    "ts_resample_ohlc": "events",
+    "win_rolling_median": "events",
+    "win_ewma_decay": "events",
+    "pack_sequential_bins": "documents",
+    "interleave_sources": "documents",
+    "text_bpe_train": "documents",
+    "text_bm25_topk": "documents",
+    "sketch_countmin_topk": "documents",
+    "rollup_serve_monthly": "events",
+    "sample_coreset_kcenter": "embeddings",
 }
 
 #: op id -> why a superlinear ratio is expected/acceptable for this op.
