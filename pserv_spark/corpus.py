@@ -283,9 +283,15 @@ _q('fn_cast_try',
          "TRY_CAST(lang AS INT) AS bad_cast, CAST(n_chars > 200 AS INT) AS flag FROM documents WHERE doc_id < 100",
    duck="SELECT doc_id, CAST(n_chars AS DOUBLE) AS dc, CAST(doc_id AS VARCHAR) AS sid, "
         "TRY_CAST(lang AS INT) AS bad_cast, CAST(n_chars > 200 AS INT) AS flag FROM documents WHERE doc_id < 100")
+# r9: k normalized through DOUBLE + FLOOR on both sides (identical on
+# the all-integer real corpus; pinned divergence-free on the hostile
+# tier's fractional/exponent/boolean payloads — a direct string->int
+# cast ROUNDS in DuckDB but NULLs/throws in Spark ANSI).
 _q('fn_json',
-   spark="SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k FROM v_events WHERE user_id = 0",
-   duck="SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM v_events WHERE user_id = 0")
+   spark="SELECT event_id, CAST(FLOOR(TRY_CAST(get_json_object(props, '$.k') AS DOUBLE)) AS INT) AS k "
+         "FROM v_events WHERE user_id = 0",
+   duck="SELECT event_id, CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT) AS k "
+        "FROM v_events WHERE user_id = 0")
 _q('fn_array',
    spark="SELECT doc_id, size(split(text, ' ')) AS n_tokens, size(array_distinct(split(text, ' '))) AS n_uniq, "
          "array_contains(split(text, ' '), 'spark') AS has_spark, "

@@ -631,7 +631,9 @@ _ER_ORACLE = (
 CONTAINMENT_T = 0.8
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, *, sample: int | None = None
+) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |A∩B|/|A| ≥ 0.8 with
     |A| < |B| — the sub-document/quotation detector Jaccard misses
     (a short doc fully copied into a long one has high containment
@@ -676,14 +678,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_sh")
         .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
     )
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(CONTAINMENT_T) * F.col("n_sh")) + 1
-    ).cast("int")
-    # Probe side sampled 1-in-3 (both engine and oracle): the engine
-    # side scales fine, but the naive all-pairs oracle is quadratic —
-    # the sample keeps the sf0.1 sweep inside its time budget while
-    # still exercising every code path.
-    probe = ordered.where(F.col("doc_id") % 3 == 0).select(
+    # Required ordered-intersection count ⌈t·n⌉, computed with the
+    # same epsilon slack as functions/setjoin.py (ADVICE r8): when t·n
+    # float-rounds a hair ABOVE an exact integer, a bare ceil would be
+    # 1 stricter than the verify step's ``cont >= t`` and could drop a
+    # true pair.  The slack only loosens the candidate filter — the
+    # exact verify below still decides membership.
+    def _req(n: F.Column) -> F.Column:
+        return F.ceil(F.lit(CONTAINMENT_T) * n - F.lit(1e-9))
+
+    prefix_len = (F.col("n_sh") - _req(F.col("n_sh")) + 1).cast("int")
+    # VERDICT r8 #2: the production operator emits ALL qualifying
+    # pairs — the former 1-in-3 probe sample was a harness budget
+    # leaking into operator semantics (a user composing this into
+    # pipeline_curate_e2e would silently under-dedup).  The optional
+    # ``sample=`` keyword is for the HARNESS only (scale sweeps that
+    # want a bounded probe side); the registry always calls with the
+    # default None = no sampling.  The oracle budget problem is solved
+    # on the oracle side instead: _CONTAIN_ORACLE is now the
+    # inverted-index formulation (sub-quadratic), validated identical
+    # to the naive all-pairs SQL at sf0.001/sf0.01.
+    probe = ordered
+    if sample is not None:
+        probe = probe.where(F.col("doc_id") % sample == 0)
+    probe = probe.select(
         F.col("doc_id").alias("d_small"),
         F.col("n_sh").alias("n_small"),
         F.posexplode(
@@ -708,7 +726,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("n_small") - F.col("pa"), F.col("n_big") - F.col("pb")
             )
-            >= F.ceil(F.lit(CONTAINMENT_T) * F.col("n_small"))
+            >= _req(F.col("n_small"))
         )
         .select("d_small", "d_big")
         .distinct()
@@ -724,16 +742,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inverted-index oracle (r9): |A∩B| = count of shared DISTINCT
+# shingles, computed via unnest + equi-join + group-by instead of
+# all-pairs list_intersect — the same quantity (shingles are
+# list_distinct'd per doc), validated row-identical to the naive
+# all-pairs SQL at sf0.001/sf0.01, and 86 s instead of ~15 min at
+# sf0.1.  No sampling on either side (VERDICT r8 #2).
 _CONTAIN_ORACLE = (
     "WITH sh0 AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))) AS sh "
     "FROM documents), "
-    "sh AS (SELECT doc_id, sh, len(sh) AS n FROM sh0) "
-    "SELECT a.doc_id AS d_small, b.doc_id AS d_big, "
-    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n, 6) AS containment "
-    "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id AND a.n < b.n "
-    "AND a.doc_id % 3 = 0 "
-    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n >= 0.8"
+    "sh AS (SELECT doc_id, sh, len(sh) AS n FROM sh0), "
+    "ex AS (SELECT doc_id, n, unnest(sh) AS w FROM sh), "
+    "pairs AS (SELECT a.doc_id AS d_small, b.doc_id AS d_big, a.n AS na, "
+    "COUNT(*) AS ic FROM ex a JOIN ex b ON a.w = b.w AND a.n < b.n "
+    "GROUP BY 1, 2, 3) "
+    "SELECT d_small, d_big, ROUND(CAST(ic AS DOUBLE) / na, 6) AS containment "
+    "FROM pairs WHERE CAST(ic AS DOUBLE) / na >= 0.8"
 )
 
 

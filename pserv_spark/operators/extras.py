@@ -28,15 +28,22 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixed types) nulls the ENTIRE parsed map — keys and all — where
     # the oracle's json_keys still sees them (hostile-text audit, r7).
     m = F.from_json("props", "map<string,string>")
-    # try_cast, not cast: under ANSI mode (Spark 4 default) a non-int
-    # 'k' value would throw at runtime; try_cast yields NULL, matching
-    # the oracle's TRY_CAST (ADVICE r7 #1).  Both engines NULL a JSON
-    # string like "5.7"; only a bare fractional JSON number would
-    # diverge (DuckDB rounds, Spark's map<string,string> stringifies).
+    # k_val semantics (ADVICE r8 #3): floor of the numeric value of
+    # props.k, NULL if non-numeric — normalized through DOUBLE on both
+    # sides.  A direct string->int cast diverges between the engines
+    # on fractional payloads (DuckDB ROUNDS '5.7'->6 even from
+    # varchar; Spark try_cast NULLs it); going value->double->floor is
+    # representation-insensitive (Spark's map<string,string> renders
+    # 1e2 as "100.0", exactly DuckDB's json_extract_string) and makes
+    # bare 5.7, quoted "5.7", 5.0, and 1e2 agree — pinned by the
+    # hostile-text tier's fractional/exponent/boolean props payloads.
+    # try_cast, not cast: ANSI mode (Spark 4 default) would throw.
     return ev.where(F.col("user_id") < 40).select(
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
-        F.try_element_at(m, F.lit("k")).try_cast("int").alias("k_val"),
+        F.floor(F.try_element_at(m, F.lit("k")).try_cast("double"))
+        .cast("int")
+        .alias("k_val"),
     )
 
 
@@ -44,7 +51,7 @@ _MAP_ORACLE = (
     "WITH v_events AS (SELECT event_id, user_id, props FROM events "
     "WHERE ts IS NOT NULL) "
     "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys, "
-    "TRY_CAST(json_extract(props, '$.k') AS INT) AS k_val "
+    "CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT) AS k_val "
     "FROM v_events WHERE user_id < 40"
 )
 
@@ -205,8 +212,13 @@ def _json_struct_sql(parse: str, field: str) -> str:
 def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with a declared struct schema + typed aggregation."""
     load_tables(spark, sf_dir)
+    # from_json at DOUBLE + FLOOR (r9): the declared-struct lane is
+    # STRICT — quoted numbers and booleans are NOT coerced (field
+    # nulls).  The oracle mirrors that with a json_type() guard.
     return spark.sql(
-        _json_struct_sql("from_json(props, 'k INT')", "k.k")
+        _json_struct_sql(
+            "CAST(FLOOR(from_json(props, 'k DOUBLE').k) AS INT)", "k"
+        )
     )
 
 
@@ -256,9 +268,14 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, no re-parse per access).  Oracle: DuckDB's typed
     json_extract produces the same values."""
     load_tables(spark, sf_dir)
+    # try_variant_get at DOUBLE + FLOOR (r9): the variant cast lane
+    # COERCES booleans (true -> 1.0) and quoted numbers ("5.7" ->
+    # 5.7), exactly DuckDB's JSON-typed cast — identical on the
+    # all-integer real corpus, divergence-free on the hostile tier.
     return spark.sql(
         "WITH j AS (SELECT event_id,"
-        " variant_get(parse_json(props), '$.k', 'int') AS k FROM v_events)"
+        " CAST(FLOOR(try_variant_get(parse_json(props), '$.k', 'double'))"
+        " AS INT) AS k FROM v_events)"
         " SELECT k % 7 AS k_mod7, CAST(COUNT(*) AS BIGINT) AS n,"
         " CAST(SUM(k) AS BIGINT) AS sum_k"
         " FROM j GROUP BY 1"
@@ -267,7 +284,8 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_ORACLE = (
     "WITH j AS (SELECT event_id,"
-    " CAST(json_extract(props, '$.k') AS INT) AS k FROM v_events)"
+    " CAST(FLOOR(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)) AS INT)"
+    " AS k FROM v_events)"
     " SELECT k % 7 AS k_mod7, CAST(COUNT(*) AS BIGINT) AS n,"
     " CAST(SUM(k) AS BIGINT) AS sum_k"
     " FROM j GROUP BY 1"
@@ -829,6 +847,12 @@ ORACLES = {
     "join_null_safe": _nullsafe_sql("IS NOT DISTINCT FROM"),
     "win_skyline_2d": _skyline_sql(),
     "fn_json_struct": inline_views(
-        _json_struct_sql("CAST(json_extract(props, '$.k') AS INT)", "k")
+        _json_struct_sql(
+            "CASE WHEN json_type(json_extract(props, '$.k'))"
+            " IN ('BIGINT','UBIGINT','DOUBLE') THEN"
+            " CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k')"
+            " AS DOUBLE)) AS INT) END",
+            "k",
+        )
     ),
 }

@@ -31,7 +31,11 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("v_events")
     return ev.where(F.col("user_id") == 0).select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        # floor-through-double (r9): representation-insensitive and
+        # hostile-safe — see corpus.py fn_json.
+        F.floor(F.get_json_object("props", "$.k").try_cast("double"))
+        .cast("int")
+        .alias("k"),
     )
 
 

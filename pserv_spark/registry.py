@@ -45,48 +45,20 @@ def _sql_runner(name: str) -> QueryFn:
 #: believe are on the record.  ``build_queries()`` pushes these BEHIND
 #: the not-yet-verified priority window, so each round's 50-entry
 #: driver prefix yields 50 NEW hard-signal rows (VERDICT r2 "Next
-#: round" #1: rotate the window; cumulative driver-verified coverage
-#: grows 50 ids per round instead of being capped at 17%).  The
-#: rotated-out prefix stays covered by the local regression net
-#: (scripts/check_corpus.py full sweep + tests/test_corpus.py).
+#: round" #1).
+#:
+#: ROTATING REGRESSION WINDOW (round 9, VERDICT r8 #3): with zero
+#: unverified ids left, the tuple's ORDER now carries meaning — ids
+#: are listed least-recently-driver-verified FIRST (last green
+#: CORRECTNESS round ascending, prior order as tiebreak), and
+#: ``driver_window_order`` emits the verified tail in THIS order.  So
+#: each round's 50-entry driver prefix re-verifies the 50 *stalest*
+#: ids on current HEAD, and the whole 312-id exact surface gets
+#: driver re-confirmation every ~6 rounds.  Maintained by
+#: ``scripts/rotate_window.py --write`` at round start; ordering
+#: pinned against the committed CORRECTNESS files in
+#: tests/test_output_policy.py.
 DRIVER_VERIFIED: tuple[str, ...] = (
-    "scan_project",
-    "filter_compound",
-    "filter_null_logic",
-    "case_when",
-    "join_inner",
-    "join_broadcast_dim",
-    "join_multiway_q5",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_in_subquery",
-    "join_theta_band",
-    "join_equi_residual",
-    "join_interval",
-    "join_cross",
-    "join_asof",
-    "join_self_lineitem",
-    "agg_global",
-    "agg_groupby_q1",
-    "agg_distinct",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "agg_corr",
-    "agg_percentile",
-    "agg_minmax_by",
-    "agg_filter_pivot",
-    "agg_bool",
-    "agg_string_sorted",
-    "win_topk_per_group",
-    "win_rank_dense",
-    "win_lag_lead",
-    "win_running_sum",
     "win_range_frame",
     "win_ntile_pctrank",
     "win_first_last",
@@ -349,6 +321,56 @@ DRIVER_VERIFIED: tuple[str, ...] = (
     "join_asof_nearest",
     "ts_max_concurrency",
     "lightcurve_lomb_scargle",
+    "scan_project",
+    "filter_compound",
+    "filter_null_logic",
+    "case_when",
+    "join_inner",
+    "join_multiway_q5",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_in_subquery",
+    "join_theta_band",
+    "join_equi_residual",
+    "join_interval",
+    "join_cross",
+    "join_asof",
+    "join_self_lineitem",
+    "agg_global",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats",
+    "agg_corr",
+    "agg_percentile",
+    "agg_minmax_by",
+    "agg_filter_pivot",
+    "agg_bool",
+    "agg_string_sorted",
+    "win_topk_per_group",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "join_broadcast_dim",
+    "agg_groupby_q1",
+    "agg_distinct",
+    "ts_forecast_snaive_eval",
+    "win_max_drawdown",
+    "seq_abandoned_clicks",
+    "seq_first_touch_attribution",
+    "win_gap_islands",
+    "ts_runs_test",
+    "purge_erasure_rewrite",
+    "text_bm25_topk",
+    "text_phrase_search",
+    "text_rake_keyphrases",
+    "ml_ols_normal_eq",
+    "ml_nb_train_classify",
+    "causal_diff_in_diff",
 )
 
 
@@ -458,12 +480,24 @@ def driver_window_order(
     """
     verified = set(DRIVER_VERIFIED)
     demoted = verified | set(rows_only)
+    in_registry = set(all_names)
     head: list[str] = [n for n in corpus.QUERY_NAMES if n not in demoted]
     head += [n for n in RANKED_EXTENSIONS if n not in demoted]
     seen = set(head)
     head += [n for n in all_names if n not in seen and n not in demoted]
     seen.update(head)
-    tail = [n for n in all_names if n not in seen and n not in rows_only]
+    # Verified tail in SNAPSHOT order, not registration order: the
+    # snapshot is maintained least-recently-verified-first (see
+    # DRIVER_VERIFIED), making the tail's front — and hence the 50-
+    # entry driver prefix once the head empties — a rotating
+    # regression window over the stalest green ids (VERDICT r8 #3).
+    tail = [
+        n
+        for n in DRIVER_VERIFIED
+        if n in in_registry and n not in seen and n not in set(rows_only)
+    ]
+    seen.update(tail)
+    tail += [n for n in all_names if n not in seen and n not in set(rows_only)]
     return head + tail + [n for n in all_names if n in set(rows_only)]
 
 

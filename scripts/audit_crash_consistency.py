@@ -174,6 +174,7 @@ def plant_debris(spark, sf_dir: str, fx: dict) -> dict:
         "committed_md5": {f: _md5(os.path.join(data, f)) for f in committed},
         "d1": d1,
         "d2": d2,
+        "d3_crc_less": d3,
         "d3_hidden": d3b,
         "d4_temp_dir": os.path.join(data, "_temporary"),
         "d5_staging": d5,
@@ -226,6 +227,9 @@ def run_scenarios(spark, sf_dir: str, scratch: str) -> dict:
         and os.path.exists(m2p)
         and os.path.exists(debris["d5_staging"])
         and os.path.isdir(debris["d4_temp_dir"])
+        # ADVICE r8: the non-*.parquet hidden temp (.crc-less suffix)
+        # must also survive — "removes exactly the debris" both ways.
+        and os.path.exists(debris["d3_crc_less"])
     )
     out["vacuum_removes_exactly_debris"] = {
         "ok": removed == expect and survivors_ok,

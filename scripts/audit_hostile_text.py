@@ -111,10 +111,28 @@ def build_hostile_tier(schema_sf_dir: str, dst: str) -> dict[str, int]:
         elif t == "events":
             ids = cols["event_id"].to_pylist()
             props = cols["props"].to_pylist()
+
+            # ADVICE r8 #3: rotate hostile 'k' payloads through the
+            # number representations where naive string->int casts
+            # diverge between the engines (DuckDB rounds '5.7'->6,
+            # Spark try_cast NULLs it): bare fractional, quoted
+            # fractional, trailing-zero float, exponent, boolean.
+            # fn_map_props' floor-through-double normalization must
+            # hold for all of them.
+            def _hostile_props(i: int) -> str:
+                k_variants = [i % 100, 5.7, "5.7", 5.0, 1e2, True]
+                body = json.dumps(
+                    {"k": k_variants[(i // 13) % len(k_variants)],
+                     "s": 'uni ✓ "q" \\b\\ ' + "日本語"}
+                )
+                # json.dumps renders 1e2 as 100.0 — rewrite one class
+                # to a literal exponent token to exercise the parser.
+                if (i // 13) % len(k_variants) == 4:
+                    body = body.replace('"k": 100.0', '"k": 1e2')
+                return body
+
             new = [
-                json.dumps({"k": i % 100, "s": 'uni ✓ "q" \\b\\ ' + "日本語"})
-                if (v is not None and i % 13 == 0)
-                else v
+                _hostile_props(i) if (v is not None and i % 13 == 0) else v
                 for i, v in zip(ids, props)
             ]
             n_chg = sum(1 for a, b in zip(props, new) if a != b)

@@ -9,17 +9,23 @@ schema + hash all true, err null); ``build_queries()`` pushes those
 behind the not-yet-verified priority window so each round's prefix
 yields 50 NEW hard-signal rows.
 
+ROTATING REGRESSION WINDOW (round 9, VERDICT r8 #3): once every id is
+verified, the snapshot's ORDER becomes the regression schedule — ids
+sorted by the round of their LAST green driver row ascending (stalest
+first; first-green order breaks ties), so the driver prefix
+re-verifies the 50 least-recently-checked ids on current HEAD each
+round and the whole exact surface re-confirms every ~6 rounds.
+
 Run this at the start of each round, after the driver has written the
 previous round's CORRECTNESS file:
 
     python scripts/rotate_window.py          # report drift
     python scripts/rotate_window.py --write  # patch registry.py in place
 
-``--write`` rewrites the DRIVER_VERIFIED tuple literal with the union
-of all green ids across every committed CORRECTNESS_r*.json (original
-relative order preserved, new ids appended in registry order).  The
-tuple stays a literal in source — reviewable, diffable, and immune to
-a missing/renamed CORRECTNESS file at driver time.
+``--write`` rewrites the DRIVER_VERIFIED tuple literal from the
+committed CORRECTNESS_r*.json files.  The tuple stays a literal in
+source — reviewable, diffable, and immune to a missing/renamed
+CORRECTNESS file at driver time.
 """
 
 from __future__ import annotations
@@ -34,14 +40,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def green_ids() -> list[str]:
-    """All ids with a fully-green driver row, in first-seen order."""
-    out: list[str] = []
-    seen: set[str] = set()
+def green_history() -> tuple[list[str], dict[str, int]]:
+    """(first-seen-green order, id -> round index of LAST green row)."""
+    first_seen: list[str] = []
+    last_green: dict[str, int] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", path.name).group(1))
         rows = json.loads(path.read_text())
         for name, row in rows.items():
-            if name in seen or not isinstance(row, dict):
+            if not isinstance(row, dict):
                 continue
             if (
                 row.get("rows_match")
@@ -49,9 +56,18 @@ def green_ids() -> list[str]:
                 and row.get("hash_match")
                 and row.get("err") is None
             ):
-                seen.add(name)
-                out.append(name)
-    return out
+                if name not in last_green:
+                    first_seen.append(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return first_seen, last_green
+
+
+def green_ids() -> list[str]:
+    """All ids with a fully-green driver row, stalest-verified first
+    (last green round ascending, first-green order as tiebreak)."""
+    first_seen, last_green = green_history()
+    rank = {n: i for i, n in enumerate(first_seen)}
+    return sorted(first_seen, key=lambda n: (last_green[n], rank[n]))
 
 
 def main() -> int:
@@ -69,7 +85,6 @@ def main() -> int:
         verified = [n for n in verified if n in registered]
 
     current = list(DRIVER_VERIFIED)
-    missing = [n for n in verified if n not in current]
     stale = [n for n in current if n not in verified]
     print(f"CORRECTNESS files: green ids = {len(verified)}")
     print(f"registry snapshot: DRIVER_VERIFIED = {len(current)}")
@@ -77,12 +92,27 @@ def main() -> int:
         # A snapshotted id with no green row in any file would mean the
         # snapshot was hand-edited ahead of the evidence — flag it.
         print(f"STALE (snapshotted but no green row on record): {stale}")
-    if not missing:
-        print("snapshot is current; next window already rotates past all green ids.")
+    if current == verified:
+        print("snapshot is current (ids and staleness order both match).")
         return 0
 
-    print(f"NEW green ids to add ({len(missing)}): {missing}")
-    next_prefix = [n for n in registered if n not in set(current) | set(missing)][:50]
+    added = [n for n in verified if n not in current]
+    if added:
+        print(f"NEW green ids to add ({len(added)}): {added}")
+    if [n for n in current if n in set(verified)] != [
+        n for n in verified if n in set(current)
+    ]:
+        print("ORDER drift: staleness ranking changed since last rotation.")
+    # The next driver window: unverified ids first, then the stalest
+    # verified ids (mirrors registry.driver_window_order; rows-only
+    # ids are demoted behind everything and never burn a slot).
+    from pserv_spark.registry import build_oracles
+
+    rows_only = set(registered) - set(build_oracles())
+    unverified = [
+        n for n in registered if n not in set(verified) and n not in rows_only
+    ]
+    next_prefix = (unverified + verified)[:50]
     print(f"next driver window after rotation (first 10): {next_prefix[:10]}")
 
     if not args.write:
@@ -91,9 +121,7 @@ def main() -> int:
 
     reg_path = REPO / "pserv_spark" / "registry.py"
     src = reg_path.read_text()
-    body = "\n".join(
-        f'    "{n}",' for n in current + missing
-    )
+    body = "\n".join(f'    "{n}",' for n in verified)
     new_literal = f"DRIVER_VERIFIED: tuple[str, ...] = (\n{body}\n)"
     patched, n = re.subn(
         r"DRIVER_VERIFIED: tuple\[str, \.\.\.\] = \(.*?\n\)",
@@ -106,7 +134,7 @@ def main() -> int:
         print("ERROR: could not locate DRIVER_VERIFIED literal in registry.py")
         return 2
     reg_path.write_text(patched)
-    print(f"patched {reg_path} (+{len(missing)} ids, total {len(current) + len(missing)})")
+    print(f"patched {reg_path} ({len(verified)} ids, stalest-first order)")
     return 0
 
 

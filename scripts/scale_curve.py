@@ -19,8 +19,14 @@ measurement that matters is the other direction: every SERVING-path op
 stays inside its linear band while the same harness and the same
 machine would have shown a 10×-data op at 50× time had one regressed.
 
-Run:  python scripts/scale_curve.py [op ...]      # default: SPINE
-Writes SCALECURVE.json and exits 1 on undeclared superlinear ratios.
+Run:  python scripts/scale_curve.py [op ...]      # default: all
+Writes SCALECURVE.json (atomically: temp file + rename) and exits 1 on
+undeclared superlinear ratios.  A SUBSET invocation (explicit op args
+covering less than the full DRIVING_TABLE) writes SCALECURVE.partial
+.json instead — VERDICT r8 #1: a targeted re-run must never clobber
+the committed full-sweep artifact (that is exactly how round 8 shipped
+a 1-op SCALECURVE.json at HEAD).  tests/test_scale_curve.py pins the
+committed artifact's completeness against DRIVING_TABLE.
 Derby-free op set by default; still avoid running concurrently with
 other Spark work — timings are the product.
 """
@@ -44,6 +50,11 @@ TIERS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.
 # run `python scripts/make_sf1.py` first.
 SF1 = str(REPO / ".testdata" / "sf1")
 TIER_NAMES = ["sf0.001", "sf0.01", "sf0.1", "sf1"]
+
+#: per-point budget for the UNGATED sf1 measurement of a declared-
+#: superlinear op (ADVICE r8); above it the written n^2 prediction is
+#: recorded instead.
+SF1_DECLARED_BUDGET_S = 120.0
 
 #: op id -> the base table whose growth drives the op's input size.
 DRIVING_TABLE: dict[str, str] = {
@@ -146,14 +157,35 @@ def main() -> int:
             violations += 1
             continue
         declared = name in SUPERLINEAR_DECLARED
-        # A declared-quadratic baseline gets no sf1 point: its band
-        # never gates, so the 4th measurement would only burn tens of
-        # sweep-minutes proving what the declaration already states.
-        # The LINEAR claims (everything else) are what sf1 verifies.
-        op_tiers = tiers[:3] if declared else tiers
+        # ADVICE r8: declared-superlinear ops get the sf1 point TOO
+        # (ungated) — the declaration should stay a measured claim,
+        # and worse-than-declared growth (cubic) one decade out would
+        # otherwise go unrecorded.  Guard: when the declared ~n^2
+        # extrapolation from the sf0.1 warm time predicts more than
+        # SF1_DECLARED_BUDGET_S, record the written prediction instead
+        # of burning half the sweep on one informational point.
+        op_tiers = list(tiers)
+        sf1_skipped: dict | None = None
         times = []
         try:
-            for sf_dir in op_tiers:
+            for ti, sf_dir in enumerate(op_tiers):
+                if declared and ti == 3 and len(times) == 3:
+                    data_factor = _rows(sf_dir, table) / max(
+                        _rows(op_tiers[2], table), 1
+                    )
+                    predicted = times[2] * data_factor**2
+                    if predicted > SF1_DECLARED_BUDGET_S:
+                        sf1_skipped = {
+                            "predicted_s": round(predicted, 1),
+                            "reason": (
+                                "declared-quadratic extrapolation "
+                                f"{times[2]}s x {data_factor:.1f}^2 "
+                                f"exceeds the {SF1_DECLARED_BUDGET_S}s "
+                                "per-point budget; prediction recorded "
+                                "in lieu of measurement"
+                            ),
+                        }
+                        break
                 fn(spark, sf_dir).collect()  # cold: JIT + fixture build
                 t_best = float("inf")
                 for _ in range(2):  # warm = min of 2 (profiler methodology)
@@ -200,6 +232,8 @@ def main() -> int:
                 "segments": segs,
             }
         )
+        if sf1_skipped is not None:
+            row["sf1_skipped"] = sf1_skipped
         if declared:
             row["verdict"] = f"declared superlinear: {SUPERLINEAR_DECLARED[name]}"
         elif bad:
@@ -216,7 +250,20 @@ def main() -> int:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "ops": report,
     }
-    (REPO / "SCALECURVE.json").write_text(json.dumps(out, indent=1, sort_keys=True))
+    # VERDICT r8 #1: a subset invocation must never clobber the
+    # committed full-sweep artifact; full runs write atomically (temp
+    # + rename) so an interrupted sweep leaves the old artifact
+    # intact rather than a truncated one.
+    full_run = set(ops) == set(DRIVING_TABLE)
+    target = REPO / ("SCALECURVE.json" if full_run else "SCALECURVE.partial.json")
+    tmp_path = target.with_suffix(".json.tmp")
+    tmp_path.write_text(json.dumps(out, indent=1, sort_keys=True))
+    os.replace(tmp_path, target)
+    if not full_run:
+        print(
+            f"subset run ({len(ops)}/{len(DRIVING_TABLE)} ops) -> {target.name}; "
+            "SCALECURVE.json untouched"
+        )
     print(json.dumps({"violations": violations, "n_ops": len(report)}))
     return 1 if violations else 0
 

@@ -770,8 +770,6 @@ def test_containment_prefix_filter_is_lossless(spark, sf_oracle):
             for r in catalog.table(spark, sf_oracle, "documents").collect()}
     want = {}
     for a, sa in docs.items():
-        if a % 3 != 0:
-            continue
         for b, sb in docs.items():
             if a != b and len(sa) < len(sb):
                 c = len(sa & sb) / len(sa)
@@ -780,7 +778,7 @@ def test_containment_prefix_filter_is_lossless(spark, sf_oracle):
     assert got == want
     for r in dedup_ngram_jaccard(spark, sf_oracle).collect():
         small, big = sorted((r.d1, r.d2), key=lambda d: len(docs[d]))
-        if small % 3 == 0 and len(docs[small]) < len(docs[big]):
+        if len(docs[small]) < len(docs[big]):
             assert (small, big) in got
 
 

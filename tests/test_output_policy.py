@@ -96,3 +96,48 @@ def test_registry_size_and_order_are_pinned():
     # Every registered id is either in the head or verified-tail zone.
     assert set(names[len(expected_head) :]) >= verified
     assert names[-len(rows_only) :] == sorted(rows_only)
+
+
+def test_driver_window_is_a_rotating_regression_window():
+    """Round 9 (VERDICT r8 #3): with the whole exact surface driver-
+    verified, the 50-entry driver prefix becomes a rotating regression
+    window — each round re-verifies the LEAST recently driver-checked
+    ids.  Pins: (a) DRIVER_VERIFIED is ordered by last-green
+    CORRECTNESS round ascending; (b) the registry emits the verified
+    tail in exactly that order, so the window rotates by construction;
+    (c) every snapshotted id really has a green row on record."""
+    import json
+    import re
+    from pathlib import Path
+
+    from pserv_spark.registry import DRIVER_VERIFIED, build_oracles, build_queries
+
+    repo = Path(__file__).resolve().parent.parent
+    last_green: dict[str, int] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", path.name).group(1))
+        for name, row in json.loads(path.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    missing = [n for n in DRIVER_VERIFIED if n not in last_green]
+    assert not missing, f"snapshotted ahead of evidence: {missing}"
+    rounds = [last_green[n] for n in DRIVER_VERIFIED]
+    assert rounds == sorted(rounds), (
+        "DRIVER_VERIFIED is not least-recently-verified-first; "
+        "run scripts/rotate_window.py --write"
+    )
+
+    names = list(build_queries())
+    rows_only = {n for n in names if n not in build_oracles()}
+    verified_tail = [n for n in names if n in set(DRIVER_VERIFIED)]
+    expected = [n for n in DRIVER_VERIFIED if n not in rows_only] + [
+        n for n in DRIVER_VERIFIED if n in rows_only
+    ]
+    assert verified_tail == expected

@@ -609,14 +609,13 @@ def test_no_unbounded_global_window_in_registry_hot_paths(spark, sf_oracle):
         # + explicit verify repartition — 8 passes, each load-bearing
         ("dedup_ngram_jaccard", 8),
         ("dedup_jaccard", 8),
-        # r8: 5 -> 7 for the positional filter — both join sides now
-        # need the rarity-order aggregate, and the probe's 1-in-3
-        # sample pushes below its copy of that aggregate (good: the
-        # probe branch carries 1/3 of the data) which defeats
-        # ReusedExchange (so the agg subtree appears twice, ~1.33x one
-        # aggregate's bytes total).  The filter bought back a
+        # r8: 5 -> 7 for the positional filter — both join sides need
+        # the rarity-order aggregate (the filter bought back a
         # candidate set that degenerated toward all-pairs on
-        # low-entropy shingle universes (sf1 scale finding).
+        # low-entropy shingle universes; sf1 scale finding).  r9: the
+        # probe-side 1-in-3 sample is gone (VERDICT r8 #2) so both
+        # sides read the identical aggregate subtree — Catalyst may
+        # now ReusedExchange it; 7 stays a valid ceiling.
         ("dedup_containment", 7),
         # banded signature equi-joins
         ("dedup_minhash_lsh", 5),

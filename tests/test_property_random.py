@@ -109,9 +109,13 @@ def test_containment_prefix_filter_lossless_for_random_threshold(
         .groupBy("doc_id", "n_sh")
         .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
     )
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
-    ).cast("int")
+    # Epsilon-slack ceil, mirroring the operator (ADVICE r8): bare
+    # ceil(t*n) can be 1 stricter than the exact requirement when t*n
+    # float-rounds just above an integer, dropping a true pair.
+    def _req(n):
+        return F.ceil(F.lit(t) * n - F.lit(1e-9))
+
+    prefix_len = (F.col("n_sh") - _req(F.col("n_sh")) + 1).cast("int")
     probe = ordered.select(
         F.col("doc_id").alias("d_small"),
         F.col("n_sh").alias("n_small"),
@@ -131,7 +135,7 @@ def test_containment_prefix_filter_lossless_for_random_threshold(
             F.least(
                 F.col("n_small") - F.col("pa"), F.col("n_big") - F.col("pb")
             )
-            >= F.ceil(F.lit(t) * F.col("n_small"))
+            >= _req(F.col("n_small"))
         )
         .select("d_small", "d_big")
         .distinct()
