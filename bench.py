@@ -9,6 +9,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Pass bar (BASELINE.md): suite total <= 16.5 s at sf0.1 (2x the naive
 Spark SQL baseline of 8.25 s).
+
+``--sf1`` (round 9, VERDICT r8 #5) runs the same suite at the local
+10x tier (.testdata/sf1, built by scripts/make_sf1.py) so decade-scale
+regressions surface in the committed bench story instead of only in
+the ad-hoc scale sweep; the output line then carries "sf": 1.0.  The
+driver's default invocation is unchanged (one line, sf0.1).
 """
 
 from __future__ import annotations
@@ -31,6 +37,11 @@ FLAGSHIP = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf1" in sys.argv[1:]:
+        sf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".testdata", "sf1")
+        if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            sys.exit("--sf1: build the tier first (python scripts/make_sf1.py)")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from pserv_spark.registry import build_queries

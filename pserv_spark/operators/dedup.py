@@ -632,7 +632,11 @@ CONTAINMENT_T = 0.8
 
 
 def dedup_containment(
-    spark: SparkSession, sf_dir: str, *, sample: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sample: int | None = None,
+    width: int = 5,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |A∩B|/|A| ≥ 0.8 with
     |A| < |B| — the sub-document/quotation detector Jaccard misses
@@ -649,23 +653,48 @@ def dedup_containment(
     Round 8 (sf1 scale-curve finding): on the synthetic corpus the
     5-char shingle universe is tiny (~2k distinct at sf0.1), so the
     prefix filter alone is non-selective and candidates degenerate
-    toward all-pairs (measured 18.9× time for 10× docs).  The fix is
-    the standard POSITIONAL filter (Vernica et al. / ppjoin): both
-    sides carry each shingle's 0-based rank in their rarity order,
-    and an occurrence survives only if
+    toward all-pairs (measured 18.9× time for 10× docs).  The
+    POSITIONAL filter (Vernica et al. / ppjoin) was added: both sides
+    carry each shingle's 0-based rank in their rarity order, and an
+    occurrence survives only if
     ``min(|A| − pa, |B| − pb) ≥ ⌈t·|A|⌉`` — the ordered-intersection
     upper bound through that element.  Lossless: for a true pair the
     FIRST common element lies in A's prefix (else |A∩B| < ⌈t·|A|⌉),
     and for it the whole intersection sits at ranks ≥ pa / ≥ pb, so
     the bound passes (hypothesis-tested vs an all-pairs recount).
-    When documents are similar length this cuts B's effective join
-    side to ~(1−t) of its shingles — the candidate set scales with
-    the true-match density again (measured: back inside the linear
-    band at sf1).
+
+    Round 9 (measured finding — THE CORPUS, NOT THE ALGORITHM, IS THE
+    BOTTLENECK HERE): stage-instrumented at sf0.1 (unsampled), the
+    candidate stack enumerates 29M prefix collisions, the positional
+    filter removes only 0.5% of them, and 8.9M of the 12.5M possible
+    ordered pairs reach the exact verify — for 301 true pairs (a
+    29,000:1 verify ratio).  Root cause: with ~2k distinct 5-grams
+    per corpus slice the "rare" prefix shingles still have df in the
+    hundreds, and because rarity rank is GLOBAL, a prefix shingle of
+    A sits early in B's order too (small pb), so the positional bound
+    n_big − pb ≥ ⌈t·n_small⌉ almost always passes.  A per-shingle
+    min-requirement pre-filter on the build side (lossless, r9
+    experiment) was measured at zero benefit for the same reason and
+    removed.  On a Heaps-law corpus (vocabulary grows with corpus
+    size; prefix df is O(1)) the same plan's candidates track true-
+    match density — demonstrated two ways (CONTAINSTUDY.json,
+    scripts/containment_shingle_study.py): (a) widening to 9-char
+    shingles on the SAME text (universe 2k → 27k at sf0.1) cuts the
+    enumeration 10.7× (2.7M vs 29M) and candidates 5.2× (1.7M vs
+    8.9M) with near-identical output (247 of 301 w5 pairs also found
+    at w9); (b) the round-9 sf1-tier rebuild (make_sf1.py letter
+    cipher) showed the prior 455k-pair sf1 output was a replication
+    artifact of non-bijective token tagging, not operator behavior.
+    The verify itself stays exact (array_intersect on sorted arrays),
+    so wall time degrades gracefully toward the all-pairs cost on a
+    degenerate universe and output is always exact.
+
+    ``width`` parameterizes the shingle size for the study script
+    only; the registered operator is width=5 (the declared contract).
     """
     docs = _docs(spark, sf_dir)
     sh = docs.select(
-        "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
+        "doc_id", F.array_sort(char_shingles("text", width)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
     dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))

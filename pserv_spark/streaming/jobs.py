@@ -61,6 +61,52 @@ BATCH_PLAN_CAPTURE: list[tuple[str, str]] | None = None
 #: correctness checks can never see because every test run is finite.
 STATE_CAPTURE: list[tuple[str, list]] | None = None
 
+#: audit-only hooks (scripts/audit_crash_consistency.py, round 9 —
+#: VERDICT r8 #7).  The four foreachBatch sinks claim exactly-once BY
+#: IDEMPOTENCE; that claim is only real if a driver killed between
+#: micro-batch publish and checkpoint commit (or mid-publish) leaves a
+#: state the REPLAYED batch repairs.  ``SINK_CHECKPOINT_DIR`` makes a
+#: sink op restartable (explicit checkpoint at <dir>/<op>; the sink
+#: store is then NOT wiped at entry — preserving crash state is the
+#: scenario) and ``SINK_FAULT`` = {"op","phase","batch"} raises inside
+#: foreachBatch at the declared point ("before_publish" /
+#: "after_publish").  Production calls leave both None: fresh temp
+#: checkpoint, sink wiped, no faults — behavior unchanged.
+SINK_CHECKPOINT_DIR: str | None = None
+SINK_FAULT: dict | None = None
+
+
+class InjectedSinkFault(RuntimeError):
+    """Deliberate sink crash planted by the crash-consistency audit."""
+
+
+def _fault_point(op: str, phase: str, batch_id: int) -> None:
+    f = SINK_FAULT
+    if (
+        f is not None
+        and f.get("op") == op
+        and f.get("phase") == phase
+        and int(batch_id) == int(f.get("batch", 0))
+    ):
+        raise InjectedSinkFault(f"{op}/{phase}/batch{batch_id}")
+
+
+def _sink_start(op: str, writer):
+    """Start a sink op's writeStream, checkpointed when under audit."""
+    if SINK_CHECKPOINT_DIR is not None:
+        writer = writer.option(
+            "checkpointLocation", os.path.join(SINK_CHECKPOINT_DIR, op)
+        )
+    return writer.start()
+
+
+def sink_store_path(op: str, sf_dir: str) -> str:
+    """Canonical sink-store directory for a foreachBatch sink op —
+    shared with the crash-consistency audit so it can inspect/clear
+    the store between kill and restart."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"pserv_sink_{op}_{key}")
+
 
 def _read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
     """Schema-explicit read of a foreachBatch-written parquet sink.
@@ -194,8 +240,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(src)
         )
-    out = os.path.join(tempfile.gettempdir(), f"pserv_cdc_store_{key}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = sink_store_path("stream_cdc_apply", sf_dir)
+    if SINK_CHECKPOINT_DIR is None:  # audit preserves crash state
+        shutil.rmtree(out, ignore_errors=True)
 
     raw = (
         spark.readStream.schema(SCHEMAS["events"])
@@ -228,7 +275,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fault_point("stream_cdc_apply", "before_publish", batch_id)
         cand = reduce_latest(batch_df).select(
             "user_id",
             "value",
@@ -253,12 +301,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("bucket")
             .parquet(out)
         )
+        _fault_point("stream_cdc_apply", "after_publish", batch_id)
 
-    query = (
+    query = _sink_start(
+        "stream_cdc_apply",
         changes.writeStream.outputMode("append")
         .foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     try:
         query.awaitTermination()
@@ -469,14 +518,11 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     without re-reading the raw history: state lives in the streaming
     aggregation, the store write is per-touched-partition.
     """
-    import hashlib as _hl
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_stream_rollup_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = sink_store_path("stream_rollup_upsert", sf_dir)
+    if SINK_CHECKPOINT_DIR is None:  # audit preserves crash state
+        shutil.rmtree(out, ignore_errors=True)
     ev = events_stream(spark, sf_dir)
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("timestamp").alias("day"), "event_type"
@@ -487,7 +533,8 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
 
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _fault_point("stream_rollup_upsert", "before_publish", batch_id)
         staged = batch_df.withColumn("day_part", F.date_format("day", "yyyy-MM-dd"))
         _capture_batch_plan("stream_rollup_upsert:batch", staged)
         (
@@ -496,12 +543,13 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("day_part")
             .parquet(out)
         )
+        _fault_point("stream_rollup_upsert", "after_publish", batch_id)
 
-    query = (
+    query = _sink_start(
+        "stream_rollup_upsert",
         daily.writeStream.outputMode("complete")
         .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     try:
         query.awaitTermination()
@@ -610,15 +658,17 @@ def stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
 
-    def to_jdbc(batch_df: DataFrame, _batch_id: int) -> None:
+    def to_jdbc(batch_df: DataFrame, batch_id: int) -> None:
+        _fault_point("stream_jdbc_sink", "before_publish", batch_id)
         _capture_batch_plan("stream_jdbc_sink:batch", batch_df)
         batch_df.write.mode("overwrite").jdbc(url, "serving_agg", properties=props)
+        _fault_point("stream_jdbc_sink", "after_publish", batch_id)
 
-    query = (
+    query = _sink_start(
+        "stream_jdbc_sink",
         agg.writeStream.outputMode("complete")
         .foreachBatch(to_jdbc)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     try:
         query.awaitTermination()
@@ -641,30 +691,29 @@ def stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``availableNow`` run the leaderboard equals the batch top-10,
     which is the exact oracle.
     """
-    import hashlib as _hl
     import shutil
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"pserv_stream_topk_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = sink_store_path("stream_topk_maintain", sf_dir)
+    if SINK_CHECKPOINT_DIR is None:  # audit preserves crash state
+        shutil.rmtree(out, ignore_errors=True)
     counts = (
         events_stream(spark, sf_dir)
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n"))
     )
 
-    def publish(batch_df: DataFrame, _batch_id: int) -> None:
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        _fault_point("stream_topk_maintain", "before_publish", batch_id)
         topk = batch_df.orderBy(F.col("n").desc(), "user_id").limit(10)
         _capture_batch_plan("stream_topk_maintain:batch", topk)
         topk.write.mode("overwrite").parquet(out)
+        _fault_point("stream_topk_maintain", "after_publish", batch_id)
 
-    query = (
+    query = _sink_start(
+        "stream_topk_maintain",
         counts.writeStream.outputMode("complete")
         .foreachBatch(publish)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     try:
         query.awaitTermination()

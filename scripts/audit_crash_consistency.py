@@ -46,8 +46,21 @@ Checked contracts (each a scenario row in CRASHCONSISTENCY.json):
    debris and replaced by the next builder's publish, while a
    sentinel-complete directory wins over a late publisher.
 
+Round 9 (VERDICT r8 #7) adds the STREAMING-SINK replay scenarios
+(`sink_replay_*`): each foreachBatch sink op (CDC merge, rollup
+upsert, top-k publish, JDBC serving) is killed via an injected fault
+either between sink publish and checkpoint commit ("after_publish" —
+the batch replays on restart, so double-apply must converge: the
+exactly-once-by-idempotence claim) or before the publish
+("before_publish" — replay must fill the hole), then restarted from
+the SAME checkpoint; the served result must equal the uninterrupted
+run's rows exactly.  Hooks: pserv_spark.streaming.jobs.SINK_FAULT /
+SINK_CHECKPOINT_DIR (production calls leave both None).
+
 Usage: python scripts/audit_crash_consistency.py [sf_dir]
-Writes CRASHCONSISTENCY.json; exit 1 on any failed scenario.
+Writes CRASHCONSISTENCY.json (atomic rename); exit 1 on any failed
+scenario.  Includes stream_jdbc_sink — never run concurrently with
+other Derby work (driver_sim / plan_lint / pytest).
 """
 
 from __future__ import annotations
@@ -276,6 +289,83 @@ def run_scenarios(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+#: (op, phase, micro-batch index) — kill points for the foreachBatch
+#: sink replay scenarios (VERDICT r8 #7).  Phases bracket the sink
+#: publish: "after_publish" = driver died between publish and the
+#: checkpoint commit (the batch is REPLAYED on restart — double-apply
+#: must converge, the idempotence claim); "before_publish" = driver
+#: died after the checkpoint recorded the offsets but before the sink
+#: saw the batch (replay must fill the hole).  stream_cdc_apply gets
+#: both phases at a MID-RUN batch (its 4-file staging yields 4 real
+#: incremental merges); the complete-mode sinks re-derive their whole
+#: store each batch, so batch 0 is their only batch.
+SINK_SCENARIOS: list[tuple[str, str, int]] = [
+    ("stream_cdc_apply", "after_publish", 1),
+    ("stream_cdc_apply", "before_publish", 2),
+    ("stream_rollup_upsert", "after_publish", 0),
+    ("stream_topk_maintain", "before_publish", 0),
+    ("stream_jdbc_sink", "after_publish", 0),
+]
+
+
+def run_stream_sink_scenarios(spark, sf_dir: str) -> dict:
+    """Kill each foreachBatch sink mid-run, restart from the same
+    checkpoint, and demand the served result converge to the clean
+    run's rows (exact multiset)."""
+    from pserv_spark.registry import build_queries
+    from pserv_spark.streaming import jobs as stream_jobs
+
+    queries = build_queries()
+    out: dict[str, dict] = {}
+    clean_rows: dict[str, list] = {}
+    for op, phase, batch in SINK_SCENARIOS:
+        key = f"sink_replay_{op.removeprefix('stream_')}_{phase}_b{batch}"
+        ckpt = None
+        try:
+            if op not in clean_rows:  # uninterrupted reference run
+                clean_rows[op] = sorted(
+                    map(tuple, queries[op](spark, sf_dir).collect())
+                )
+            ckpt = tempfile.mkdtemp(prefix=f"pserv_sink_ckpt_{op}_")
+            shutil.rmtree(
+                stream_jobs.sink_store_path(op, sf_dir), ignore_errors=True
+            )
+            stream_jobs.SINK_CHECKPOINT_DIR = ckpt
+            stream_jobs.SINK_FAULT = {"op": op, "phase": phase, "batch": batch}
+            crashed = False
+            try:
+                queries[op](spark, sf_dir).collect()
+            except Exception as e:  # noqa: BLE001 — the planted crash
+                # PySpark's StreamingQueryException repr() is empty;
+                # the injected fault's Python traceback is embedded in
+                # the message/desc chain.
+                detail = " ".join(
+                    str(x) for x in (e, getattr(e, "desc", ""), e.args)
+                )
+                crashed = "InjectedSinkFault" in detail
+                if not crashed:
+                    raise
+            # restart: same checkpoint, fault cleared — Structured
+            # Streaming replays every batch the crash left uncommitted
+            stream_jobs.SINK_FAULT = None
+            replayed = sorted(map(tuple, queries[op](spark, sf_dir).collect()))
+            out[key] = {
+                "ok": crashed and replayed == clean_rows[op],
+                "crash_injected": crashed,
+                "rows_clean": len(clean_rows[op]),
+                "rows_after_replay": len(replayed),
+                "converged": replayed == clean_rows[op],
+            }
+        except Exception as e:  # noqa: BLE001
+            out[key] = {"ok": False, "err": repr(e)[:200]}
+        finally:
+            stream_jobs.SINK_FAULT = None
+            stream_jobs.SINK_CHECKPOINT_DIR = None
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from pserv_spark.session import get_session
@@ -289,6 +379,7 @@ def main() -> int:
         scenarios = run_scenarios(spark, sf_dir, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+    scenarios.update(run_stream_sink_scenarios(spark, sf_dir))
     failures = [k for k, v in scenarios.items() if not v["ok"]]
     report = {
         "sf_dir": sf_dir,
@@ -298,7 +389,10 @@ def main() -> int:
         "elapsed_s": round(time.time() - t0, 1),
         "scenarios": scenarios,
     }
-    (REPO / "CRASHCONSISTENCY.json").write_text(json.dumps(report, indent=1))
+    target = REPO / "CRASHCONSISTENCY.json"
+    tmp_path = target.with_suffix(".json.tmp")
+    tmp_path.write_text(json.dumps(report, indent=1))
+    os.replace(tmp_path, target)
     print(json.dumps({k: report[k] for k in ("n_scenarios", "n_ok", "failures")}))
     return 1 if failures else 0
 

@@ -28,6 +28,12 @@ noise).  A `const` op whose state follows the data 10× is exactly the
 unbounded-state bug this exists to catch one decade before a cluster
 sees it.
 
+Round 9 (VERDICT r8 #6) additionally gates state BYTES per row: the
+store-reported memoryUsedBytes / numRowsTotal must stay roughly flat
+across tiers (cap 2× + 1 KiB slack) — row counts alone miss per-row
+payload bloat, e.g. a list-accumulating buffer whose row count is
+constant while each row's value follows the input.
+
 Run:  python scripts/audit_stream_scale.py
 Writes STREAMSCALE.json; exit 1 on any violated segment.
 Derby note: includes stream_jdbc_sink — never run concurrently with
@@ -103,6 +109,8 @@ def main() -> int:
     t_start = time.time()
     for name, driver in STATE_DRIVER.items():
         rows_per_tier: list[int] = []
+        rows_sum_per_tier: list[int] = []
+        bytes_per_tier: list[int] = []
         err = None
         for sf_dir in tiers:
             captured: list[tuple[str, list]] = []
@@ -118,17 +126,42 @@ def main() -> int:
             rows_per_tier.append(
                 max((op.get("numRowsTotal") or 0 for op in ops), default=0)
             )
+            rows_sum_per_tier.append(sum(op.get("numRowsTotal") or 0 for op in ops))
+            bytes_per_tier.append(sum(op.get("memoryUsedBytes") or 0 for op in ops))
         if err is not None:
             report[name] = {"err": err}
             violations += 1
             continue
+        # Bytes-per-state-row across tiers (VERDICT r8 #6): row counts
+        # miss per-row state BLOAT (e.g. a list-accumulating buffer
+        # whose rows stay flat while each row's payload follows the
+        # data).  Store-reported memoryUsedBytes / total rows must stay
+        # roughly constant per op as input grows 10x per decade.
+        bpr = [
+            round(b / r, 1) if r else None
+            for b, r in zip(bytes_per_tier, rows_sum_per_tier)
+        ]
         row: dict = {
             "driver": driver,
             "state_rows": dict(zip(tier_names, rows_per_tier)),
+            "state_bytes": dict(zip(tier_names, bytes_per_tier)),
+            "bytes_per_row": dict(zip(tier_names, bpr)),
         }
         bad = []
+        for hi in range(1, len(bpr)):
+            lo_v, hi_v = bpr[hi - 1], bpr[hi]
+            if lo_v is None or hi_v is None:
+                continue
+            cap_b = 2.0 * lo_v + 1024  # 2x ratio + absolute slack for
+            # store overhead on single-digit row counts
+            if hi_v > cap_b:
+                bad.append(
+                    f"{tier_names[hi - 1]}->{tier_names[hi]}: "
+                    f"bytes/row {lo_v}->{hi_v} vs cap {cap_b:.0f} "
+                    "(per-row state bloat)"
+                )
         if driver == "stateless":
-            bad = [f"{t}: {r} state rows" for t, r in zip(tier_names, rows_per_tier) if r]
+            bad += [f"{t}: {r} state rows" for t, r in zip(tier_names, rows_per_tier) if r]
         else:
             for hi in range(1, len(rows_per_tier)):
                 d_ratio = _driver_cardinality(tiers[hi], driver) / max(
@@ -156,7 +189,12 @@ def main() -> int:
         "elapsed_s": round(time.time() - t_start, 1),
         "ops": report,
     }
-    (REPO / "STREAMSCALE.json").write_text(json.dumps(out, indent=1, sort_keys=True))
+    import os
+
+    target = REPO / "STREAMSCALE.json"
+    tmp = target.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(out, indent=1, sort_keys=True))
+    os.replace(tmp, target)
     print(json.dumps({"n_ops": len(report), "violations": violations}))
     return 1 if violations else 0
 

@@ -26,19 +26,23 @@ Construction (deterministic, no RNG outside fixed seeds):
   props, p_name's word pairs) stay byte-identical across replicas:
   per-key group sizes, skew shape, and duplicate-PK density stay
   exactly sf0.1's.
-- documents: 10 replicas; doc_id shifted; in replica i > 0 EVERY
-  token gets an ``<i>`` suffix, and n_chars is recomputed.
-  Content-based tagging transforms identical tokens identically, so
-  WITHIN a replica every exact-dup group and every near-dup
-  similarity is preserved bit-for-bit (dup density stays sf0.1's).
-  ACROSS replicas both token and character shingles are disjoint,
-  which is the Heaps-law behavior of a real 10x corpus: rare
-  shingles STAY rare (per-shingle document frequency is constant,
-  vocabulary grows ~10x) instead of every df inflating 10x.  A
-  partial tagging (the first version tagged 1/3 of tokens) leaves
-  untagged rare shingles shared by all 10 replicas, which inflates
-  frequency-ordered candidate joins ~100x -- an artifact of
-  replication, not a property any growing corpus exhibits.
+- documents: 10 replicas; doc_id shifted; replica i > 0 text runs
+  through a per-replica LETTER CIPHER (fixed a-z permutation per
+  replica, spaces untouched).  The cipher is a BIJECTION on
+  character n-grams and on tokens, so within each replica every
+  exact-dup group, Jaccard/containment pair, and df histogram is
+  isomorphic to sf0.1's (dup density stays exactly sf0.1's), while
+  across replicas vocabularies are disjoint up to chance collisions
+  -- the Heaps-law behavior of a real 10x corpus: rare shingles STAY
+  rare, vocabulary grows ~10x.  History: v1 tagged 1/3 of tokens
+  (untagged rare shingles shared by all replicas inflated candidate
+  joins ~100x); v2 (r8) suffixed EVERY token, which fixed df but is
+  not bijective on 5-grams -- the shared "<tag> " boundary patterns
+  inflated true containment pairs 151x beyond linear (measured r9,
+  CONTAINSTUDY.json: 455k pairs at sf1 vs 10 x 301 at sf0.1).  Both
+  were replication artifacts, not corpus growth behavior; the cipher
+  eliminates the class (structure preserved per replica by
+  construction, 10x output by counting).
 - embeddings: 4 replicas (matching the observed 0.01 -> 0.1 growth
   factor of 4); vec_id shifted; replica > 0 vectors get seeded
   N(0, 0.01) jitter so ANN/cosine ops see distinct points rather
@@ -116,23 +120,38 @@ def _replicate(table: str, src: pa.Table) -> pa.Table:
                 rep.schema.get_field_index(namecol), namecol, names
             )
         if table == "documents" and i:
-            tag = str(i)
+            # Per-replica LETTER CIPHER (round 9; replaces the r8
+            # token-suffix tagging).  A fixed permutation of a-z maps
+            # every character 5-gram BIJECTIVELY, so each replica's
+            # shingle-overlap structure — exact-dup groups, Jaccard,
+            # containment, tf-idf shape — is isomorphic to sf0.1's,
+            # while replica vocabularies are disjoint up to chance
+            # collisions (expected <1 shingle per replica pair: 2k
+            # images scattered over 26^5 strings).  The r8 suffix
+            # tagging was NOT bijective on character shingles: every
+            # token ending in the same tag created new shared 5-grams
+            # across all docs of a replica, inflating true containment
+            # pairs 151x beyond linear (455k at sf1 vs 10 x 301 —
+            # measured, CONTAINSTUDY.json r9) — a replication artifact
+            # masquerading as super-linear operator cost.  Token
+            # lengths are preserved, so n_chars needs no recompute.
+            import string
+
+            rng = np.random.RandomState(777 + i)
+            perm = rng.permutation(26)
+            cipher = str.maketrans(
+                string.ascii_lowercase,
+                "".join(string.ascii_lowercase[p] for p in perm),
+            )
             txt = pa.array(
                 [
-                    None
-                    if t is None
-                    else " ".join(w + tag for w in t.split(" "))
+                    None if t is None else t.translate(cipher)
                     for t in rep.column("text").to_pylist()
                 ],
                 type=src.schema.field("text").type,
             )
             rep = rep.set_column(
                 rep.schema.get_field_index("text"), "text", txt
-            )
-            rep = rep.set_column(
-                rep.schema.get_field_index("n_chars"),
-                "n_chars",
-                pa.compute.utf8_length(txt).cast(pa.int64()),
             )
         if table == "embeddings" and i:
             rng = np.random.RandomState(1234 + i)
