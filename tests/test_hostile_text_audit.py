@@ -105,14 +105,25 @@ def test_empty_document_quality_score_is_null_not_crash(
 def test_mixed_type_props_keep_their_keys(spark, hostile_tier, fresh_catalog):
     """Finding #3: from_json(map<string,int>) nulled the ENTIRE map
     when one value was a string; keys must survive and k_val still
-    parse."""
+    parse.  ADVICE r8 #3 rotated the planted k payloads through the
+    representations where naive string->int casts diverge
+    (audit_hostile_text._hostile_props); the expected k_val is the
+    floor-through-double normalization of each variant:
+    i%100 -> i%100, 5.7 / "5.7" / 5.0 -> 5, 1e2 -> 100, and the
+    boolean True -> NULL (not castable to DOUBLE on either engine)."""
     from pserv_spark.operators.extras import fn_map_props
 
     rows = fn_map_props(spark, hostile_tier).collect()
     with_s = [r for r in rows if r.keys == "k,s"]
     assert with_s, "vacuous: no mixed-type props rows under user_id < 40"
+    expected_by_variant = [None, 5, 5, 5, 100, None]  # index 0 -> i % 100
+    seen_variants = set()
     for r in with_s:
-        assert r.k_val == r.event_id % 100
+        variant = (r.event_id // 13) % 6
+        seen_variants.add(variant)
+        expected = r.event_id % 100 if variant == 0 else expected_by_variant[variant]
+        assert r.k_val == expected, (r.event_id, variant, r.k_val, expected)
+    assert len(seen_variants) >= 3, "vacuous: payload rotation not exercised"
 
 
 def test_frame_digest_is_byte_true_for_multibyte_text(
