@@ -19,10 +19,12 @@ from .text import (
     jaccard,
 )
 from .vector import dot, l2_norm, cosine
-from .setjoin import prefix_filter_candidates
+from .setjoin import encode_sets, jaccard_pairs, prefix_filter_candidates
 
 __all__ = [
     "prefix_filter_candidates",
+    "encode_sets",
+    "jaccard_pairs",
     "tokens",
     "distinct_tokens",
     "char_shingles",

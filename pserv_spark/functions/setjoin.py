@@ -23,7 +23,7 @@ filter lossless; this one keeps it cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Slack subtracted before ``ceil(t*n)``: when ``t*n`` is an exact
@@ -174,4 +174,152 @@ def prefix_filter_candidates(
         .repartition(
             sets.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
         )
+    )
+
+
+def encode_sets(
+    sets: DataFrame, id_col: str, set_col: str
+) -> DataFrame:
+    """Dictionary-encode element sets into ppjoin-ordered INT arrays,
+    materialized once (round-9 optimization, guide §2.3/§8: shuffle and
+    intersect 4-byte ints instead of strings, and compute the expensive
+    tokenize→frequency→order pipeline once instead of once per plan
+    subtree — a ppjoin self-join plus its verify re-executes every
+    upstream operator up to 6× otherwise).
+
+    Returns ``(__id, __n, __osh: array<int>)`` where ``__osh`` is
+    sorted ascending and the int order IS the ppjoin total order
+    (ascending document frequency, ties by element value): each
+    element's id is its ``row_number`` under ``(__dfq, __w)``.  The
+    mapping is a bijection, so set sizes, intersections and unions —
+    hence every Jaccard/containment value — are unchanged (the
+    per-element window runs over the frequency AGGREGATE, bounded by
+    the element universe, the same boundedness contract as the
+    broadcast of ``dfreq`` that the candidate stage already relies
+    on).  ``localCheckpoint`` materializes the relation; like the
+    iterative operators (dedup_cluster_cc, graph_pagerank) this trades
+    lineage-replay fault tolerance for not recomputing a corpus-sized
+    derivation per consumer — it is recomputed from the parquet inputs
+    on every operator invocation (never cached across runs).
+    """
+    # Tokenization runs ONCE: the frequency aggregate and the encode
+    # join are two consumers of the exploded element stream, and
+    # without this materialization each re-derives the (expensive)
+    # set construction from the source — measured 1.9 s per extra
+    # pass on the sf0.1 shingle corpus.  The checkpoint holds one row
+    # per input set (corpus-sized, the same payload the old plan
+    # shuffled anyway), not the exploded stream.
+    base = sets.select(
+        F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
+    ).localCheckpoint()
+    exploded = base.select(
+        "__id",
+        F.size("__set").alias("__n"),
+        F.explode("__set").alias("__w"),
+    )
+    dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
+    dict_ = dfreq.select(
+        "__w",
+        F.row_number().over(Window.orderBy("__dfq", "__w")).alias("__tid"),
+    )
+    return (
+        exploded.join(F.broadcast(dict_), "__w")
+        .groupBy("__id", "__n")
+        .agg(F.array_sort(F.collect_list("__tid")).alias("__osh"))
+        .localCheckpoint()
+    )
+
+
+def jaccard_pairs(
+    sets: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Verified Jaccard-similarity pairs ``(d1, d2, jac)`` with
+    ``J >= threshold``, ``d1 < d2``, ``jac`` ROUNDed at 6 dp — the
+    complete prefix-filter + positional-filter + exact-verify join
+    (the candidate stage is the same ppjoin construction as
+    :func:`prefix_filter_candidates`, over the int-encoded sets from
+    :func:`encode_sets`; the verify intersects the encoded arrays, so
+    no string array ever crosses a shuffle).
+
+    Exactness: the encoding is a bijection, so ``|A∩B|`` / ``|A∪B|``
+    and therefore ``jac`` are byte-identical to the string-array form;
+    candidates remain a lossless superset by the prefix/positional
+    filter theorems (the element ORDER is unchanged — the int ids are
+    assigned in the same (frequency, element) order the string form
+    sorted by).
+    """
+    enc = encode_sets(sets, id_col, set_col)
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_SLACK))
+        + 1
+    ).cast("int")
+    prefixes = enc.select(
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__osh", F.lit(1), prefix_len)).alias("__pos0", "__t"),
+    ).select("__id", "__n", (F.col("__pos0") + 1).alias("__pos"), "__t")
+    # Same join/filters as prefix_filter_candidates (see the pinned
+    # reasons there: merge hint against the fan-out-blind broadcast,
+    # float-slack length band, grouped positional filter, explicit-
+    # width repartition ahead of the quadratic verify).
+    matches = (
+        prefixes.alias("pa")
+        .join(prefixes.alias("pb").hint("merge"), "__t")
+        .where(
+            (F.col("pa.__id") < F.col("pb.__id"))
+            & (
+                F.col("pa.__n")
+                >= F.lit(threshold) * F.col("pb.__n") - F.lit(_CEIL_SLACK)
+            )
+            & (
+                F.col("pb.__n")
+                >= F.lit(threshold) * F.col("pa.__n") - F.lit(_CEIL_SLACK)
+            )
+        )
+        .select(
+            F.col("pa.__id").alias("d1"),
+            F.col("pb.__id").alias("d2"),
+            F.col("pa.__n").alias("__na"),
+            F.col("pb.__n").alias("__nb"),
+            F.col("pa.__pos").alias("__pa"),
+            F.col("pb.__pos").alias("__pb"),
+        )
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        - F.lit(_CEIL_SLACK)
+    )
+    cand = (
+        matches.groupBy("d1", "d2", "__na", "__nb")
+        .agg(
+            F.count("*").alias("__op"),
+            F.max("__pa").alias("__pamax"),
+            F.max("__pb").alias("__pbmax"),
+        )
+        .where(
+            F.col("__op")
+            + F.least(
+                F.col("__na") - F.col("__pamax"), F.col("__nb") - F.col("__pbmax")
+            )
+            >= alpha
+        )
+        .select("d1", "d2")
+        .repartition(
+            sets.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
+        )
+    )
+    a = enc.select(
+        F.col("__id").alias("d1"), F.col("__osh").alias("__sa")
+    )
+    b = enc.select(
+        F.col("__id").alias("d2"), F.col("__osh").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    jac = inter / F.size(F.array_union("__sa", "__sb"))
+    return (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
     )

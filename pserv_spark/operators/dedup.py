@@ -38,9 +38,10 @@ from .. import catalog
 from ..functions import (
     distinct_tokens,
     char_shingles,
+    encode_sets,
     fingerprint_key,
     jaccard,
-    prefix_filter_candidates,
+    jaccard_pairs,
     token_hash32,
     cosine,
 )
@@ -293,33 +294,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     must share an element within each other's first
     ``|S| - ceil(t·|S|) + 1`` shingles — so candidates come from an
     *equi-join on prefix shingles* (lossless by the prefix-filter
-    theorem), then exact verification: size-ratio bound
-    (|A|/|B| ≥ t) and full Jaccard.  An all-pairs theta join appears
-    nowhere; at 5 000 docs this is ~80 k exploded prefix rows instead
-    of 12.5 M array intersections, and the same plan shape holds at
-    100 TB (shuffle on shingle, AQE splits hot shingles).
+    theorem), then exact verification.  An all-pairs theta join appears
+    nowhere; the same plan shape holds at 100 TB (shuffle on shingle,
+    AQE splits hot shingles).  The full candidate+verify join is the
+    shared ``jaccard_pairs`` (functions/setjoin.py, round-9 int-encoded
+    form — shared with the corpus ``dedup_jaccard``).
     """
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.array_sort(char_shingles("text", 5)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    # Candidate generation lives in functions/setjoin.py (shared with
-    # the corpus dedup_jaccard): ppjoin prefixes under ascending
-    # document frequency — rare shingles land in prefixes, so the
-    # equi-join fans out on low-frequency keys instead of recreating
-    # the quadratic hot-key join this operator exists to avoid.
-    cand = prefix_filter_candidates(sh, "doc_id", "sh", NGRAM_JACCARD)
-    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
-        cand.join(sh.alias("a"), cand.d1 == F.col("a.doc_id"))
-        .join(sh.alias("b"), cand.d2 == F.col("b.doc_id"))
-        .where(
-            (F.col("a.n_sh") * 10 >= F.col("b.n_sh") * 9)
-            & (F.col("b.n_sh") * 10 >= F.col("a.n_sh") * 9)
-        )
-        .where(jac >= NGRAM_JACCARD)
-        .select("d1", "d2", F.round(jac, 6).alias("jac"))
-    )
+    sh = docs.select("doc_id", char_shingles("text", 5).alias("sh"))
+    return jaccard_pairs(sh, "doc_id", "sh", NGRAM_JACCARD)
 
 
 # The size band (J >= 0.9 implies shingle counts within 10%; J <=
@@ -693,20 +676,16 @@ def dedup_containment(
     only; the registered operator is width=5 (the declared contract).
     """
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.array_sort(char_shingles("text", width)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("w"))
-    dfreq = exploded.groupBy("w").agg(F.count("*").alias("dfq"))
-    ordered = (
-        # Explicit broadcast: the exploded side's size estimate
-        # ignores the explode fan-out (see functions/setjoin.py) —
-        # dfreq is bounded by the shingle universe and is the side a
-        # frequency join must broadcast at scale.
-        exploded.join(F.broadcast(dfreq), "w")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.array_sort(F.collect_list(F.struct("dfq", "w"))).alias("osh"))
-    )
+    sh = docs.select("doc_id", char_shingles("text", width).alias("sh"))
+    # Round-9 optimization (guide §2.3/§8): shingles are dictionary-
+    # encoded to ppjoin-ordered INTs and materialized ONCE
+    # (functions/setjoin.py encode_sets — the same bijective encoding
+    # the Jaccard family uses).  The former string form re-executed
+    # the shingle→frequency→order pipeline in every plan subtree
+    # (probe, build, and twice in the verify) and shuffled 5-char
+    # string arrays through the verify joins.
+    enc = encode_sets(sh, "doc_id", "sh")
+
     # Required ordered-intersection count ⌈t·n⌉, computed with the
     # same epsilon slack as functions/setjoin.py (ADVICE r8): when t·n
     # float-rounds a hair ABOVE an exact integer, a bare ceil would be
@@ -716,7 +695,7 @@ def dedup_containment(
     def _req(n: F.Column) -> F.Column:
         return F.ceil(F.lit(CONTAINMENT_T) * n - F.lit(1e-9))
 
-    prefix_len = (F.col("n_sh") - _req(F.col("n_sh")) + 1).cast("int")
+    prefix_len = (F.col("__n") - _req(F.col("__n")) + 1).cast("int")
     # VERDICT r8 #2: the production operator emits ALL qualifying
     # pairs — the former 1-in-3 probe sample was a harness budget
     # leaking into operator semantics (a user composing this into
@@ -727,20 +706,18 @@ def dedup_containment(
     # on the oracle side instead: _CONTAIN_ORACLE is now the
     # inverted-index formulation (sub-quadratic), validated identical
     # to the naive all-pairs SQL at sf0.001/sf0.01.
-    probe = ordered
+    probe = enc
     if sample is not None:
-        probe = probe.where(F.col("doc_id") % sample == 0)
+        probe = probe.where(F.col("__id") % sample == 0)
     probe = probe.select(
-        F.col("doc_id").alias("d_small"),
-        F.col("n_sh").alias("n_small"),
-        F.posexplode(
-            F.transform(F.slice("osh", F.lit(1), prefix_len), lambda x: x["w"])
-        ).alias("pa", "w"),
+        F.col("__id").alias("d_small"),
+        F.col("__n").alias("n_small"),
+        F.posexplode(F.slice("__osh", F.lit(1), prefix_len)).alias("pa", "w"),
     )
-    build = ordered.select(
-        F.col("doc_id").alias("d_big"),
-        F.col("n_sh").alias("n_big"),
-        F.posexplode(F.transform("osh", lambda x: x["w"])).alias("pb", "w"),
+    build = enc.select(
+        F.col("__id").alias("d_big"),
+        F.col("__n").alias("n_big"),
+        F.posexplode("__osh").alias("pb", "w"),
     )
     # The |A| < |B| side condition the verify step enforces anyway is
     # pushed into the candidate join (exact integer compare, trivially
@@ -760,12 +737,25 @@ def dedup_containment(
         .select("d_small", "d_big")
         .distinct()
     )
-    ic = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    cont = ic.cast("double") / F.col("a.n_sh")
+    a = enc.select(
+        F.col("__id").alias("d_small"),
+        F.col("__n").alias("na"),
+        F.col("__osh").alias("sa"),
+    )
+    b = enc.select(
+        F.col("__id").alias("d_big"),
+        F.col("__n").alias("nb"),
+        F.col("__osh").alias("sb"),
+    )
+    # Verify on the encoded arrays: the int→shingle map is a bijection,
+    # so |A∩B| and the containment ratio are byte-identical to the
+    # string-array form.
+    ic = F.size(F.array_intersect("sa", "sb"))
+    cont = ic.cast("double") / F.col("na")
     return (
-        cand.join(sh.alias("a"), cand.d_small == F.col("a.doc_id"))
-        .join(sh.alias("b"), cand.d_big == F.col("b.doc_id"))
-        .where(F.col("a.n_sh") < F.col("b.n_sh"))
+        cand.join(a, "d_small")
+        .join(b, "d_big")
+        .where(F.col("na") < F.col("nb"))
         .where(cont >= CONTAINMENT_T)
         .select("d_small", "d_big", F.round(cont, 6).alias("containment"))
     )
@@ -869,22 +859,31 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    # Round-9 optimization: the exact ground truth comes from the
+    # shared ppjoin jaccard_pairs instead of an all-pairs cross join —
+    # lossless by the prefix/positional-filter theorems, so the truth
+    # SET is identical, but the former BroadcastNestedLoopJoin
+    # evaluated the interpreted Jaccard fold on every one of the
+    # ~180k ordered pairs in a single task (the measured 17 s of this
+    # op).  The three separate count() actions (each re-running the
+    # signature + band pipeline) are fused into ONE full-outer join +
+    # aggregate job.
     ts = docs.select("doc_id", token_shingles("text").alias("ts"))
-    jac = jaccard(F.col("t1.ts"), F.col("t2.ts"))
-    truth = (
-        ts.alias("t1")
-        .crossJoin(ts.alias("t2"))
-        .where(F.col("t1.doc_id") < F.col("t2.doc_id"))
-        .where(jac >= MINHASH_JACCARD)
-        .select(
-            F.col("t1.doc_id").alias("d1"), F.col("t2.doc_id").alias("d2")
+    truth = jaccard_pairs(ts, "doc_id", "ts", MINHASH_JACCARD).select("d1", "d2")
+    counts = (
+        truth.withColumn("t", F.lit(1))
+        .join(cand.withColumn("c", F.lit(1)), ["d1", "d2"], "full_outer")
+        .agg(
+            F.count("t").alias("n_truth"),
+            F.count("c").alias("n_cand"),
+            F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+                "n_hits"
+            ),
         )
+        .collect()[0]
     )
-    hits = truth.join(cand, ["d1", "d2"])
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hits = hits.count()
-    row = [(int(n_truth), int(n_cand), int(n_hits),
+    n_truth, n_cand, n_hits = int(counts.n_truth), int(counts.n_cand), int(counts.n_hits)
+    row = [(n_truth, n_cand, n_hits,
             float(n_hits) / n_truth if n_truth else 1.0,
             float(n_hits) / n_cand if n_cand else 1.0)]
     return spark.createDataFrame(

@@ -173,7 +173,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = li.select(pk.alias("src"), sk.alias("dst")).distinct()
     edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint()  # reused every iteration; cut lineage
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    # The degree table is consumed once per iteration (the msgs join)
+    # plus the seed rank — checkpoint it too (node-sized) so each
+    # consumer reads the materialized relation instead of re-running
+    # the groupBy over the edge list (r9; the count() below was
+    # already paying the first materialization).
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("outdeg")
+    ).localCheckpoint()
     n_nodes = deg.count()  # driver scalar; every node appears as src
     if n_nodes == 0:
         # pruned-to-empty edge list: no nodes, no ranks (the oracle's
@@ -182,16 +189,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = 0.15 / float(n_nodes)
 
     rank = deg.select("src", F.lit(1.0 / float(n_nodes)).alias("rank"))
-    contrib_sum = F.sum(
-        F.round(F.col("rank") / F.col("outdeg"), 15).cast("decimal(20,15)")
-    )
+    # Round-9 optimization (guide §2.3: shuffle fewer bytes / §3): the
+    # per-edge message rank/outdeg is precomputed on the NODE-sized
+    # relation (rank ⋈ deg — runtime-broadcastable by AQE), so each
+    # iteration joins the edge list ONCE instead of twice.  The
+    # per-edge addend is the identical ROUND(rank/outdeg, 15) decimal,
+    # just computed node-wise before the fan-out — every rank is
+    # bit-identical.
     for _ in range(_PR_ITERS):
-        contribs = edges.join(rank, "src").join(deg, "src")
-        rank = contribs.groupBy(F.col("dst").alias("src")).agg(
-            F.round(
-                F.lit(base) + F.lit(_PR_DAMP) * contrib_sum.cast("double"),
-                10,
-            ).alias("rank")
+        msgs = (
+            rank.join(deg, "src")
+            .select(
+                "src",
+                F.round(F.col("rank") / F.col("outdeg"), 15)
+                .cast("decimal(20,15)")
+                .alias("msg"),
+            )
+        )
+        rank = (
+            edges.join(msgs, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.round(
+                    F.lit(base) + F.lit(_PR_DAMP) * F.sum("msg").cast("double"),
+                    10,
+                ).alias("rank")
+            )
         )
     return rank.select(F.col("src").alias("node"), "rank")
 
@@ -485,27 +508,37 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled k-means fixpoint.
     """
     clusters = cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
-    emb = catalog.v_emb(spark, sf_dir).select("vec_id", "emb").join(
-        clusters, "vec_id"
+    # Round-9 optimization (guide §1.2 "per-task work"): the L2 norm is
+    # hoisted out of the pair loop — computed once per VECTOR before
+    # the cluster self-join instead of once per PAIR on both sides
+    # (each pair evaluated three 64-element folds; now it is one fold
+    # per pair plus one per vector).  sqrt-before-join is the same IEEE
+    # operation on the same value, so every cos6 is bit-identical.
+    nrm = F.sqrt(
+        F.expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, b) -> a + b)")
+    )
+    emb = (
+        catalog.v_emb(spark, sf_dir)
+        .select("vec_id", "emb", nrm.alias("nrm"))
+        .join(clusters, "vec_id")
     )
     a = emb.select(
         F.col("cluster"),
         F.col("vec_id").alias("id1"),
         F.col("emb").alias("e1"),
+        F.col("nrm").alias("n1"),
     )
     b = emb.select(
         F.col("cluster"),
         F.col("vec_id").alias("id2"),
         F.col("emb").alias("e2"),
+        F.col("nrm").alias("n2"),
     )
     cos = F.round(
         F.expr(
             "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0D, (a, b) -> a + b)"
         )
-        / (
-            F.sqrt(F.expr("aggregate(zip_with(e1, e1, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
-            * F.sqrt(F.expr("aggregate(zip_with(e2, e2, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
-        ),
+        / (F.col("n1") * F.col("n2")),
         6,
     )
     pairs = (

@@ -178,20 +178,44 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (query, candidate) pairs before scoring.
     """
     emb = _emb(spark, sf_dir)
-    bucketed = emb.select(
-        "vec_id", "emb", F.explode(_table_keys()).alias("bucket")
-    )
+    # Round-9 optimization (guide §2.3/§8: shuffle keys, not payloads):
+    # the bucket equi-join and the pair-dedup distinct used to carry
+    # BOTH 64-double embeddings through every shuffle; now they carry
+    # only (bucket, id) and the embeddings are re-attached to the
+    # deduplicated id pairs afterwards — the 10-row query side as a
+    # broadcast, the candidate side as a co-keyed join.  Same pair
+    # set, same vectors, same cos_sim doubles.
+    bucketed = emb.select("vec_id", F.explode(_table_keys()).alias("bucket"))
     qs = bucketed.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("qid"), "bucket"
     )
     cand = bucketed.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cand_emb"), "bucket"
+        F.col("vec_id").alias("cid"), "bucket"
     )
-    pairs = (
+    pair_ids = (
         qs.join(cand, "bucket")
-        .select("qid", "q_emb", "cid", "cand_emb")
+        .select("qid", "cid")
         .distinct()  # a pair may collide in several tables
     )
+    q_emb = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    c_emb = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cand_emb")
+    )
+    # Size-aware broadcast of the candidate vectors (the catalog.dim
+    # pattern): the statistics-free v_emb scan makes Catalyst plan a
+    # shuffle join for the re-attach, which at local scale costs two
+    # extra exchanges + sorts on a table that fits in one broadcast;
+    # at scale the same code returns the unhinted frame and the
+    # re-attach degrades to the co-keyed shuffle join it should be.
+    import os as _os
+
+    if _os.path.getsize(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ) <= catalog.BROADCAST_DISK_BYTES:
+        c_emb = F.broadcast(c_emb)
+    pairs = pair_ids.join(F.broadcast(q_emb), "qid").join(c_emb, "cid")
     sim = _COS6(F.col("q_emb"), F.col("cand_emb"))
     return (
         pairs.withColumn("cos_sim", sim)

@@ -93,7 +93,17 @@ def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d": (disc, 4),
         "ch": (disc * (1 + F.col("l_tax")), 6),
     }
-    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(1024))
+    # Salt from the measure columns the aggregation reads anyway
+    # (r9, guide §2.3 "narrower types / project before the exchange"):
+    # the old hash(l_orderkey, l_linenumber) salt forced the scan to
+    # read two columns used for NOTHING else — ~2/9 of the scan bytes.
+    # ANY deterministic per-row value works (the salt only spreads
+    # partial-aggregation groups; the final combine re-merges by the
+    # real keys), and price/discount carry ample entropy to fill 1024
+    # buckets.
+    salt = F.pmod(
+        F.hash("l_extendedprice", "l_discount", "l_quantity"), F.lit(1024)
+    )
     partial = (
         li.where(F.expr("l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus", salt.alias("salt"))

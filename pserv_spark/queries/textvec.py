@@ -15,8 +15,7 @@ from ..catalog import load_tables
 from ..functions import (
     cosine,
     distinct_tokens,
-    jaccard,
-    prefix_filter_candidates,
+    jaccard_pairs,
     tokens,
 )
 
@@ -44,29 +43,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Candidate pairs via the shared ppjoin prefix filter (lossless —
-    # functions/setjoin.py), then exact verification: the size band
-    # (J >= 0.9 forces |A|/|B| within [0.9, 1/0.9], since J <= min/max)
-    # and the full Jaccard.  The oracle keeps the independent all-pairs
-    # derivation of the same result set; the engine plan is equi-join
-    # shaped end to end and survives a 100x scale-up where the former
-    # banded theta join (nested-loop, 288 s at sf0.1) did not.
+    # The shared ppjoin prefix+positional-filter join with exact
+    # verification (functions/setjoin.py jaccard_pairs — lossless
+    # candidates, bijective int-encoded verify; round-9 optimization:
+    # the former string-array form recomputed the tokenize→order
+    # pipeline per plan subtree and shuffled string arrays through the
+    # verify).  The oracle keeps the independent all-pairs derivation
+    # of the same result set; the engine plan is equi-join shaped end
+    # to end and survives a 100x scale-up where the former banded
+    # theta join (nested-loop, 288 s at sf0.1) did not.
     docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", distinct_tokens("text").alias("ts")
-    ).withColumn("n", F.size("ts"))
-    cand = prefix_filter_candidates(tok, "doc_id", "ts", 0.9)
-    jac = jaccard(F.col("a.ts"), F.col("b.ts"))
-    return (
-        cand.join(tok.alias("a"), cand.d1 == F.col("a.doc_id"))
-        .join(tok.alias("b"), cand.d2 == F.col("b.doc_id"))
-        .where(
-            (F.col("a.n") * 10 >= F.col("b.n") * 9)
-            & (F.col("b.n") * 10 >= F.col("a.n") * 9)
-        )
-        .where(jac >= 0.9)
-        .select("d1", "d2", F.round(jac, 6).alias("jac"))
-    )
+    tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
+    return jaccard_pairs(tok, "doc_id", "ts", 0.9)
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,11 +163,23 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the join is the same operation on the same value).
     normed = emb.withColumn("nrm", l2_norm(F.col("emb")))
     q = normed.where(F.col("vec_id") < 10).alias("q")
-    c = normed.where(F.col("vec_id") >= 10).alias("c")
+    # Round-9 optimization: BROADCAST the 10 query vectors and STREAM
+    # the candidate corpus (the r8 plan built the 5000-vector candidate
+    # side and streamed the 10 queries — one task evaluated every
+    # pair).  The candidate scan is a single parquet file locally, so
+    # an explicit round-robin repartition spreads the interpreted
+    # dot-product folds across the cluster; same pair set, same
+    # doubles, and at 100 TB streaming the corpus past a 10-row build
+    # side is the only shape that scales.
+    c = (
+        normed.where(F.col("vec_id") >= 10)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .alias("c")
+    )
     cos = F.round(
         dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm")), 6
     )
-    sims = q.crossJoin(c).select(
+    sims = c.crossJoin(F.broadcast(q)).select(
         F.col("q.vec_id").alias("qid"),
         F.col("c.vec_id").alias("cid"),
         cos.alias("cos_sim"),

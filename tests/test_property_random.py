@@ -224,3 +224,35 @@ def test_interval_overlap_bucketing_lossless_for_any_width(
         if as_ <= be and bs <= ae
     )
     assert got == want
+
+
+@given(t=st.floats(min_value=0.55, max_value=0.95))
+@settings(**_SETTINGS)
+def test_jaccard_pairs_exact_for_random_threshold(spark, sf_oracle, t):
+    """Round-9: the int-encoded ``jaccard_pairs`` (dictionary-encoded
+    ppjoin candidates + encoded-array verify, functions/setjoin.py)
+    returns EXACTLY the Python all-pairs result set for any threshold,
+    with each similarity within half-ulp-of-6dp of the true ratio —
+    the bijective-encoding equivalence claim, machine-checked."""
+    from pserv_spark import catalog
+    from pserv_spark.functions import distinct_tokens, jaccard_pairs
+
+    docs = catalog.table(spark, sf_oracle, "documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
+    got = {
+        (r.d1, r.d2): r.jac
+        for r in jaccard_pairs(tok, "doc_id", "ts", t).collect()
+    }
+
+    ds = {r.doc_id: set(r.text.split(" ")) for r in docs.collect()}
+    want = {
+        (a, b): len(sa & sb) / len(sa | sb)
+        for a, sa in ds.items()
+        for b, sb in ds.items()
+        if a < b and len(sa & sb) / len(sa | sb) >= t
+    }
+    assert set(got) == set(want), f"t={t}"
+    for pair, true_jac in want.items():
+        assert abs(got[pair] - true_jac) <= 5.0000001e-7, (pair, t)
