@@ -158,7 +158,15 @@ def _ivf_oracle() -> str:
 
 
 def _table_keys() -> F.Column:
-    """Array of per-table bucket keys ``"t:bits"`` for one vector."""
+    """Array of per-table bucket keys ``"t:bits"`` for one vector.
+
+    The plane dots stay on the interpreted FOLD form deliberately
+    (functions/vector.py's per-call-site rule): an r9 experiment
+    unrolled all 32 plane dots into ±element_at sums and the operator
+    went 3.1 s → 21 s — the 32 × 64-term expression trees blow up
+    Catalyst analysis far beyond what the faster per-row execution
+    buys on an O(N)-row site (the unrolled form is for O(N²)-pair
+    sites, where one plan amortizes over billions of evaluations)."""
     keys = []
     for t in range(LSH_TABLES):
         bits = F.lit(0)

@@ -55,6 +55,11 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "operators/rollup.py:serve_lambda_union": (1, "1-row hi-day boundary"),
     "streaming/jobs.py:stream_late_drop_audit": (1, "1-row (lo, hi) day bounds"),
     "operators/iterative.py:cluster_kmeans_lloyd": (2, "k=8 init rows + k centroid rows per Lloyd step"),
+    "operators/dedup.py:dedup_lsh_eval": (
+        1,
+        "1-row aggregate (n_truth/n_cand/n_hits counts) — r9 fused the "
+        "former three count() actions into one job",
+    ),
     "operators/iterative.py:sample_coreset_kcenter": (2, "1 seed row + k-center picks"),
     # --- metadata-sized driver state (partition lists, manifests, dicts) ---
     "streaming/jobs.py:apply_batch": (1, "distinct touched-bucket ids (<= _BUCKETS)"),

@@ -44,3 +44,22 @@ def test_superlinear_declarations_are_probed_and_reviewable():
         "dedup_embedding_cosine",
         "dedup_jaccard",
     }
+
+
+def test_committed_artifact_is_complete_and_clean():
+    """VERDICT r8 #1: a partial or truncated sweep must never ship as
+    the committed gate artifact — rounds 7 and 8 each ended with a
+    stale/clobbered gate file at HEAD.  The committed SCALECURVE.json
+    must cover exactly the probe's DRIVING_TABLE op set and record
+    zero violations; a subset re-run writes SCALECURVE.partial.json
+    and can never satisfy this pin."""
+    import json
+
+    artifact = json.loads(
+        (Path(__file__).resolve().parent.parent / "SCALECURVE.json").read_text()
+    )
+    assert set(artifact["ops"]) == set(_MOD.DRIVING_TABLE), (
+        sorted(set(_MOD.DRIVING_TABLE) - set(artifact["ops"]))[:5],
+        sorted(set(artifact["ops"]) - set(_MOD.DRIVING_TABLE))[:5],
+    )
+    assert artifact["violations"] == 0
