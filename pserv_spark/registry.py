@@ -59,56 +59,6 @@ def _sql_runner(name: str) -> QueryFn:
 #: pinned against the committed CORRECTNESS files in
 #: tests/test_output_policy.py.
 DRIVER_VERIFIED: tuple[str, ...] = (
-    "win_range_frame",
-    "win_ntile_pctrank",
-    "win_first_last",
-    "topk_global",
-    "sort_multi_key_limit",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "distinct_rows",
-    "fn_string",
-    "fn_regex",
-    "fn_math",
-    "fn_date",
-    "fn_cast_try",
-    "fn_json",
-    "fn_array",
-    "fn_explode_wordcount",
-    "fn_hash_md5",
-    "dedup_exact",
-    "dedup_jaccard",
-    "minhash_signature",
-    "tfidf",
-    "text_stats_by_lang",
-    "vec_cone_search",
-    "vec_crossmatch",
-    "vec_cosine_pairs",
-    "vec_knn",
-    "vec_centroid_per_label",
-    "lightcurve_stats",
-    "phase_fold_binning",
-    "sessionize",
-    "window_tumbling",
-    "window_hopping",
-    "udf_zscore_analog",
-    "funnel_conversion",
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
-    "stream_tumbling_watermark",
-    "merge_cdc_upsert",
-    "astro_conesearch_sph",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "mm_decode_meta",
-    "mm_feature_embed",
-    "mm_phash_near_dup",
-    "ingest_csv_roundtrip",
     "source_fitslike_scan",
     "source_jdbc_registry",
     "stream_cdc_apply",
@@ -371,6 +321,56 @@ DRIVER_VERIFIED: tuple[str, ...] = (
     "ml_ols_normal_eq",
     "ml_nb_train_classify",
     "causal_diff_in_diff",
+    "win_range_frame",
+    "win_ntile_pctrank",
+    "win_first_last",
+    "topk_global",
+    "sort_multi_key_limit",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "distinct_rows",
+    "fn_string",
+    "fn_regex",
+    "fn_math",
+    "fn_date",
+    "fn_cast_try",
+    "fn_json",
+    "fn_array",
+    "fn_explode_wordcount",
+    "fn_hash_md5",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_signature",
+    "tfidf",
+    "text_stats_by_lang",
+    "vec_cone_search",
+    "vec_crossmatch",
+    "vec_cosine_pairs",
+    "vec_knn",
+    "vec_centroid_per_label",
+    "lightcurve_stats",
+    "phase_fold_binning",
+    "sessionize",
+    "window_tumbling",
+    "window_hopping",
+    "udf_zscore_analog",
+    "funnel_conversion",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "stream_tumbling_watermark",
+    "merge_cdc_upsert",
+    "astro_conesearch_sph",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "mm_decode_meta",
+    "mm_feature_embed",
+    "mm_phash_near_dup",
+    "ingest_csv_roundtrip",
 )
 
 
