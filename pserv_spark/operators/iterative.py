@@ -57,19 +57,48 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
 
 
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (VERDICT r9 #7, guide §5 "the driver should do almost
+    no data work"): the Lloyd loop is composed LAZILY — the centroid
+    relation of each iteration is the k-row aggregate of the previous
+    assignment, broadcast in-plan — instead of collect()ing k·d
+    centroids to the driver and re-literalizing them per iteration.
+    One action now runs the whole fixpoint as a single job graph
+    (the old form paid 1 + _ITERS driver round-trips per invocation,
+    and every consumer — dedup_semantic_clustered, ml_silhouette_eval
+    — paid them again at operator-construction time).
+
+    Results are identical: the per-iteration centroid is the same
+    ROUND(AVG(·), 6) aggregate (the 6-dp quantization that absorbs
+    partial-aggregation float noise absorbs it equally in-plan), and
+    the collected path re-entered those exact doubles as literals —
+    computing downstream of them in-plan consumes the same values.
+    Init keeps the deterministic lowest-vec_id seeding (row_number
+    over the 4-row TakeOrdered result — limit-bounded, not a global
+    window hazard)."""
     emb = catalog.v_emb(spark, sf_dir).select("vec_id", "emb")
-    init = emb.orderBy("vec_id").limit(_K).collect()
-    cents = [(i + 1, list(r.emb)) for i, r in enumerate(init)]
-    schema = "cid int, cvec array<double>"
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).cast("int").alias("cid"),
+            F.col("emb").alias("cvec"),
+        )
+    )
     avgs = [
         F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"c{i}")
         for i in range(_DIM)
     ]
     for _ in range(_ITERS):
-        assigned = _assign(emb, spark.createDataFrame(cents, schema))
-        rows = assigned.groupBy("cid").agg(*avgs).collect()
-        cents = sorted((r["cid"], [r[f"c{i}"] for i in range(_DIM)]) for r in rows)
-    final = _assign(emb, spark.createDataFrame(cents, schema))
+        assigned = _assign(emb, cents)
+        cents = (
+            assigned.groupBy("cid")
+            .agg(*avgs)
+            .select(
+                "cid",
+                F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("cvec"),
+            )
+        )
+    final = _assign(emb, cents)
     return final.select(
         "vec_id",
         F.col("cid").alias("cluster"),
@@ -168,9 +197,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    pk = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-    sk = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    half = li.select(pk.alias("src"), sk.alias("dst")).distinct()
+    # Round-10 (guide §2.3 "narrower types"): nodes travel as LONGs —
+    # part p ↦ 2p (even), supplier s ↦ 2s+1 (odd) — through the
+    # distinct, the checkpointed edge list, and every per-iteration
+    # join/aggregation; the 'p<k>'/'s<k>' STRING label is formatted
+    # once on the final node-sized output.  The encoding is a
+    # bijection onto the same node set, so degrees, n_nodes, every
+    # ROUND(rank/outdeg, 15) decimal addend and hence every rank are
+    # bit-identical — only the shuffle key width changes (8-byte long
+    # vs variable-width string), on the relation that grows with data.
+    pk = (F.col("l_partkey") * 2).alias("src")
+    sk = (F.col("l_suppkey") * 2 + 1).alias("dst")
+    half = li.select(pk, sk).distinct()
     edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint()  # reused every iteration; cut lineage
     # The degree table is consumed once per iteration (the msgs join)
@@ -192,18 +230,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-9 optimization (guide §2.3: shuffle fewer bytes / §3): the
     # per-edge message rank/outdeg is precomputed on the NODE-sized
     # relation (rank ⋈ deg — runtime-broadcastable by AQE), so each
-    # iteration joins the edge list ONCE instead of twice.  The
-    # per-edge addend is the identical ROUND(rank/outdeg, 15) decimal,
-    # just computed node-wise before the fan-out — every rank is
-    # bit-identical.
+    # iteration joins the edge list ONCE instead of twice.
+    #
+    # Round-10 (measured: the DECIMAL(20,15) sum was ~40% of the
+    # operator — 9.7 s vs 5.8 s same-session A/B at sf0.1): the
+    # per-edge message travels as a LONG count of 1e-15 units and the
+    # edge-sized aggregation is a plain long sum.  Exactness chain:
+    # (a) msgq recovers the integer k with ROUND(msg·1e15) — the
+    #     double msg is within 0.5 ulp of k·1e-15, so msg·1e15 is
+    #     within k·2.2e-16 ≤ 0.22 of k (k ≤ 1e15), and HALF_UP lands
+    #     on k exactly — the same integer the decimal cast carried;
+    # (b) the LONG sum cannot overflow at ANY corpus scale: each dst
+    #     receives at most one message per distinct src, so
+    #     Σ msgq ≤ Σ_src rank(src)·1e15 ≈ 1e15 ≪ 2^63 (the bound is
+    #     the total rank mass, not the in-degree);
+    # (c) SUM(msgq)/1e15 in doubles equals CAST(decimal-sum AS DOUBLE)
+    #     bit-for-bit: both are the correctly-rounded nearest double
+    #     of the exact rational K·10⁻¹⁵ (K ≤ 1e15 is double-exact and
+    #     1e15 is a power-of-10 integer below 2^53, so the one IEEE
+    #     division is exact-operand, correctly rounded).
+    # Every rank is therefore bit-identical to the decimal form; the
+    # DuckDB oracle keeps the decimal formulation as an independent
+    # derivation.
     for _ in range(_PR_ITERS):
         msgs = (
             rank.join(deg, "src")
             .select(
                 "src",
-                F.round(F.col("rank") / F.col("outdeg"), 15)
-                .cast("decimal(20,15)")
-                .alias("msg"),
+                F.round(
+                    F.round(F.col("rank") / F.col("outdeg"), 15) * F.lit(1e15)
+                )
+                .cast("long")
+                .alias("msgq"),
             )
         )
         rank = (
@@ -211,12 +269,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("src"))
             .agg(
                 F.round(
-                    F.lit(base) + F.lit(_PR_DAMP) * F.sum("msg").cast("double"),
+                    F.lit(base)
+                    + F.lit(_PR_DAMP)
+                    * (F.sum("msgq").cast("double") / F.lit(1e15)),
                     10,
                 ).alias("rank")
             )
         )
-    return rank.select(F.col("src").alias("node"), "rank")
+    node = F.when(
+        F.col("src") % 2 == 0,
+        F.concat(F.lit("p"), F.expr("CAST(src DIV 2 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("CAST((src - 1) DIV 2 AS STRING)"))
+    )
+    return rank.select(node.alias("node"), "rank")
 
 
 def _pagerank_oracle() -> str:
@@ -507,7 +573,18 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence); the oracle replays the full pipeline including the
     unrolled k-means fixpoint.
     """
-    clusters = cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    # The assignment feeds BOTH sides of the pair self-join below;
+    # since round 10 the Lloyd loop is a lazy plan (no driver
+    # round-trips), so without materialization the whole k-means chain
+    # would execute twice inside this operator's single action
+    # (measured: 14.8 s vs 4.4 s at sf0.1).  localCheckpoint = the
+    # eager-build contract (encode_sets/edges precedent) — node-sized
+    # (vec_id, cluster) rows, recomputed from parquet per invocation.
+    clusters = (
+        cluster_kmeans_lloyd(spark, sf_dir)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
     # Round-9 optimization (guide §1.2 "per-task work"): the L2 norm is
     # hoisted out of the pair loop — computed once per VECTOR before
     # the cluster self-join instead of once per PAIR on both sides
@@ -534,6 +611,16 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("e2"),
         F.col("nrm").alias("n2"),
     )
+    # Round-10 measured NEGATIVE result (kept deliberately, the r9
+    # ann_lsh discipline): switching this dot to the unrolled 64-term
+    # element_at chain — the functions/vector.py rule for pair sites —
+    # took the operator 3.3 s → 10.9 s at sf0.1 (same-session A/B,
+    # fold vs unrolled, both with the checkpointed assignment).  The
+    # rule's winning precedent was a BroadcastNestedLoopJoin CONDITION
+    # (interpreted per pair, no codegen); here the cosine is a
+    # post-equi-join projection/filter where the 64-term tree bloats
+    # the generated stage instead of replacing interpretation.  The
+    # fold stays.
     cos = F.round(
         F.expr(
             "aggregate(zip_with(e1, e2, (x, y) -> x * y), 0D, (a, b) -> a + b)"
@@ -621,7 +708,14 @@ def ml_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (§4.5).  Quadratic on a bounded sample BY DESIGN — offline
     eval, while the assignments come from the deployed operator.
     """
-    asg = cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    # Same consumer-side materialization as dedup_semantic_clustered:
+    # pts (= emb ⋈ asg) feeds both sides of the pairwise cross join, so
+    # the lazy k-means chain would otherwise run twice in one action.
+    asg = (
+        cluster_kmeans_lloyd(spark, sf_dir)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
     emb = catalog.v_emb(spark, sf_dir).where(F.col("vec_id") < _SIL_N)
     pts = emb.join(asg, "vec_id").select("vec_id", "emb", "cluster")
     i = pts.select(

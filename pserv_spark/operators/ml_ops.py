@@ -98,9 +98,82 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_SMOOTH = 1  # add-1 (Laplace) smoothing
 
 
-def _nb_sql(toks_clause: str) -> str:
+#: The original (engine-agnostic) NB scoring pass: CROSS JOIN the
+#: sampled token-occurrence stream with the class table.  The DuckDB
+#: oracle keeps this formulation — since round 10 it is an INDEPENDENT
+#: derivation of the engine's pivoted scoring pass below.
+_NB_SCORED_CROSSJOIN = (
+    " scored AS ("
+    "  SELECT t.doc_id, c.lang,"
+    "    CAST(SUM(CAST(FLOOR(ln("
+    f"      (COALESCE(cw.c, 0) + {_NB_SMOOTH}.0) / (ctot.tw + {_NB_SMOOTH} * vocab.v)"
+    "     ) * 1000000000.0) AS BIGINT)) AS BIGINT)"
+    "    + CAST(FLOOR(ln(CAST(c.n_docs AS DOUBLE) / tot_docs.nd)"
+    "        * 1000000000.0) AS BIGINT) AS score_q"
+    "  FROM toks t CROSS JOIN cls c"
+    "  LEFT JOIN cw ON cw.lang = c.lang AND cw.token = t.token"
+    "  JOIN ctot ON ctot.lang = c.lang"
+    "  CROSS JOIN vocab CROSS JOIN tot_docs"
+    "  WHERE t.doc_id % 7 = 0"
+    "  GROUP BY t.doc_id, c.lang, c.n_docs, ctot.tw, vocab.v, tot_docs.nd"
+    ")"
+)
+
+#: Round-10 pivoted scoring pass — ENGINE side only (VERDICT r9 #6,
+#: guide §2.3 "aggregate before you shuffle / shuffle fewer bytes"):
+#: the cross-join form fans the sampled occurrence stream out
+#: |classes|× and shuffles that against the (lang, token) count table.
+#: Here the |classes|× completion (including the Laplace default for
+#: unseen (lang, token) pairs) happens on the VOCABULARY — bounded,
+#: Heaps-law-slow-growing — producing one per-token array of |classes|
+#: quantized weights; the sampled stream joins that map ONCE and
+#: explodes in-task straight into the partial aggregation, so the
+#: shuffle carries (doc, lang) partials instead of |classes|× the
+#: occurrence stream.  Results are identical: each (doc, lang) score
+#: is the SUM of the exact same FLOOR-quantized BIGINT addends
+#: (integer addition is order-free) plus the same class prior — and
+#: the oracle now checks this through the structurally different
+#: cross-join derivation.  (LATERAL VIEW is Spark syntax, another
+#: reason this block is engine-side only.)
+_NB_SCORED_PIVOT = (
+    " tokw AS ("
+    "  SELECT vt.token, c.lang, c.n_docs,"
+    "    CAST(FLOOR(ln("
+    f"      (COALESCE(cw.c, 0) + {_NB_SMOOTH}.0) / (ctot.tw + {_NB_SMOOTH} * vocab.v)"
+    "     ) * 1000000000.0) AS BIGINT) AS wq"
+    "  FROM (SELECT DISTINCT token FROM toks) vt"
+    "  CROSS JOIN cls c"
+    "  LEFT JOIN cw ON cw.lang = c.lang AND cw.token = vt.token"
+    "  JOIN ctot ON ctot.lang = c.lang"
+    "  CROSS JOIN vocab"
+    "), tokmap AS ("
+    "  SELECT token, collect_list(named_struct('lang', lang, 'wq', wq)) AS ws"
+    "  FROM tokw GROUP BY token"
+    "), prior AS ("
+    "  SELECT c.lang,"
+    "    CAST(FLOOR(ln(CAST(c.n_docs AS DOUBLE) / tot_docs.nd)"
+    "        * 1000000000.0) AS BIGINT) AS pq"
+    "  FROM cls c CROSS JOIN tot_docs"
+    "), scored AS ("
+    "  SELECT s.doc_id, s.lang, s.sq + p.pq AS score_q"
+    "  FROM ("
+    "    SELECT t.doc_id, w.lang AS lang, CAST(SUM(w.wq) AS BIGINT) AS sq"
+    "    FROM toks t JOIN tokmap m ON m.token = t.token"
+    "    LATERAL VIEW explode(m.ws) ex AS w"
+    "    WHERE t.doc_id % 7 = 0"
+    "    GROUP BY t.doc_id, w.lang"
+    "  ) s JOIN prior p ON s.lang = p.lang"
+    ")"
+)
+
+
+def _nb_sql(toks_clause: str, scored_clause: str = _NB_SCORED_CROSSJOIN) -> str:
     """Train-and-classify multinomial NB; scored docs are the
-    doc_id % 7 = 0 sample (train = full corpus)."""
+    doc_id % 7 = 0 sample (train = full corpus).  ``scored_clause``
+    selects the scoring-pass formulation: the engine runs the pivoted
+    single-token-pass form, the oracle the original cross-join form —
+    both produce identical (doc, lang, score_q) rows (see
+    _NB_SCORED_PIVOT's exactness note)."""
     return (
         f"WITH toks AS ({toks_clause}),"
         " lab AS (SELECT doc_id, lang FROM documents),"
@@ -115,20 +188,7 @@ def _nb_sql(toks_clause: str) -> str:
         "  SELECT lang, CAST(SUM(c) AS BIGINT) AS tw FROM cw GROUP BY lang"
         "), vocab AS ("
         "  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM toks"
-        "), scored AS ("
-        "  SELECT t.doc_id, c.lang,"
-        "    CAST(SUM(CAST(FLOOR(ln("
-        f"      (COALESCE(cw.c, 0) + {_NB_SMOOTH}.0) / (ctot.tw + {_NB_SMOOTH} * vocab.v)"
-        "     ) * 1000000000.0) AS BIGINT)) AS BIGINT)"
-        "    + CAST(FLOOR(ln(CAST(c.n_docs AS DOUBLE) / tot_docs.nd)"
-        "        * 1000000000.0) AS BIGINT) AS score_q"
-        "  FROM toks t CROSS JOIN cls c"
-        "  LEFT JOIN cw ON cw.lang = c.lang AND cw.token = t.token"
-        "  JOIN ctot ON ctot.lang = c.lang"
-        "  CROSS JOIN vocab CROSS JOIN tot_docs"
-        "  WHERE t.doc_id % 7 = 0"
-        "  GROUP BY t.doc_id, c.lang, c.n_docs, ctot.tw, vocab.v, tot_docs.nd"
-        "), best AS ("
+        f"),{scored_clause}, best AS ("
         "  SELECT doc_id, lang AS pred_lang, score_q,"
         "    ROW_NUMBER() OVER (PARTITION BY doc_id"
         "      ORDER BY score_q DESC, lang) AS rk"
@@ -152,7 +212,7 @@ def ml_nb_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NB language classification (train on corpus,
     score the doc_id % 7 sample)."""
     load_tables(spark, sf_dir)
-    return spark.sql(_nb_sql(_SPARK_NB_TOKS))
+    return spark.sql(_nb_sql(_SPARK_NB_TOKS, _NB_SCORED_PIVOT))
 
 
 

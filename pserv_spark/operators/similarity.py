@@ -178,10 +178,68 @@ def _table_keys() -> F.Column:
     return F.array(*keys)
 
 
+def _bucketed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, bucket)`` rows — one per (vector, hash table) — via an
+    Arrow-batched numpy kernel (round 10, guide §4.2: hand whole
+    batches to vectorized native code instead of evaluating 32
+    interpreted ``aggregate(zip_with(...))`` folds per row; the r9
+    attempt to make the folds cheap by UNROLLING them in Catalyst blew
+    analysis up 3.1 s → 21 s, so the fix is to leave Catalyst's tree
+    small and move the arithmetic to numpy).
+
+    IEEE-exactness (the ``dedup_embedding_cosine`` precedent, §4.5
+    rule 5): the accumulation is dimension-major —
+    ``acc += outer(emb[:, d], P[d, :])`` over d — so every (vector,
+    plane) dot is the identical strict left-to-right double sequence
+    the JVM fold produces (numpy's elementwise multiply-then-add does
+    not fuse into FMA), and the bucket BIT only needs ``dot > 0``
+    (NaN > 0 is false in both runtimes).  Bucket strings are the same
+    ``"t:bits"`` values, so candidate sets — and therefore results —
+    are byte-identical; the DuckDB oracle is unchanged.
+
+    The relation is localCheckpoint'ed (eager-build contract, the
+    encode_sets discipline): the query and candidate sides are two
+    consumers, and without materialization each would re-run the full
+    corpus hash pass (the Python node blocks the vec_id pushdown that
+    used to narrow the query-side subtree).  Recomputed from parquet
+    on every operator invocation — never cached across runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "emb")
+    planes = np.array(HYPERPLANES, dtype=np.float64).T  # (EMB_DIM, tables*bits)
+    n_planes = LSH_TABLES * LSH_BITS
+    bit_w = np.array([1 << b for b in range(LSH_BITS)], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            a = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(ids), n_planes))
+            for d in range(EMB_DIM):
+                acc = acc + np.multiply.outer(a[:, d], planes[d])
+            bits = (acc > 0).astype(np.int64)
+            buckets = []
+            for t in range(LSH_TABLES):
+                vals = bits[:, t * LSH_BITS : (t + 1) * LSH_BITS] @ bit_w
+                buckets.append([f"{t}:{v}" for v in vals])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(ids, LSH_TABLES),
+                    "bucket": [b for col in buckets for b in col],
+                }
+            )
+
+    return emb.mapInPandas(kernel, "vec_id long, bucket string").localCheckpoint()
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH top-5 cosine search (same query/candidate split).
 
-    Each vector explodes into one (table, bucket) key per hash table;
+    Each vector maps to one (table, bucket) key per hash table;
     candidate generation is an equi-join on the key, deduplicated to
     distinct (query, candidate) pairs before scoring.
     """
@@ -193,7 +251,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduplicated id pairs afterwards — the 10-row query side as a
     # broadcast, the candidate side as a co-keyed join.  Same pair
     # set, same vectors, same cos_sim doubles.
-    bucketed = emb.select("vec_id", F.explode(_table_keys()).alias("bucket"))
+    # Round-10: the bucket keys come from the Arrow-batched kernel
+    # (_bucketed_ids) instead of 32 interpreted fold-dots per vector.
+    bucketed = _bucketed_ids(spark, sf_dir)
     qs = bucketed.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "bucket"
     )
@@ -211,18 +271,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_emb = emb.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cand_emb")
     )
-    # Size-aware broadcast of the candidate vectors (the catalog.dim
-    # pattern): the statistics-free v_emb scan makes Catalyst plan a
-    # shuffle join for the re-attach, which at local scale costs two
-    # extra exchanges + sorts on a table that fits in one broadcast;
-    # at scale the same code returns the unhinted frame and the
-    # re-attach degrades to the co-keyed shuffle join it should be.
-    import os as _os
-
-    if _os.path.getsize(
-        _os.path.join(sf_dir, "embeddings.parquet")
-    ) <= catalog.BROADCAST_DISK_BYTES:
-        c_emb = F.broadcast(c_emb)
+    # Size-aware broadcast of the candidate vectors (the shared
+    # catalog.size_aware_broadcast helper, round 10 — directory-aware,
+    # so a part-file table at scale is sized by its data files, not
+    # the 4 KB dirent): the statistics-free v_emb scan makes Catalyst
+    # plan a shuffle join for the re-attach, which at local scale costs
+    # two extra exchanges + sorts on a table that fits in one
+    # broadcast; at scale the same code returns the unhinted frame and
+    # the re-attach degrades to the co-keyed shuffle join it should
+    # be.  The probe sizes the full table while c_emb is a 2-column
+    # projection — conservative slack, documented in the helper.
+    c_emb = catalog.size_aware_broadcast(c_emb, sf_dir, "embeddings")
     pairs = pair_ids.join(F.broadcast(q_emb), "qid").join(c_emb, "cid")
     sim = _COS6(F.col("q_emb"), F.col("cand_emb"))
     return (

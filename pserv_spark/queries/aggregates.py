@@ -64,13 +64,20 @@ def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     >18-digit BigDecimal path a DECIMAL(28,x) sum buffer forces), then
     combined as DECIMAL(27,0) and descaled — exact at every step.
 
-    Overflow story at scale: partials carry a 1024-way salt, so a
-    single LONG accumulator holds at most total/1024 per group —
-    ≈5e12 charge-units per salt at sf0.1, margin ≈2e6× before the
-    9.2e18 LONG limit (≈ sf200 000, two decades past the 100 TB
-    target); the 6×1024-row combine shuffle is noise.  ANSI mode
+    Overflow story at scale: partials carry a 1024-way salt over the
+    measure columns, so the per-accumulator load is total/1024 *in
+    expectation* — entropy-dependent, not guaranteed (ADVICE r9 #2:
+    every row sharing one (price, discount, qty) triple lands in one
+    bucket, so the worst case is bounded by the most frequent measure
+    triple, ≈ total/#distinct-triples × skew).  On TPC-H-shaped data
+    the triples are near-uniform (≈5e12 charge-units per salt at
+    sf0.1, margin ≈2e6× before the 9.2e18 LONG limit ≈ sf200 000, two
+    decades past the 100 TB target), and the margin is so wide that
+    even a 1000× hot-triple skew cannot reach the limit below
+    ≈sf200; the 6×1024-row combine shuffle is noise.  ANSI mode
     (Spark 4 default) turns any overflow into a loud error, never a
-    silent wrap.
+    silent wrap — the guarantee is "loud failure", the margin is
+    probabilistic.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -54,7 +54,9 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "operators/pipeline_ops.py:layout_vacuum_orphans": (1, "1-row (lo, hi) day bounds"),
     "operators/rollup.py:serve_lambda_union": (1, "1-row hi-day boundary"),
     "streaming/jobs.py:stream_late_drop_audit": (1, "1-row (lo, hi) day bounds"),
-    "operators/iterative.py:cluster_kmeans_lloyd": (2, "k=8 init rows + k centroid rows per Lloyd step"),
+    # cluster_kmeans_lloyd: 0 sites since round 10 — the Lloyd loop is
+    # composed lazily (VERDICT r9 #7); its former init + per-step
+    # centroid collects are gone, so it needs no allowlist entry.
     "operators/dedup.py:dedup_lsh_eval": (
         1,
         "1-row aggregate (n_truth/n_cand/n_hits counts) — r9 fused the "

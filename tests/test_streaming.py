@@ -68,17 +68,30 @@ def test_session_window_shape(spark, sf_smoke):
 
 def test_fitslike_stream_multiple_batches(spark, sf_oracle):
     """The simple stream reader must advance through >1 micro-batch
-    (rowsPerBatch=1500 < fixture rows) and its final aggregation must
-    equal the batch DataSourceReader's."""
-    from pserv_spark.operators.ingest_ops import source_fitslike_scan, stream_fitslike_tail
+    and its final aggregation must equal the batch DataSourceReader's.
+
+    rowsPerBatch is adaptive since r9 — ``max(1500, ceil(nrows/8))`` —
+    so the >1-batch guarantee is ``total > rows_per_batch`` with the
+    batch size recomputed from the fixture header, not the 1500 floor
+    (ADVICE r9 #4: the floor alone implies >1 batch only through the
+    formula)."""
+    from pserv_spark.operators.ingest_ops import (
+        _fitslike_fixture,
+        source_fitslike_scan,
+        stream_fitslike_tail,
+    )
+    from pserv_spark.sources.fitslike import read_header_ex
     from pserv_spark.testing import compare_frames
 
     streamed = stream_fitslike_tail(spark, sf_oracle)
     batch = source_fitslike_scan(spark, sf_oracle)
     res = compare_frames("fitslike_stream_vs_batch", streamed, batch)
     assert res.ok, res.detail
+    path = _fitslike_fixture(spark, sf_oracle)
+    nrows = read_header_ex(path).nrows
+    rows_per_batch = max(1500, -(-nrows // 8))  # the operator's formula
     total = sum(r.n for r in streamed.collect())
-    assert total > 1500  # guarantees >1 batch actually streamed
+    assert total > rows_per_batch  # guarantees >1 batch actually streamed
 
 
 def test_late_drop_actually_drops(spark, sf_oracle):
