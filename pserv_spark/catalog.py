@@ -273,6 +273,34 @@ def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return size_aware_broadcast(frame, sf_dir, name)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to ``defaultParallelism`` IFF its
+    scan has fewer splits than the cluster has cores (round 10, guide
+    §2/§6 — derive parallelism from the input, never a constant).
+
+    Found by the sf1 8-vs-32-core scaling measurement (SCALING.json):
+    a single-row-group parquet file is ONE split no matter what, so
+    every expression the optimizer collapses into the scan stage — the
+    dedup family's char-shingling, token n-grams, signature partials —
+    ran in ONE task regardless of cores (measured: 19.3 s serial vs
+    1.3 s spread for sf1 shingling; core-count-insensitive, the serial
+    term behind the flat 8c/32c ratios).  The repartition must be
+    applied to the RAW rows BEFORE composing the expensive projection:
+    Spark evaluates a projection below a later repartition inside the
+    scan stage (measured: repartitioning after the projection keeps
+    the 19→21 s serial shape).
+
+    At scale the guard makes this a no-op: a table with at least as
+    many splits as cores is returned untouched, so no corpus-sized
+    shuffle is ever added.  Row-preserving (results unchanged);
+    keyless repartition is retry-safe (sortBeforeRepartition default).
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < nparts:
+        return df.repartition(nparts)
+    return df
+
+
 def v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with canonical µs timestamp + ts_us long (SURVEY §1.2)."""
     from pyspark.sql import functions as F

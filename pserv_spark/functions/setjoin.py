@@ -271,27 +271,48 @@ def encode_sets(
     # — the encoding, and hence every downstream value, is
     # layout-independent (DETERMINISM gate).
     nparts = max(int(sets.sparkSession.sparkContext.defaultParallelism), 1)
-    bucketed = dfreq.repartitionByRange(nparts, "__dfq", "__w").withColumn(
-        "__b", F.spark_partition_id()
+    # NOTE the rank path must stay STATS-TRANSPARENT (plain operators
+    # over the dfreq aggregate, no checkpoint and no self-join): two
+    # earlier cuts broke the size estimate of the encoded relation —
+    # a triangular offsets self-join multiplied the statistics-free
+    # join estimates (~universe³), and checkpointing the ranked
+    # relation dropped its row-count stats (a LogicalRDD carries only
+    # sizeInBytes) — and both silently flipped the downstream verify
+    # joins from broadcast to sort-merge (measured: r9 static plan has
+    # 4 BroadcastHashJoins, the broken cut 0; +8% on dedup_containment
+    # at sf0.1 for no scale benefit).  The price of stats transparency
+    # is that the bucket-count job below recomputes the universe-sized
+    # window once (~0.3 s at sf0.1) — corpus-sized work is NOT
+    # recomputed (exploded reads the checkpointed base).
+    ranked = (
+        dfreq.repartitionByRange(nparts, "__dfq", "__w")
+        .withColumn("__b", F.spark_partition_id())
+        .withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("__b").orderBy("__dfq", "__w")),
+        )
     )
-    ranked = bucketed.withColumn(
-        "__r",
-        F.row_number().over(Window.partitionBy("__b").orderBy("__dfq", "__w")),
-    )
-    counts = ranked.groupBy("__b").agg(F.count("*").alias("__c"))
-    # Bucket offsets via a triangular self-join over the ≤nparts-row
-    # count table — not a global window (this module's lint contract
-    # bans un-partitioned windows outright, including metadata-sized
-    # ones, so the rule stays mechanically checkable).
-    offsets = (
-        counts.alias("x")
-        .join(counts.alias("y"), F.col("y.__b") < F.col("x.__b"), "left")
-        .groupBy(F.col("x.__b").alias("__b"))
-        .agg(F.coalesce(F.sum("y.__c"), F.lit(0)).alias("__off"))
-    )
-    dict_ = ranked.join(F.broadcast(offsets), "__b").select(
-        "__w", (F.col("__off") + F.col("__r")).cast("int").alias("__tid")
-    )
+    # Bucket offsets: prefix-sum of the per-bucket counts on the
+    # driver — CLUSTER-WIDTH metadata (≤ nparts rows, the purge_store
+    # bounded-collect pattern), never data-sized, and the offsets go
+    # back in as literals so no join touches the rank path.
+    counts = {
+        int(r["__b"]): int(r["__c"])
+        for r in ranked.groupBy("__b").agg(F.count("*").alias("__c")).collect()
+    }
+    offs: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    if offs:
+        off_map = F.create_map(
+            *[F.lit(x) for bo in sorted(offs.items()) for x in bo]
+        )
+        tid = (F.element_at(off_map, F.col("__b")) + F.col("__r")).cast("int")
+    else:  # empty element universe: no rows to rank
+        tid = F.col("__r").cast("int")
+    dict_ = ranked.select("__w", tid.alias("__tid"))
     return (
         exploded.join(F.broadcast(dict_), "__w")
         .groupBy("__id", "__n")

@@ -65,12 +65,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with scan parallelism floored at the core count
+    (catalog.spread_scan, round 10): the heavy tokenizing operators'
+    shingle/n-gram/signature expressions collapse into the scan stage,
+    so on a low-split file (one row group at the local tiers) they ran
+    in ONE task regardless of cores — the serial term the sf1
+    8-vs-32-core measurement exposed (SCALING.json; 19.3 s → 1.3 s for
+    sf1 shingling).  No-op whenever the scan already has ≥ cores
+    splits, so nothing is shuffled at corpus scale."""
+    return catalog.spread_scan(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- fingerprint
 
 
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-collision groups: md5 of the sorted distinct token set."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     return (
         docs.select("doc_id", fingerprint_key("text").alias("fp"))
         .groupBy("fp")
@@ -148,7 +160,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, then one more equi-join back to token sets for exact
     verification.  No cross join anywhere.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     sig = _minhash_signature(docs)
     band_cols = [
         F.md5(
@@ -237,7 +249,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole) — banding loses no pairs while avoiding the all-pairs
     join.  Verification recomputes exact hamming via xor + bit_count.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     sig = _simhash_signature(docs)
     band_cols = [
         F.concat(F.lit(f"s{i}:"), F.expr(f"(simhash >> {8 * i}) & 255")).alias(f"band{i}")
@@ -300,7 +312,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ``jaccard_pairs`` (functions/setjoin.py, round-9 int-encoded
     form — shared with the corpus ``dedup_jaccard``).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     sh = docs.select("doc_id", char_shingles("text", 5).alias("sh"))
     return jaccard_pairs(sh, "doc_id", "sh", NGRAM_JACCARD)
 
@@ -506,7 +518,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HAVING filter reduces output to colliding spans only.  No
     driver-side state, no quadratic pair join anywhere.
     """
-    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ts"))
+    docs = _docs_spread(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
     spans = (
         docs.where(F.size("ts") >= _SPAN_W)
         .select(
@@ -678,7 +692,7 @@ def dedup_containment(
     ``width`` parameterizes the shingle size for the study script
     only; the registered operator is width=5 (the declared contract).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     sh = docs.select("doc_id", char_shingles("text", width).alias("sh"))
     # Round-9 optimization (guide §2.3/§8): shingles are dictionary-
     # encoded to ppjoin-ordered INTs and materialized ONCE
@@ -839,7 +853,7 @@ def _lsh_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r9 #4/#8: the registered operator's plan shows only a
     1-row ``Scan ExistingRDD`` after the internal collect, which made
     the r9 before/after plans uninformative)."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _LSH_EVAL_DOCS)
+    docs = _docs_spread(spark, sf_dir).where(F.col("doc_id") < _LSH_EVAL_DOCS)
     sig = _minhash_signature(docs)
     band_cols = [
         F.md5(

@@ -178,7 +178,7 @@ def _table_keys() -> F.Column:
     return F.array(*keys)
 
 
-def _bucketed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucketed_ids_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(vec_id, bucket)`` rows — one per (vector, hash table) — via an
     Arrow-batched numpy kernel (round 10, guide §4.2: hand whole
     batches to vectorized native code instead of evaluating 32
@@ -233,7 +233,15 @@ def _bucketed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.mapInPandas(kernel, "vec_id long, bucket string").localCheckpoint()
+    return emb.mapInPandas(kernel, "vec_id long, bucket string")
+
+
+def _bucketed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized form of :func:`_bucketed_ids_plan` — one hash
+    pass shared by the query and candidate consumers (see the plan
+    builder's docstring; split so plan evidence can capture the
+    MapInPandas pipeline the checkpoint otherwise hides)."""
+    return _bucketed_ids_plan(spark, sf_dir).localCheckpoint()
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, spread_scan
 from ..functions import (
     cosine,
     distinct_tokens,
@@ -52,13 +52,19 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the same result set; the engine plan is equi-join shaped end
     # to end and survives a 100x scale-up where the former banded
     # theta join (nested-loop, 288 s at sf0.1) did not.
-    docs = _docs(spark, sf_dir)
+    # Scan parallelism floored at the core count before the tokenize
+    # projection (catalog.spread_scan, round 10 — the sf1 scaling
+    # finding: a one-row-group file tokenized in ONE task regardless
+    # of cores; no-op when the scan has ≥ cores splits).
+    docs = spread_scan(_docs(spark, sf_dir))
     tok = docs.select("doc_id", distinct_tokens("text").alias("ts"))
     return jaccard_pairs(tok, "doc_id", "ts", 0.9)
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # spread_scan: the md5 signature partials collapse into the scan
+    # stage — floor its parallelism at the core count (round 10).
+    docs = spread_scan(_docs(spark, sf_dir))
     tok = docs.select("doc_id", F.explode(distinct_tokens("text")).alias("w"))
     return tok.groupBy("doc_id").agg(
         F.min(F.md5(F.concat(F.lit("1"), F.col("w")))).alias("h1"),

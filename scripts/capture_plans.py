@@ -31,8 +31,14 @@ FLAGSHIP = [
 def _internal_builders():
     """name -> builder for the operator's pre-collect internal pipeline."""
     from pserv_spark.operators.dedup import _lsh_eval_pipeline
+    from pserv_spark.operators.similarity import _bucketed_ids_plan
 
-    return {"dedup_lsh_eval": _lsh_eval_pipeline}
+    return {
+        "dedup_lsh_eval": _lsh_eval_pipeline,
+        # the MapInPandas bucketing pass is hidden behind the operator's
+        # localCheckpoint — capture the pipeline that produces it
+        "ann_lsh_topk": _bucketed_ids_plan,
+    }
 
 
 def main() -> None:
